@@ -1,0 +1,61 @@
+"""Benchmark runner (driver contract).
+
+Runs the full query corpus at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed to completion of its action (count of the result),
+which executes the full plan without driver-side result transfer cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from healthcare_research_data_pipeline_project_spark import queries as Q
+from healthcare_research_data_pipeline_project_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+
+    Q.load_all()
+    spark = get_spark(app_name="hrdp-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in Q.QUERIES.items():
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Text-analysis column builders (north-star extensions, SURVEY §7 P5).
+
+Everything here is JVM-side Catalyst expressions (split / higher-order
+functions / md5) — no Python UDFs — so text ops run inside whole-stage
+codegen and scale linearly with partitions. Each Spark builder has a
+DuckDB SQL twin built from the same spec so the oracle matches
+bit-for-bit.
+
+Tokenization spec (shared by both engines):
+  tokens(text)   = non-empty pieces of regex-split on \\s+
+  shingles(text) = space-joined word k-grams (k=3); docs shorter than k
+                   tokens contribute their whole token list as one
+                   shingle.
+  hash64(s)      = first 8 hex chars of md5(s) as integer — engine-
+                   portable (Spark `conv`, DuckDB '0x' cast), uniform
+                   enough for MinHash/SimHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SHINGLE_K = 3
+
+#: small multilingual stopword inventory for quality scoring / lang-ID
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "der", "die", "und",
+             "le", "la", "et", "el", "los", "y", "en", "de")
+
+#: lang-ID marker words per language (deterministic scorer; ties break
+#: in this dict's order)
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "los", "y", "que", "es"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "zh": ("de5", "le5", "shi4", "he2", "zai4"),
+}
+
+
+# ---------------------------------------------------------------------------
+# Spark-side builders (Catalyst expressions)
+# ---------------------------------------------------------------------------
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
+
+
+def shingles(toks_col: str, k: int = SHINGLE_K) -> Column:
+    """Word k-gram shingles from a token-array column name."""
+    return F.expr(
+        f"transform(sequence(0, greatest(size({toks_col}) - {k}, 0)),"
+        f" i -> array_join(slice({toks_col}, i + 1, {k}), ' '))"
+    )
+
+
+def hash64_expr(s: str, salt: str = "") -> str:
+    """Spark SQL fragment: portable 32-bit-in-64 hash of expression `s`."""
+    inner = f"concat({s}, '#{salt}')" if salt else s
+    return f"cast(conv(substring(md5({inner}), 1, 8), 16, 10) as bigint)"
+
+
+def minhash_col(shingle_col: str, seed: int) -> Column:
+    """One MinHash component: min over shingles of salted hash64."""
+    return F.expr(
+        f"array_min(transform({shingle_col}, s -> {hash64_expr('s', str(seed))}))"
+    ).alias(f"mh_{seed}")
+
+
+def simhash_bits_col(toks_col: str, nbits: int = 16) -> Column:
+    """SimHash as a bit-string: per bit position j, majority vote over
+    token-hash bits (+1/−1), emitted as '0'/'1' chars. Bit-string form
+    avoids engine-specific integer bit-packing differences."""
+    tok_hash = "cast(conv(substring(md5(t), 1, 4), 16, 10) as int)"
+    return F.expr(
+        f"concat_ws('', transform(sequence(0, {nbits - 1}), j -> "
+        f"CASE WHEN aggregate({toks_col}, 0, (acc, t) -> acc + "
+        f"CASE WHEN (shiftright({tok_hash}, j) & 1) = 1 THEN 1 ELSE -1 END) >= 0 "
+        f"THEN '1' ELSE '0' END))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (oracle SQL fragments)
+# ---------------------------------------------------------------------------
+DUCK_TOKENS = r"list_filter(string_split_regex({text}, '\s+'), x -> x <> '')"
+
+
+def duck_shingles(toks: str, k: int = SHINGLE_K) -> str:
+    return (
+        f"list_transform(generate_series(0, greatest(len({toks}) - {k}, 0)),"
+        f" i -> array_to_string({toks}[i + 1:i + {k}], ' '))"
+    )
+
+
+def duck_hash64(s: str, salt: str = "") -> str:
+    inner = f"{s} || '#{salt}'" if salt else s
+    return f"CAST('0x' || substr(md5({inner}), 1, 8) AS BIGINT)"
+
+
+def duck_minhash(shingle_col: str, seed: int) -> str:
+    return (
+        f"list_min(list_transform({shingle_col}, "
+        f"s -> {duck_hash64('s', str(seed))}))"
+    )
+
+
+def duck_simhash_bits(toks: str, nbits: int = 16) -> str:
+    tok_hash = "CAST('0x' || substr(md5(t), 1, 4) AS INT)"
+    return (
+        f"array_to_string(list_transform(generate_series(0, {nbits - 1}), j -> "
+        f"CASE WHEN list_sum(list_transform({toks}, t -> "
+        f"CASE WHEN (({tok_hash} >> j) & 1) = 1 THEN 1 ELSE -1 END)) >= 0 "
+        f"THEN '1' ELSE '0' END), '')"
+    )

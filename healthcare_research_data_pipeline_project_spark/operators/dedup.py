@@ -1,0 +1,154 @@
+"""Deduplication operators for large-scale text pipelines
+(north-star extensions; designed for 100 TB).
+
+All operators are pure Catalyst expression pipelines (split/HOF/md5)
+— no Python UDFs — and all pairwise work is bounded:
+
+- exact:       hash-groupBy on content. One shuffle on the hash.
+- minhash+LSH: shingle → k salted min-hashes → band → bucket-join.
+               Candidate pairs only form inside identical band-buckets
+               (the classic banding guarantee), so the join is an
+               equi-join on (band_idx, band_hash) — never a cross
+               join. AQE handles hot buckets (boilerplate text).
+- simhash:     per-doc bit-string signature; near-dups share prefix
+               buckets or low Hamming distance.
+- n-gram jaccard: exact verification on candidate pairs (or within
+               small blocking groups), distinct-shingle-set overlap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.helpers import round_div
+from ..functions.text import SHINGLE_K, minhash_col, shingles, simhash_bits_col, tokens
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups keyed by content hash; keeps min id per
+    group (the reference's upsert keeps last-write-wins by PK,
+    healthcare-data-pipeline-main.py:622 — here we pick the
+    deterministic min)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+    )
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("toks", tokens(F.col(text_col)))
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    return with_tokens(df, text_col).withColumn("shingles", shingles("toks", k))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature columns mh_0..mh_{n-1}."""
+    base = with_shingles(df, text_col)
+    return base.select(
+        F.col(id_col), *[minhash_col("shingles", j) for j in range(num_hashes)]
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, nbits: int = 16
+) -> DataFrame:
+    base = with_tokens(df, text_col)
+    return base.select(
+        F.col(id_col), simhash_bits_col("toks", nbits).alias("simhash_bits")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing ≥1 identical band.
+
+    Plan shape: signatures → explode to (doc, band_idx, band_hash) →
+    self-equi-join on (band_idx, band_hash) → distinct (a < b) pairs.
+    The only shuffles are the band-hash repartition — at 100 TB this is
+    the standard near-dup sweep layout (each bucket is tiny; skewed
+    buckets are split by AQE).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ":", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    exploded = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Exact distinct-shingle Jaccard over pairs within blocking groups.
+
+    Blocking keeps the quadratic term bounded per group; at scale the
+    block key would be an LSH bucket (see `lsh_candidate_pairs`) — the
+    verification math is identical.
+    """
+    d = with_shingles(df, text_col, k).withColumn(
+        "sh_set", F.array_distinct(F.col("shingles"))
+    ).select(id_col, *block_cols, "sh_set")
+    a, b = d.alias("a"), d.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.sh_set"), F.col("b.sh_set")))
+    union = F.size(F.col("a.sh_set")) + F.size(F.col("b.sh_set")) - inter
+    # threshold as an exact integer predicate (inter/union >= t), so the
+    # result set is bit-identical across engines
+    num, den = round(threshold * 100), 100
+    return (
+        a.join(b, cond)
+        .filter(inter * den >= union * num)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            round_div(inter, union, "jaccard", 4),
+        )
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Embeddings are `array<float>` columns; all math is JVM-side Catalyst
+HOFs (`zip_with` + `aggregate`) — Arrow/pandas never enters the hot
+path.
+
+Scale posture:
+- brute force: broadcast the (small) query set against the partitioned
+  candidate corpus — one scan, no shuffle except the final per-query
+  top-k (a tiny aggregate). This is the exact baseline.
+- LSH (random hyperplanes): deterministic pseudo-random planes derived
+  from md5 so both engines/runs agree; candidates only join inside a
+  bucket (equi-join), then exact re-rank. This is the 100 TB path: the
+  bucket join replaces the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_dot(vec_col, vec_col)))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: queries × corpus with per-query top-k.
+
+    Rounds cosine to 4 dp *before* ranking and tie-breaks on candidate
+    id, so the result set is deterministic across engines.
+    """
+    extra = extra_cols or []
+    q = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    )
+    c = emb.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"), *extra
+    )
+    pairs = F.broadcast(q).join(c, F.col("cid") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        "cid",
+        *extra,
+        F.round(
+            _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))), 4
+        )
+        .cast("double")
+        .alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def _plane_component(plane: int, dim_idx: str) -> str:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    derived from md5(plane:dim) — engine-portable, no RNG state."""
+    h = f"cast(conv(substring(md5(concat('{plane}', ':', cast({dim_idx} as string))), 1, 8), 16, 10) as double)"
+    return f"({h} / 2147483648.0 - 1.0)"
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, num_planes: int = 8) -> DataFrame:
+    """Random-hyperplane LSH bucket id as a bit-string column.
+
+    bucket bit p = sign(v · plane_p); identical for identical vectors,
+    Hamming-close for cosine-close vectors.
+    """
+    bits = []
+    for p in range(num_planes):
+        comp = _plane_component(p, "i - 1")
+        proj = (
+            f"aggregate(zip_with({vec_col}, sequence(1, size({vec_col})),"
+            f" (x, i) -> cast(x as double) * {comp}),"
+            f" cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return df.withColumn("lsh_bucket", F.expr("concat(" + ", ".join(bits) + ")"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: exact re-rank restricted to the query's LSH bucket.
+
+    Recall < 1 by construction (bucketing drops some true neighbors);
+    tests measure recall against `brute_force_topk`. At scale this
+    turns the O(|Q|·|C|) sweep into an equi-join on bucket id.
+    """
+    bucketed = lsh_bucket(emb, vec_col, num_planes)
+    q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qe"),
+        F.col("lsh_bucket").alias("qb"),
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ce"),
+        F.col("lsh_bucket").alias("cb"),
+    )
+    pairs = F.broadcast(q).join(
+        c, (F.col("qb") == F.col("cb")) & (F.col("cid") != F.col("qid"))
+    )
+    scored = pairs.select(
+        "qid",
+        "cid",
+        F.round(
+            _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))), 4
+        )
+        .cast("double")
+        .alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )

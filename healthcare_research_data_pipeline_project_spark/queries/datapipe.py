@@ -1,0 +1,394 @@
+"""Training-data pipeline corpus: dedup, text analysis, similarity
+search over the `documents` and `embeddings` tables (north-star
+extensions beyond the reference's own surface).
+
+Oracle twins are generated from the same specs in `functions.text`, so
+hash/tokenization semantics are shared character-for-character.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.helpers import duck_round_div, rnd, round_div
+from ..functions.text import (
+    DUCK_TOKENS,
+    LANG_MARKERS,
+    STOPWORDS,
+    duck_minhash,
+    duck_shingles,
+    duck_simhash_bits,
+    minhash_col,
+    simhash_bits_col,
+    tokens,
+)
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..tables import load_tables
+from . import register
+
+_TOKS = DUCK_TOKENS.format(text="text")
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace tokenizer) + type-token stats
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_TOKS} AS toks, length(text) AS char_cnt
+               FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS token_cnt,
+           CAST(char_cnt AS BIGINT) AS char_cnt,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS uniq_token_cnt,
+           {duck_round_div("list_sum(list_transform(toks, t -> length(t)))",
+                           "len(toks)")} AS avg_token_len,
+           {duck_round_div("len(list_distinct(toks))", "len(toks)", 4)}
+             AS type_token_ratio
+    FROM d
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t.documents.withColumn("toks", tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("token_cnt"),
+        F.length("text").cast("long").alias("char_cnt"),
+        F.size(F.array_distinct("toks")).cast("long").alias("uniq_token_cnt"),
+        round_div(
+            F.expr("aggregate(toks, 0, (a, t) -> a + length(t))"),
+            F.size("toks"),
+            "avg_token_len",
+        ),
+        round_div(
+            F.size(F.array_distinct("toks")), F.size("toks"), "type_token_ratio", 4
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword ratios
+# ---------------------------------------------------------------------------
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_TOKS} AS toks,
+             length(text) AS n,
+             length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+               AS punct_cnt
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, n, punct_cnt,
+             len(toks) AS token_cnt,
+             len(list_filter(toks, t -> list_contains([{_STOP_SQL}], t)))
+               AS stop_cnt
+      FROM d
+    )
+    SELECT doc_id, lang,
+           CAST(token_cnt AS BIGINT) AS token_cnt,
+           {duck_round_div("punct_cnt", "n", 4)} AS punct_ratio,
+           {duck_round_div("stop_cnt", "token_cnt", 4)} AS stopword_ratio,
+           {duck_round_div(
+               "50 * least(token_cnt, 200) * n * token_cnt"
+               " + 6000 * (n - punct_cnt) * token_cnt"
+               " + 4000 * stop_cnt * n",
+               "20000 * n * token_cnt",
+               4,
+           )} AS quality_score
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    d = (
+        t.documents.withColumn("toks", tokens(F.col("text")))
+        .withColumn("n", F.length("text"))
+        .withColumn(
+            "punct_cnt",
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", "")),
+        )
+        .withColumn("token_cnt", F.size("toks"))
+        .withColumn(
+            "stop_cnt",
+            F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x))),
+        )
+    )
+    # quality score 0.5·len-score + 0.3·(1−punct_ratio) + 0.2·stop_ratio,
+    # expressed as one exact integer rational so both engines round
+    # identically (see helpers.round_div)
+    A = F.least(F.col("token_cnt"), F.lit(200))
+    N, P = F.col("n"), F.col("punct_cnt")
+    S, T = F.col("stop_cnt"), F.col("token_cnt")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.col("token_cnt").cast("long").alias("token_cnt"),
+        round_div(P, N, "punct_ratio", 4),
+        round_div(S, T, "stopword_ratio", 4),
+        round_div(
+            F.lit(50) * A * N * T + F.lit(6000) * (N - P) * T + F.lit(4000) * S * N,
+            F.lit(20000) * N * T,
+            "quality_score",
+            4,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: deterministic marker-word scorer (n-gram heuristic).
+# The synthetic corpus shares vocabulary across lang labels, so the
+# prediction is not expected to recover the label — correctness is
+# "both engines agree on the same deterministic rules".
+# ---------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    hits = ", ".join(
+        f"len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws)
+        + f"], t))) AS hits_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        others = [f"hits_{lang} >= hits_{o}" for o in langs[i + 1:]]
+        cond = " AND ".join(others) if others else "TRUE"
+        case += f"WHEN {cond} THEN '{lang}' "
+    case += "END"
+    return f"""
+    WITH d AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id, lang, {hits} FROM d)
+    SELECT doc_id, lang AS labeled_lang, {case} AS predicted_lang,
+           CAST(CASE WHEN {case} = lang THEN 1 ELSE 0 END AS INT) AS is_match
+    FROM h
+    """
+
+
+@register("text_langid", _langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t.documents.withColumn("toks", tokens(F.col("text")))
+
+    def _marker_hits(arr):
+        # single-arg lambda factory: F.filter inspects the signature, so
+        # a default-arg closure would be passed the element index
+        return lambda x: F.array_contains(arr, x)
+
+    for lang, ws in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in ws])
+        d = d.withColumn(
+            f"hits_{lang}", F.size(F.filter(F.col("toks"), _marker_hits(arr)))
+        )
+    langs = list(LANG_MARKERS)
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = F.lit(True)
+        for o in langs[i + 1:]:
+            cond = cond & (F.col(f"hits_{lang}") >= F.col(f"hits_{o}"))
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    d = d.withColumn("predicted_lang", expr)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        "predicted_lang",
+        (F.col("predicted_lang") == F.col("lang")).cast("int").alias("is_match"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: normalized-content and sorted-vocabulary md5
+# ---------------------------------------------------------------------------
+@register(
+    "text_fingerprint",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm,
+             {_TOKS} AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS content_fp,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS vocab_fp
+    FROM d
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t.documents.withColumn("toks", tokens(F.col("text"))).withColumn(
+        "norm",
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")),
+    )
+    return d.select(
+        "doc_id",
+        F.md5("norm").alias("content_fp"),
+        F.md5(F.array_join(F.sort_array(F.array_distinct("toks")), " ")).alias(
+            "vocab_fp"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: content-hash groups
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return D.exact_dedup_groups(t.documents, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (shingle → salted-hash min), 8 components
+# ---------------------------------------------------------------------------
+_MH_N = 8
+
+
+def _minhash_oracle() -> str:
+    cols = ",\n           ".join(
+        f"CAST({duck_minhash('sh', j)} AS BIGINT) AS mh_{j}" for j in range(_MH_N)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {duck_shingles('toks')} AS sh FROM d)
+    SELECT doc_id,
+           {cols}
+    FROM s
+    """
+
+
+@register("dedup_minhash_signature", _minhash_oracle())
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    base = D.with_shingles(t.documents, "text")
+    return base.select(
+        "doc_id", *[minhash_col("shingles", j) for j in range(_MH_N)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (16-bit bit-string)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_simhash",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id, {duck_simhash_bits('toks')} AS simhash_bits
+    FROM d
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    base = D.with_tokens(t.documents, "text")
+    return base.select("doc_id", simhash_bits_col("toks").alias("simhash_bits"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram (shingle-set) Jaccard near-dup pairs within (lang, source)
+# blocking groups
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             list_distinct({duck_shingles(_TOKS)}) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {duck_round_div(
+               "len(list_intersect(a.sh, b.sh))",
+               "len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))",
+               4,
+           )} AS jaccard
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 20
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return D.shingle_jaccard_pairs(
+        t.documents, "text", "doc_id", ["lang", "source"], threshold=0.2
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate pairs (bucket-join path) — the scale variant of
+# dedup_ngram_jaccard. Banding/bucketing is not naturally SQL-relational
+# (explode + re-join of engine-internal hashes), so the driver records a
+# rows-only check; pytest cross-checks candidates ⊇ high-jaccard pairs.
+# ---------------------------------------------------------------------------
+@register("dedup_lsh_pairs")
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return D.lsh_candidate_pairs(t.documents, "text", "doc_id", num_hashes=16, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (exact ANN baseline)
+# ---------------------------------------------------------------------------
+_QUERY_IDS = list(range(8))
+_TOPK = 5
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+@register(
+    "sim_bruteforce_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+    c AS (SELECT vec_id AS cid, embedding AS ce, label FROM embeddings),
+    p AS (
+      SELECT qid, cid, label,
+             CAST(ROUND({_dot_sql('qe', 'ce')} /
+                        (sqrt({_dot_sql('qe', 'qe')}) * sqrt({_dot_sql('ce', 'ce')})),
+                        4) AS DOUBLE) AS cos_sim
+      FROM q JOIN c ON cid <> qid
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, cid) AS rn
+          FROM p)
+    SELECT qid, cid, label, cos_sim, CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= {_TOPK}
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return S.brute_force_topk(
+        t.embeddings, _QUERY_IDS, k=_TOPK, extra_cols=["label"]
+    ).select("qid", "cid", "label", "cos_sim", "rank")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path; recall measured in tests vs brute force)
+# ---------------------------------------------------------------------------
+@register("sim_lsh_topk")
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return S.lsh_topk(t.embeddings, _QUERY_IDS, k=_TOPK, num_planes=8)

@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+The reference delegates all execution to an RDBMS plus pandas
+(`healthcare-data-pipeline-main.py:495-505` builds a SQLAlchemy engine);
+our engine's equivalent bootstrap is a tuned SparkSession.
+
+Scale posture: these defaults are written for a real cluster and merely
+*shrunk* by `shuffle_partitions` for local runs. At 100 TB you would
+raise `spark.sql.shuffle.partitions` (or rely on AQE coalescing from a
+high initial number), keep AQE skew-join on, and leave broadcast
+thresholds to AQE runtime stats.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "healthcare-research-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    - AQE on: runtime partition coalescing, skew-join splitting, and
+      dynamic join-strategy switching replace all of the reference's
+      hand-tuning (its batch-size/worker env knobs,
+      `healthcare-env-example.sh:65-67`).
+    - Arrow on: any pandas-UDF path is vectorized.
+    - UTC session timezone: date arithmetic hash-matches the DuckDB
+      oracle regardless of host timezone.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.maxResultSize", "2g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

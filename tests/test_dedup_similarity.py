@@ -1,0 +1,76 @@
+"""Tests for dedup / similarity operators: structural guarantees and
+recall of the scale paths vs their exact baselines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthcare_research_data_pipeline_project_spark.operators import dedup as D
+from healthcare_research_data_pipeline_project_spark.operators import similarity as S
+from healthcare_research_data_pipeline_project_spark.tables import load_tables
+
+from .conftest import SF_SMOKE
+
+
+def test_exact_dedup_finds_planted_duplicate(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique text")],
+        "doc_id long, text string",
+    )
+    groups = {r["keep_id"]: r["dup_count"] for r in D.exact_dedup_groups(df, "text", "doc_id").collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely different document about spark engines")],
+        "doc_id long, text string",
+    )
+    sig = D.minhash_signatures(df, "text", "doc_id", 8).collect()
+    by_id = {r["doc_id"]: tuple(r[f"mh_{j}"] for j in range(8)) for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_lsh_pairs_catch_near_duplicates(spark):
+    base = "spark catalyst optimizer rewrites logical plans into physical plans with codegen"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " stages"), (3, "unrelated words entirely here nothing shared at all")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(df, "text", "doc_id", 16, 4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    base = "spark catalyst optimizer rewrites logical plans into physical plans"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " fast"), (3, "zebra yak xylophone walrus vulture")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash_bits"] for r in D.simhash_signatures(df, "text", "doc_id").collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(sigs[1], sigs[2]) <= ham(sigs[1], sigs[3])
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    emb = load_tables(spark, SF_SMOKE).embeddings
+    qids = list(range(8))
+    exact = {
+        (r["qid"], r["cid"]) for r in S.brute_force_topk(emb, qids, k=5).collect()
+    }
+    approx = {(r["qid"], r["cid"]) for r in S.lsh_topk(emb, qids, k=5, num_planes=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    # ANN trades recall for candidate reduction; with 4 planes the
+    # bucket holds ~1/16 of the corpus, recall must still be material
+    assert recall >= 0.2, recall
+
+
+def test_lsh_bucket_deterministic(spark):
+    emb = load_tables(spark, SF_SMOKE).embeddings.limit(50)
+    b1 = {r["vec_id"]: r["lsh_bucket"] for r in S.lsh_bucket(emb, "embedding", 8).collect()}
+    b2 = {r["vec_id"]: r["lsh_bucket"] for r in S.lsh_bucket(emb, "embedding", 8).collect()}
+    assert b1 == b2
