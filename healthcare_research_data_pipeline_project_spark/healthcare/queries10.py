@@ -1,0 +1,689 @@
+"""The reference's 10 advanced analytics queries
+(healthcare-sql-analytics.sql:141-779), ported onto the mapped
+warehouse (mapping.py) as dialect-templated single statements.
+
+Port notes (SURVEY §7 watch list applied):
+- EXISTS-as-SELECT-column kept (Spark 4 supports it); the *nested*
+  correlated aggregate subqueries (sepsis first-antibiotic, Q4/Q5/Q7
+  per-entity counts, correlated ORDER BY…LIMIT 1) are pre-rewritten as
+  explicit aggregate CTEs + joins — deterministic, decorrelation-proof,
+  and the scalable plan shape (grouped partial aggregates instead of
+  per-row subquery execution).
+- SUM(boolean) → SUM(CASE WHEN…) (§7.10).
+- Hardcoded year 2024 → ANALYSIS_YEAR (2000 in the mapped calendar);
+  the 2025 age anchor is kept; CURRENT_DATE → ANCHOR_DATE (§7.8).
+- All integer/decimal ratio outputs use the dialect's exact `rdiv`;
+  STDDEV outputs use plain ROUND (irrational-valued — §helpers).
+- Q6 window AVG/STDDEV OVER (PARTITION BY category) → groupBy stats +
+  join-back: identical semantics, no whole-partition sort at scale.
+- Q8's TIMESTAMPDIFF over date+hour concat → pure integer arithmetic
+  on day-grain time_ids and the hour column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import register_views
+from ..queries import register
+from .dialect import DUCK, SPARK, Dialect
+from .mapping import AGE_ANCHOR, ANALYSIS_YEAR, ANCHOR_DATE, with_clause
+
+CENTS = "SUM(CAST(total_charges * 100 AS BIGINT))"
+
+
+def q1_readmission(d: Dialect) -> str:
+    ctes = [(
+        "ReadmissionAnalysis",
+        f"""
+        SELECT d.category AS diagnosis_category,
+               CASE WHEN {AGE_ANCHOR} - p.birth_year < 65 THEN 'Under 65'
+                    WHEN {AGE_ANCHOR} - p.birth_year BETWEEN 65 AND 79 THEN '65-79'
+                    ELSE '80+' END AS age_group,
+               e.length_of_stay, e.icu_days, e.total_charges,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM fact_encounters e2
+                   WHERE e2.patient_id = e.patient_id
+                     AND e2.encounter_id != e.encounter_id
+                     AND e2.admission_time_id BETWEEN e.discharge_time_id
+                         AND e.discharge_time_id + 30
+               ) THEN 1 ELSE 0 END AS readmitted_30day,
+               (SELECT COUNT(DISTINCT lr.lab_test_code)
+                FROM fact_lab_results lr
+                WHERE lr.encounter_id = e.encounter_id
+                  AND lr.abnormal_flag IN ('H', 'HH', 'L', 'LL')) AS abnormal_lab_count,
+               (SELECT COUNT(DISTINCT mo.medication_id)
+                FROM fact_medication_orders mo
+                WHERE mo.encounter_id = e.encounter_id) AS medication_count
+        FROM fact_encounters e
+        JOIN dim_patient p ON e.patient_id = p.patient_id
+        JOIN dim_diagnosis d ON e.primary_diagnosis_id = d.diagnosis_id
+        JOIN dim_time t ON e.discharge_time_id = t.time_id
+        WHERE t.year = {ANALYSIS_YEAR}
+          AND e.encounter_type = 'Inpatient'
+          AND e.mortality_flag = FALSE
+        """,
+    )]
+    select = f"""
+        SELECT diagnosis_category, age_group,
+               CAST(COUNT(*) AS BIGINT) AS total_discharges,
+               CAST(SUM(readmitted_30day) AS BIGINT) AS readmissions,
+               {d.rdiv('SUM(readmitted_30day) * 100', 'COUNT(*)', 2)} AS readmission_rate,
+               {d.rdiv('SUM(length_of_stay)', 'COUNT(*)', 1)} AS avg_los,
+               {d.rdiv('SUM(icu_days)', 'COUNT(*)', 1)} AS avg_icu_days,
+               {d.rdiv('SUM(abnormal_lab_count)', 'COUNT(*)', 1)} AS avg_abnormal_labs,
+               {d.rdiv('SUM(medication_count)', 'COUNT(*)', 1)} AS avg_medications,
+               {d.rdiv(CENTS, 'COUNT(*) * 100', 0)} AS avg_charges,
+               CAST(ROUND(STDDEV(length_of_stay), 2) AS DOUBLE) AS los_std_dev
+        FROM ReadmissionAnalysis
+        GROUP BY diagnosis_category, age_group
+        HAVING COUNT(*) >= 30
+    """
+    return with_clause(d, ctes) + select
+
+
+def q2_sepsis(d: Dialect) -> str:
+    ctes = [
+        (
+            "first_abx",
+            """
+            SELECT mo.encounter_id, MIN(mo.start_time_id) AS first_abx_time
+            FROM fact_medication_orders mo
+            JOIN dim_medication m ON mo.medication_id = m.medication_id
+            WHERE m.medication_class = 'Antibiotic'
+            GROUP BY mo.encounter_id
+            """,
+        ),
+        (
+            "SepsisPatients",
+            """
+            SELECT e.encounter_id, e.patient_id, e.admission_time_id,
+                   MIN(lr.lab_time_id) AS first_abnormal_lab_time
+            FROM fact_encounters e
+            JOIN dim_diagnosis d ON e.primary_diagnosis_id = d.diagnosis_id
+            JOIN fact_lab_results lr ON e.encounter_id = lr.encounter_id
+            WHERE d.icd10_code LIKE 'A41%'
+               OR (lr.lab_test_code IN ('WBC', 'TEMP', 'HR', 'RR')
+                   AND lr.critical_flag = TRUE)
+            GROUP BY e.encounter_id, e.patient_id, e.admission_time_id
+            """,
+        ),
+        (
+            "BundleCompliance",
+            """
+            SELECT sp.encounter_id,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM fact_lab_results lr
+                       WHERE lr.encounter_id = sp.encounter_id
+                         AND lr.lab_test_code = 'LACT'
+                         AND lr.lab_time_id <= sp.first_abnormal_lab_time + 3
+                   ) THEN 1 ELSE 0 END AS lactate_measured,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM fact_lab_results lr
+                       JOIN first_abx fa ON lr.encounter_id = fa.encounter_id
+                       WHERE lr.encounter_id = sp.encounter_id
+                         AND lr.lab_test_code LIKE 'BLOOD_CX%'
+                         AND lr.lab_time_id < fa.first_abx_time
+                   ) THEN 1 ELSE 0 END AS blood_culture_before_abx,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM fact_medication_orders mo
+                       JOIN dim_medication m ON mo.medication_id = m.medication_id
+                       WHERE mo.encounter_id = sp.encounter_id
+                         AND m.medication_class = 'Antibiotic'
+                         AND mo.start_time_id <= sp.first_abnormal_lab_time + 1
+                   ) THEN 1 ELSE 0 END AS antibiotics_within_hour,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM fact_medication_orders mo
+                       WHERE mo.encounter_id = sp.encounter_id
+                         AND mo.medication_id IN (
+                             SELECT medication_id FROM dim_medication
+                             WHERE medication_name LIKE '%saline%'
+                                OR medication_name LIKE '%lactated ringers%')
+                         AND mo.dose_amount >= 30
+                   ) THEN 1 ELSE 0 END AS fluid_resuscitation
+            FROM SepsisPatients sp
+            """,
+        ),
+    ]
+    compliant = ("CASE WHEN lactate_measured = 1 AND blood_culture_before_abx = 1 "
+                 "AND antibiotics_within_hour = 1 AND fluid_resuscitation = 1 "
+                 "THEN 1 ELSE 0 END")
+    select = f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_sepsis_patients,
+               CAST(SUM(lactate_measured) AS BIGINT) AS lactate_compliant,
+               CAST(SUM(blood_culture_before_abx) AS BIGINT) AS culture_compliant,
+               CAST(SUM(antibiotics_within_hour) AS BIGINT) AS antibiotic_compliant,
+               CAST(SUM(fluid_resuscitation) AS BIGINT) AS fluid_compliant,
+               CAST(SUM({compliant}) AS BIGINT) AS fully_compliant,
+               {d.rdiv(f'SUM({compliant}) * 100', 'COUNT(*)', 2)} AS bundle_compliance_rate
+        FROM BundleCompliance
+    """
+    return with_clause(d, ctes) + select
+
+
+def q3_provider(d: Dialect) -> str:
+    ctes = [
+        (
+            "ProviderMetrics",
+            f"""
+            SELECT p.provider_id, p.specialty,
+                   COUNT(DISTINCT e.encounter_id) AS total_encounters,
+                   COUNT(DISTINCT e.patient_id) AS unique_patients,
+                   COUNT(*) AS row_cnt,
+                   SUM(e.length_of_stay) AS los_sum,
+                   SUM(CASE WHEN e.readmission_flag THEN 1 ELSE 0 END) AS readmissions,
+                   SUM(CASE WHEN e.mortality_flag THEN 1 ELSE 0 END) AS mortalities,
+                   {CENTS} AS charges_cents,
+                   SUM(d.severity_deci) AS sev_deci_sum,
+                   SUM(CASE WHEN e.discharge_disposition = 'Home' THEN 1 ELSE 0 END)
+                     AS home_cnt
+            FROM fact_encounters e
+            JOIN dim_provider p ON e.provider_id = p.provider_id
+            JOIN dim_diagnosis d ON e.primary_diagnosis_id = d.diagnosis_id
+            JOIN dim_time t ON e.admission_time_id = t.time_id
+            WHERE t.year = {ANALYSIS_YEAR} AND p.is_active = TRUE
+            GROUP BY p.provider_id, p.specialty
+            HAVING COUNT(DISTINCT e.encounter_id) >= 20
+            """,
+        ),
+        (
+            "SpecialtyBenchmarks",
+            """
+            SELECT specialty,
+                   AVG(los_sum * 1.0 / row_cnt) AS specialty_avg_los,
+                   AVG(readmissions * 100.0 / total_encounters) AS specialty_readmit_rate,
+                   AVG(sev_deci_sum * 1.0 / (10 * row_cnt)) AS specialty_avg_severity
+            FROM ProviderMetrics
+            GROUP BY specialty
+            """,
+        ),
+    ]
+    score = """100 - (
+        (pm.los_sum * 1.0 / pm.row_cnt) / sb.specialty_avg_los * 25
+        + (pm.readmissions * 100.0 / pm.total_encounters)
+          / sb.specialty_readmit_rate * 25
+        + (100 - pm.home_cnt * 100.0 / pm.row_cnt) / 50 * 25
+        + CASE WHEN pm.mortalities > 0 THEN 25 ELSE 0 END
+    ) * (sb.specialty_avg_severity / (pm.sev_deci_sum * 1.0 / (10 * pm.row_cnt)))"""
+    select = f"""
+        SELECT pm.provider_id, pm.specialty,
+               CAST(pm.total_encounters AS BIGINT) AS total_encounters,
+               CAST(pm.unique_patients AS BIGINT) AS unique_patients,
+               {d.rdiv('pm.los_sum', 'pm.row_cnt', 1)} AS provider_avg_los,
+               CAST(ROUND(sb.specialty_avg_los, 1) AS DOUBLE) AS specialty_avg_los,
+               CAST(ROUND(pm.los_sum * 1.0 / pm.row_cnt - sb.specialty_avg_los, 1)
+                    + 0.0 AS DOUBLE) AS los_variance,
+               {d.rdiv('pm.readmissions * 100', 'pm.total_encounters', 2)}
+                 AS provider_readmit_rate,
+               CAST(ROUND(sb.specialty_readmit_rate, 2) AS DOUBLE)
+                 AS specialty_readmit_rate,
+               {d.rdiv('pm.sev_deci_sum', '10 * pm.row_cnt', 2)} AS case_mix_index,
+               {d.rdiv('pm.home_cnt * 100', 'pm.row_cnt', 1)} AS home_discharge_rate,
+               {d.rdiv('pm.charges_cents', '100 * pm.row_cnt', 0)} AS avg_charges,
+               CAST(ROUND({score}, 1) + 0.0 AS DOUBLE) AS performance_score
+        FROM ProviderMetrics pm
+        JOIN SpecialtyBenchmarks sb ON pm.specialty = sb.specialty
+    """
+    return with_clause(d, ctes) + select
+
+
+def q4_chronic(d: Dialect) -> str:
+    ctes = [
+        (
+            "ChronicDiseasePopulation",
+            f"""
+            SELECT p.patient_id,
+                   COUNT(DISTINCT CASE WHEN d.icd10_code LIKE 'E11%' THEN 1 END)
+                     AS has_diabetes,
+                   COUNT(DISTINCT CASE WHEN d.icd10_code LIKE 'I10%' THEN 1 END)
+                     AS has_hypertension,
+                   COUNT(DISTINCT CASE WHEN d.icd10_code LIKE 'J44%' THEN 1 END)
+                     AS has_copd,
+                   COUNT(DISTINCT CASE WHEN d.icd10_code LIKE 'N18%' THEN 1 END)
+                     AS has_ckd,
+                   COUNT(DISTINCT e.encounter_id) AS total_encounters_year,
+                   {CENTS} AS charges_cents_year
+            FROM dim_patient p
+            JOIN fact_encounters e ON p.patient_id = e.patient_id
+            JOIN dim_diagnosis d ON e.primary_diagnosis_id = d.diagnosis_id
+            JOIN dim_time t ON e.admission_time_id = t.time_id
+            WHERE t.year = {ANALYSIS_YEAR}
+            GROUP BY p.patient_id
+            """,
+        ),
+        (
+            "a1c_counts",
+            f"""
+            SELECT lr.patient_id,
+                   COUNT(DISTINCT {d.month_key('t.full_date')}) AS a1c_months
+            FROM fact_lab_results lr
+            JOIN dim_time t ON lr.lab_time_id = t.time_id
+            WHERE lr.lab_test_code = 'HBA1C' AND t.year = {ANALYSIS_YEAR}
+            GROUP BY lr.patient_id
+            """,
+        ),
+        (
+            "outpatient_counts",
+            """
+            SELECT patient_id, COUNT(DISTINCT encounter_id) AS op_visits
+            FROM fact_encounters
+            WHERE encounter_type = 'Outpatient'
+            GROUP BY patient_id
+            """,
+        ),
+        (
+            "DiseaseManagement",
+            """
+            SELECT cdp.patient_id,
+                   CASE WHEN cdp.has_diabetes > 0 THEN COALESCE(ac.a1c_months, 0)
+                        ELSE NULL END AS a1c_tests_count,
+                   CASE WHEN cdp.has_hypertension > 0 THEN COALESCE(oc.op_visits, 0)
+                        ELSE NULL END AS bp_check_visits,
+                   cdp.has_diabetes + cdp.has_hypertension + cdp.has_copd + cdp.has_ckd
+                     AS chronic_conditions_count,
+                   cdp.total_encounters_year,
+                   cdp.charges_cents_year
+            FROM ChronicDiseasePopulation cdp
+            LEFT JOIN a1c_counts ac ON cdp.patient_id = ac.patient_id
+            LEFT JOIN outpatient_counts oc ON cdp.patient_id = oc.patient_id
+            """,
+        ),
+    ]
+    select = f"""
+        SELECT CASE WHEN chronic_conditions_count = 0 THEN 'No Chronic Conditions'
+                    WHEN chronic_conditions_count = 1 THEN '1 Chronic Condition'
+                    WHEN chronic_conditions_count = 2 THEN '2 Chronic Conditions'
+                    ELSE '3+ Chronic Conditions' END AS condition_category,
+               CAST(COUNT(*) AS BIGINT) AS patient_count,
+               {d.rdiv('SUM(total_encounters_year)', 'COUNT(*)', 1)}
+                 AS avg_encounters_per_year,
+               {d.rdiv('SUM(charges_cents_year)', 'COUNT(*) * 100', 0)}
+                 AS avg_annual_charges,
+               CAST(COUNT(CASE WHEN a1c_tests_count >= 2 THEN 1 END) AS BIGINT)
+                 AS diabetics_with_adequate_a1c,
+               CAST(COUNT(CASE WHEN a1c_tests_count IS NOT NULL THEN 1 END) AS BIGINT)
+                 AS total_diabetics,
+               CAST(COUNT(CASE WHEN bp_check_visits >= 4 THEN 1 END) AS BIGINT)
+                 AS htn_with_adequate_monitoring,
+               CAST(COUNT(CASE WHEN bp_check_visits IS NOT NULL THEN 1 END) AS BIGINT)
+                 AS total_hypertensive
+        FROM DiseaseManagement
+        GROUP BY condition_category
+    """
+    return with_clause(d, ctes) + select
+
+
+def q5_surveillance(d: Dialect) -> str:
+    ctes = [
+        (
+            "CurrentInpatients",
+            f"""
+            SELECT e.encounter_id, e.patient_id, e.admission_time_id,
+                   {d.datediff_day('t.full_date', f"DATE '{ANCHOR_DATE}'")}
+                     AS days_admitted,
+                   (e.icu_days > 0) AS in_icu
+            FROM fact_encounters e
+            JOIN dim_time t ON e.admission_time_id = t.time_id
+            WHERE e.discharge_time_id IS NULL
+            """,
+        ),
+        (
+            "cl",
+            """
+            SELECT encounter_id, COUNT(DISTINCT order_time_id) AS central_line_days
+            FROM fact_medication_orders
+            WHERE route = 'Central Line'
+            GROUP BY encounter_id
+            """,
+        ),
+        (
+            "pc",
+            """
+            SELECT lr.encounter_id, COUNT(*) AS positive_cultures
+            FROM fact_lab_results lr
+            JOIN CurrentInpatients ci ON lr.encounter_id = ci.encounter_id
+            WHERE lr.lab_test_code LIKE '%CULTURE%'
+              AND lr.result_value > 0
+              AND lr.lab_time_id >= ci.admission_time_id + 2
+            GROUP BY lr.encounter_id
+            """,
+        ),
+        (
+            "fe",
+            """
+            SELECT encounter_id, COUNT(*) AS fever_episodes
+            FROM fact_lab_results
+            WHERE lab_test_code = 'TEMP' AND result_value > 38.3
+            GROUP BY encounter_id
+            """,
+        ),
+        (
+            "wbc",
+            """
+            SELECT lr.encounter_id,
+                   CASE WHEN MAX(lr.result_value) - MIN(lr.result_value) > 5
+                        THEN 1 ELSE 0 END AS wbc_trending_up
+            FROM fact_lab_results lr
+            JOIN CurrentInpatients ci ON lr.encounter_id = ci.encounter_id
+            WHERE lr.lab_test_code = 'WBC'
+              AND lr.lab_time_id >= ci.admission_time_id
+            GROUP BY lr.encounter_id
+            """,
+        ),
+        (
+            "RiskStratification",
+            """
+            SELECT ci.encounter_id, ci.patient_id, ci.days_admitted, ci.in_icu,
+                   COALESCE(cl.central_line_days, 0) AS central_line_days,
+                   COALESCE(pc.positive_cultures, 0) AS positive_cultures,
+                   COALESCE(fe.fever_episodes, 0) AS fever_episodes,
+                   COALESCE(wbc.wbc_trending_up, 0) AS wbc_trending_up,
+                   (CASE WHEN ci.days_admitted > 7 THEN 2 ELSE 0 END)
+                   + (CASE WHEN ci.in_icu THEN 3 ELSE 0 END)
+                   + (CASE WHEN COALESCE(cl.central_line_days, 0) > 0 THEN 3 ELSE 0 END)
+                   + (COALESCE(pc.positive_cultures, 0) * 4)
+                   + (COALESCE(fe.fever_episodes, 0) * 2)
+                   + (COALESCE(wbc.wbc_trending_up, 0) * 2) AS hai_risk_score
+            FROM CurrentInpatients ci
+            LEFT JOIN cl ON ci.encounter_id = cl.encounter_id
+            LEFT JOIN pc ON ci.encounter_id = pc.encounter_id
+            LEFT JOIN fe ON ci.encounter_id = fe.encounter_id
+            LEFT JOIN wbc ON ci.encounter_id = wbc.encounter_id
+            """,
+        ),
+    ]
+    select = """
+        SELECT encounter_id, patient_id,
+               CAST(days_admitted AS BIGINT) AS days_admitted,
+               CASE WHEN hai_risk_score >= 10 THEN 'HIGH'
+                    WHEN hai_risk_score >= 5 THEN 'MODERATE'
+                    ELSE 'LOW' END AS risk_level,
+               CAST(hai_risk_score AS BIGINT) AS hai_risk_score,
+               in_icu,
+               CAST(central_line_days AS BIGINT) AS central_line_days,
+               CAST(positive_cultures AS BIGINT) AS positive_cultures,
+               CAST(fever_episodes AS BIGINT) AS fever_episodes
+        FROM RiskStratification
+        WHERE hai_risk_score >= 5
+    """
+    return with_clause(d, ctes) + select
+
+
+def q6_drg(d: Dialect) -> str:
+    ctes = [
+        (
+            "enc_year",
+            f"""
+            SELECT dd.category AS drg_category, e.encounter_id, e.length_of_stay,
+                   e.total_charges, e.icu_days
+            FROM fact_encounters e
+            JOIN dim_diagnosis dd ON e.primary_diagnosis_id = dd.diagnosis_id
+            JOIN dim_time t ON e.discharge_time_id = t.time_id
+            WHERE t.year = {ANALYSIS_YEAR} AND e.encounter_type = 'Inpatient'
+            """,
+        ),
+        (
+            "drg_stats",
+            f"""
+            SELECT drg_category AS sc, COUNT(*) AS n,
+                   SUM(length_of_stay) AS los_sum,
+                   STDDEV(length_of_stay) AS los_sd,
+                   {CENTS} AS cents,
+                   STDDEV(total_charges) AS ch_sd
+            FROM enc_year
+            GROUP BY drg_category
+            """,
+        ),
+        (
+            "OutlierDetection",
+            """
+            SELECT e.*,
+                   s.los_sum * 1.0 / s.n AS expected_los,
+                   s.cents * 1.0 / (100 * s.n) AS expected_charges,
+                   CASE WHEN e.length_of_stay > s.los_sum * 1.0 / s.n + 2 * s.los_sd
+                          THEN 'High LOS Outlier'
+                        WHEN e.length_of_stay < s.los_sum * 1.0 / s.n - 2 * s.los_sd
+                          THEN 'Low LOS Outlier'
+                        ELSE 'Normal' END AS los_outlier_status,
+                   CASE WHEN e.total_charges > s.cents * 1.0 / (100 * s.n) + 2 * s.ch_sd
+                          THEN 'High Cost Outlier'
+                        WHEN e.total_charges < s.cents * 1.0 / (100 * s.n) - 2 * s.ch_sd
+                          THEN 'Low Cost Outlier'
+                        ELSE 'Normal' END AS cost_outlier_status
+            FROM enc_year e JOIN drg_stats s ON e.drg_category = s.sc
+            """,
+        ),
+    ]
+    select = f"""
+        SELECT drg_category,
+               CAST(COUNT(*) AS BIGINT) AS total_cases,
+               {d.rdiv('SUM(length_of_stay)', 'COUNT(*)', 1)} AS avg_los,
+               {d.rdiv(CENTS, 'COUNT(*) * 100', 0)} AS avg_charges,
+               {d.rdiv(CENTS, '100', 0)} AS total_revenue,
+               CAST(SUM(CASE WHEN los_outlier_status = 'High LOS Outlier'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_los_outliers,
+               CAST(SUM(CASE WHEN cost_outlier_status = 'High Cost Outlier'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_cost_outliers,
+               CAST(ROUND(SUM(CASE WHEN los_outlier_status = 'High LOS Outlier'
+                                   THEN total_charges - expected_charges
+                                   ELSE 0 END), 0) + 0.0 AS DOUBLE)
+                 AS excess_charges_from_outliers,
+               {d.rdiv(f'{CENTS} * 6', '1000', 0)} AS estimated_contribution_margin,
+               {d.rdiv('SUM(CASE WHEN icu_days > 0 THEN icu_days ELSE 0 END)',
+                       'SUM(CASE WHEN icu_days > 0 THEN 1 ELSE 0 END)', 1)}
+                 AS avg_icu_days_when_used,
+               {d.rdiv('SUM(CASE WHEN icu_days > 0 THEN 1 ELSE 0 END) * 100',
+                       'COUNT(*)', 2)} AS icu_utilization_rate
+        FROM OutlierDetection
+        GROUP BY drg_category
+        HAVING COUNT(*) >= 10
+    """
+    return with_clause(d, ctes) + select
+
+
+def q7_cohort(d: Dialect) -> str:
+    ctes = [
+        (
+            "latest_a1c",
+            """
+            SELECT patient_id, result_value AS latest_a1c
+            FROM (
+                SELECT lr.patient_id, lr.result_value,
+                       ROW_NUMBER() OVER (PARTITION BY lr.patient_id
+                                          ORDER BY t.full_date DESC,
+                                                   lr.result_id DESC) AS rn
+                FROM fact_lab_results lr
+                JOIN dim_time t ON lr.lab_time_id = t.time_id
+                WHERE lr.lab_test_code = 'HBA1C'
+            ) ranked
+            WHERE rn = 1
+            """,
+        ),
+        (
+            "diab_enc",
+            """
+            SELECT e.patient_id, COUNT(DISTINCT e.encounter_id) AS diabetes_encounters
+            FROM fact_encounters e
+            JOIN dim_diagnosis dd ON e.primary_diagnosis_id = dd.diagnosis_id
+            WHERE dd.icd10_code LIKE 'E11%'
+            GROUP BY e.patient_id
+            """,
+        ),
+        (
+            "complications",
+            """
+            SELECT DISTINCT e.patient_id
+            FROM fact_encounters e
+            JOIN dim_diagnosis dd ON e.primary_diagnosis_id = dd.diagnosis_id
+            WHERE dd.icd10_code LIKE 'E11.2%' OR dd.icd10_code LIKE 'E11.3%'
+               OR dd.icd10_code LIKE 'E11.4%' OR dd.icd10_code LIKE 'E11.5%'
+            """,
+        ),
+        (
+            "exclusions",
+            """
+            SELECT DISTINCT e.patient_id
+            FROM fact_encounters e
+            JOIN dim_diagnosis dd ON e.primary_diagnosis_id = dd.diagnosis_id
+            WHERE dd.icd10_code LIKE 'N18.5%' OR dd.icd10_code LIKE 'Z94%'
+               OR dd.icd10_code LIKE 'C%'
+            """,
+        ),
+    ]
+    select = f"""
+        SELECT p.patient_id, p.mrn_hash,
+               CAST({AGE_ANCHOR} - p.birth_year AS BIGINT) AS age,
+               p.gender, p.race,
+               la.latest_a1c,
+               CAST(de.diabetes_encounters AS BIGINT) AS diabetes_encounters,
+               CAST(CASE WHEN c.patient_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                 AS has_complications,
+               CASE WHEN x.patient_id IS NULL THEN 'ELIGIBLE'
+                    ELSE 'EXCLUDED' END AS trial_status
+        FROM dim_patient p
+        JOIN diab_enc de ON p.patient_id = de.patient_id
+        LEFT JOIN latest_a1c la ON p.patient_id = la.patient_id
+        LEFT JOIN complications c ON p.patient_id = c.patient_id
+        LEFT JOIN exclusions x ON p.patient_id = x.patient_id
+        WHERE {AGE_ANCHOR} - p.birth_year BETWEEN 40 AND 75
+          AND la.latest_a1c > 8.0
+          AND de.diabetes_encounters >= 2
+    """
+    return with_clause(d, ctes) + select
+
+
+def q8_ed_throughput(d: Dialect) -> str:
+    ctes = [
+        (
+            "EDVisits",
+            """
+            SELECT e.encounter_id,
+                   t_arr.hour AS arrival_hour,
+                   ((e.discharge_time_id - e.admission_time_id) * 24
+                    + (t_dep.hour - t_arr.hour)) * 60 AS total_ed_minutes,
+                   CASE WHEN e.discharge_disposition IN ('Admit', 'Transfer')
+                        THEN 1 ELSE 0 END AS admitted_flag,
+                   dd.severity_deci
+            FROM fact_encounters e
+            JOIN dim_time t_arr ON e.admission_time_id = t_arr.time_id
+            JOIN dim_time t_dep ON e.discharge_time_id = t_dep.time_id
+            JOIN dim_diagnosis dd ON e.primary_diagnosis_id = dd.diagnosis_id
+            WHERE e.encounter_type = 'Emergency'
+            """,
+        ),
+        (
+            "HourlyMetrics",
+            f"""
+            SELECT arrival_hour,
+                   COUNT(*) AS volume,
+                   SUM(total_ed_minutes) AS min_sum,
+                   {d.pctile('total_ed_minutes', 0.5)} AS median_minutes,
+                   {d.pctile('total_ed_minutes', 0.9)} AS p90_minutes,
+                   SUM(admitted_flag) AS adm,
+                   SUM(severity_deci) AS sev_sum
+            FROM EDVisits
+            GROUP BY arrival_hour
+            """,
+        ),
+    ]
+    select = f"""
+        SELECT CAST(arrival_hour AS INT) AS arrival_hour,
+               CAST(volume AS BIGINT) AS volume,
+               {d.rdiv('min_sum', 'volume * 60', 1)} AS avg_hours,
+               {d.rdiv('CAST(ROUND(median_minutes * 10, 0) AS BIGINT)', '600', 1)}
+                 AS median_hours,
+               {d.rdiv('CAST(ROUND(p90_minutes * 10, 0) AS BIGINT)', '600', 1)}
+                 AS p90_hours,
+               {d.rdiv('adm * 100', 'volume', 1)} AS admission_rate_pct,
+               {d.rdiv('sev_sum', 'volume * 10', 2)} AS avg_acuity_score,
+               CASE WHEN median_minutes <= 120 THEN 'EXCELLENT'
+                    WHEN median_minutes <= 180 THEN 'GOOD'
+                    WHEN median_minutes <= 240 THEN 'FAIR'
+                    ELSE 'NEEDS IMPROVEMENT' END AS performance_category
+        FROM HourlyMetrics
+    """
+    return with_clause(d, ctes) + select
+
+
+def q9_access_audit(d: Dialect) -> str:
+    ctes = [
+        (
+            "daily_vol",
+            """
+            SELECT user_id, CAST(access_timestamp AS DATE) AS d,
+                   COUNT(DISTINCT patient_id) AS pats
+            FROM audit_log
+            GROUP BY user_id, CAST(access_timestamp AS DATE)
+            """,
+        ),
+    ]
+    select = """
+        SELECT al.audit_id, al.user_id, al.access_timestamp, al.patient_id,
+               al.access_type,
+               CASE WHEN hour(al.access_timestamp) < 8
+                      OR hour(al.access_timestamp) >= 20 THEN 'After Hours'
+                    WHEN dv.pats > 50 THEN 'High Volume'
+                    WHEN upr.user_id IS NULL THEN 'No Relationship'
+                    ELSE 'Normal' END AS access_flag
+        FROM audit_log al
+        JOIN daily_vol dv
+          ON al.user_id = dv.user_id
+         AND CAST(al.access_timestamp AS DATE) = dv.d
+        LEFT JOIN user_patient_relationship upr
+          ON upr.user_id = al.user_id AND upr.patient_id = al.patient_id
+    """
+    return with_clause(d, ctes) + select
+
+
+def q10_data_quality(d: Dialect) -> str:
+    select = """
+        SELECT 'fact_encounters' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS total_records,
+               CAST(SUM(CASE WHEN patient_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS null_patient_ids,
+               CAST(SUM(CASE WHEN admission_time_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS null_admission_times,
+               CAST(SUM(CASE WHEN primary_diagnosis_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS null_diagnoses,
+               CAST(SUM(CASE WHEN total_charges < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS negative_charges,
+               CAST(SUM(CASE WHEN length_of_stay < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS negative_los
+        FROM fact_encounters
+        UNION ALL
+        SELECT 'fact_lab_results' AS table_name,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN patient_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN lab_test_code IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN result_value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN result_value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM fact_lab_results
+    """
+    return with_clause(d, []) + select
+
+
+HC_QUERIES = {
+    "hc_q1_readmission_risk": q1_readmission,
+    "hc_q2_sepsis_bundle": q2_sepsis,
+    "hc_q3_provider_performance": q3_provider,
+    "hc_q4_chronic_disease": q4_chronic,
+    "hc_q5_hai_surveillance": q5_surveillance,
+    "hc_q6_drg_outliers": q6_drg,
+    "hc_q7_trial_cohort": q7_cohort,
+    "hc_q8_ed_throughput": q8_ed_throughput,
+    "hc_q9_access_audit": q9_access_audit,
+    "hc_q10_data_quality": q10_data_quality,
+}
+
+
+def _make_runner(template):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(template(SPARK))
+
+    return run
+
+
+for _name, _template in HC_QUERIES.items():
+    register(_name, _template(DUCK))(_make_runner(_template))

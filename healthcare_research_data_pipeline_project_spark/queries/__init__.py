@@ -29,3 +29,4 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every corpus module so the registry is fully populated."""
     from . import corpus, datapipe  # noqa: F401
+    from ..healthcare import queries10  # noqa: F401

@@ -432,7 +432,7 @@ def j7_role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
            {duck_round_div("rb.r_cents", "rb.r_cnt * 100")} AS region_avg_bal,
            CAST(ROUND({duck_round_div("nm.bal_cents", "nm.cust_cnt * 100")}
                       - {duck_round_div("rb.r_cents", "rb.r_cnt * 100")}, 2)
-                AS DOUBLE) AS vs_benchmark
+                + 0.0 AS DOUBLE) AS vs_benchmark
     FROM nation_metrics nm
     JOIN region_bench rb ON nm.n_regionkey = rb.n_regionkey
     WHERE nm.cust_cnt >= 10
@@ -468,7 +468,7 @@ def j9_cte_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cust_cnt").cast("long").alias("cust_cnt"),
             nation_avg,
             region_avg,
-            rnd(nation_avg - region_avg, "vs_benchmark"),
+            (F.round(nation_avg - region_avg, 2) + F.lit(0.0)).cast("double").alias("vs_benchmark"),
         )
     )
 
