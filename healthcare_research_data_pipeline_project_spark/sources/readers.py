@@ -1,0 +1,141 @@
+"""Ingestion readers — parity with the reference's declared source
+formats (`healthcare-data-pipeline-main.py:139`: csv, json, hl7, fhir;
+S1 JDBC ingest `:141-166`; S3 parquet deps).
+
+csv/json/parquet are native Spark sources (pushdown + pruning for
+free). HL7 v2 is pipe/caret-delimited text — parsed entirely with
+Catalyst string expressions (no Python UDF, no external hl7 lib).
+FHIR bundles are JSON — `spark.read.json` + nested-field projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    reader = spark.read.option("header", "true")
+    if schema is None:
+        reader = reader.option("inferSchema", "true")
+    else:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options: str,
+) -> DataFrame:
+    """Epic-Clarity-style SQL ingest (`ingest_epic_clarity`, reference
+    `:141-166`) → Spark JDBC source. The reference pulls the full
+    result set into one pandas frame; here the read itself is
+    partitioned (predicate-ranged parallel scans) when a numeric
+    partition column is supplied — the 100 TB-safe shape."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("query", query)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+# ---------------------------------------------------------------------------
+# HL7 v2 (pipe-delimited segments), pure-expression parser
+# ---------------------------------------------------------------------------
+def read_hl7(spark: SparkSession, path: str) -> DataFrame:
+    """Parse HL7 v2 messages from text files: one message per line
+    group separated by MSH segments is out of scope for flat files —
+    this reader expects one segment per line (the common line-oriented
+    export) and returns (segment_type, fields array) rows plus typed
+    projections for MSH/PID/OBX, entirely JVM-side."""
+    lines = spark.read.text(path).withColumnRenamed("value", "raw")
+    seg = lines.select(
+        F.split("raw", r"\|").alias("f"),
+        F.col("raw"),
+    ).select(
+        F.col("f")[0].alias("segment_type"),
+        F.col("f").alias("fields"),
+        "raw",
+    )
+    return seg
+
+
+def hl7_patients(segments: DataFrame) -> DataFrame:
+    """PID segments → typed patient rows (PID-3 id, PID-5 name
+    components split on '^', PID-7 DOB, PID-8 gender)."""
+    pid = segments.filter(F.col("segment_type") == "PID")
+    name = F.split(F.col("fields")[5], r"\^")
+    return pid.select(
+        F.col("fields")[3].alias("patient_id"),
+        name[0].alias("family_name"),
+        name[1].alias("given_name"),
+        F.to_date(F.col("fields")[7], "yyyyMMdd").alias("birth_date"),
+        F.col("fields")[8].alias("gender"),
+    )
+
+
+def hl7_observations(segments: DataFrame) -> DataFrame:
+    """OBX segments → typed observation rows (OBX-3 code^name, OBX-5
+    value, OBX-6 units, OBX-8 abnormal flag)."""
+    obx = segments.filter(F.col("segment_type") == "OBX")
+    code = F.split(F.col("fields")[3], r"\^")
+    return obx.select(
+        code[0].alias("obs_code"),
+        code[1].alias("obs_name"),
+        F.col("fields")[5].cast("double").alias("obs_value"),
+        F.col("fields")[6].alias("obs_units"),
+        F.col("fields")[8].alias("abnormal_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FHIR (JSON bundles)
+# ---------------------------------------------------------------------------
+def read_fhir_bundle(spark: SparkSession, path: str) -> DataFrame:
+    """FHIR Bundle JSON → one row per entry resource. Schema inference
+    handles arbitrary resource shapes; callers project the resource
+    types they need (see `fhir_patients`)."""
+    bundles = spark.read.option("multiLine", "true").json(path)
+    return bundles.select(F.explode("entry").alias("entry")).select("entry.resource.*")
+
+
+def fhir_patients(resources: DataFrame) -> DataFrame:
+    """Patient resources → flat rows (id, name, gender, birthDate)."""
+    p = resources.filter(F.col("resourceType") == "Patient")
+    return p.select(
+        F.col("id").alias("patient_id"),
+        F.col("name")[0]["family"].alias("family_name"),
+        F.col("name")[0]["given"][0].alias("given_name"),
+        F.col("gender").alias("gender"),
+        F.to_date("birthDate").alias("birth_date"),
+    )

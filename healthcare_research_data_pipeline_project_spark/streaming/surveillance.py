@@ -1,0 +1,111 @@
+"""Streaming surveillance — the Structured Streaming upgrade of the
+reference's batch "REAL-TIME CLINICAL SURVEILLANCE" snapshot
+(`healthcare-sql-analytics.sql:442-518`; aspiration flags
+`healthcare-env-example.sh:74`, README "real-time notifications").
+
+The reference has no streaming engine; semantics here are standard
+Spark: event-time windows + watermark for late data, alert predicate,
+sink via foreachBatch or memory (tests). The same windowed aggregation
+is exposed as a batch twin (queries/corpus.py `events_hourly_rollup`)
+so batch/stream parity is testable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over event parquet/json drops. In production
+    this is the same code with a Kafka source — the transformation
+    graph is source-agnostic."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event type with late-data watermark.
+    State is bounded by the watermark (old windows finalize and drop) —
+    the property the reference's batch re-scan lacks."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w").start.alias("window_start"),
+            "event_type",
+            "event_cnt",
+            "total_value",
+        )
+    )
+
+
+def alert_stream(
+    events: DataFrame,
+    error_threshold: int = 5,
+    window: str = "30 minutes",
+) -> DataFrame:
+    """Surveillance alerts: windows where error-type events exceed a
+    threshold (the fever-episode/HAI-risk pattern of sql:473-499 on
+    streaming data)."""
+    counts = (
+        events.filter(F.col("event_type") == "error")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("error_cnt"))
+    )
+    return counts.filter(F.col("error_cnt") >= error_threshold).select(
+        F.col("w").start.alias("window_start"),
+        "error_cnt",
+        F.lit("ERROR_SPIKE").alias("alert_type"),
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> list:
+    """Drain everything currently available into a memory sink and
+    return the rows — the deterministic test harness for streaming
+    plans (Trigger.AvailableNow processes the full backlog then stops).
+
+    Use output_mode='complete' for aggregations (append would hold
+    rows until the watermark closes the window, which a one-shot drain
+    never reaches) and 'append' for row streams."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
