@@ -59,10 +59,40 @@ def hash64_expr(s: str, salt: str = "") -> str:
     return f"cast(conv(substring(md5({inner}), 1, 8), 16, 10) as bigint)"
 
 
-def minhash_col(shingle_col: str, seed: int) -> Column:
-    """One MinHash component: min over shingles of salted hash64."""
+# MinHash permutation family: h_j(x) = (A_j*x + B_j) mod P over the base
+# 32-bit shingle hash. One md5 per shingle total (instead of one per
+# shingle PER COMPONENT); the j-th component is a cheap affine remap.
+# A_j < 2^28 and x < 2^32 keep A_j*x + B_j < 2^63 (no BIGINT overflow in
+# either engine; both engines' % is exact on positives).
+_MH_PRIME = 4294967311  # smallest prime > 2^32
+
+def _mh_coeffs(n: int = 64) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for j in range(n):
+        a = int(hashlib.md5(f"mh_a{j}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"mh_b{j}".encode()).hexdigest()[:8], 16)
+        out.append((a, b))
+    return out
+
+
+MH_COEFFS = _mh_coeffs()
+
+
+def shingle_hashes(shingle_col: str) -> Column:
+    """Array of base hash64 values, one md5 per distinct shingle."""
     return F.expr(
-        f"array_min(transform({shingle_col}, s -> {hash64_expr('s', str(seed))}))"
+        f"transform(array_distinct({shingle_col}), s -> {hash64_expr('s')})"
+    )
+
+
+def minhash_col(hashes_col: str, seed: int) -> Column:
+    """One MinHash component: min over pre-hashed shingles of the
+    seed-th affine permutation."""
+    a, b = MH_COEFFS[seed]
+    return F.expr(
+        f"array_min(transform({hashes_col}, h -> ({a} * h + {b}) % {_MH_PRIME}))"
     ).alias(f"mh_{seed}")
 
 
@@ -97,10 +127,17 @@ def duck_hash64(s: str, salt: str = "") -> str:
     return f"CAST('0x' || substr(md5({inner}), 1, 8) AS BIGINT)"
 
 
-def duck_minhash(shingle_col: str, seed: int) -> str:
+def duck_shingle_hashes(shingle_col: str) -> str:
     return (
-        f"list_min(list_transform({shingle_col}, "
-        f"s -> {duck_hash64('s', str(seed))}))"
+        f"list_transform(list_distinct({shingle_col}), s -> {duck_hash64('s')})"
+    )
+
+
+def duck_minhash(hashes_col: str, seed: int) -> str:
+    a, b = MH_COEFFS[seed]
+    return (
+        f"list_min(list_transform({hashes_col}, "
+        f"h -> ({a} * h + {b}) % {_MH_PRIME}))"
     )
 
 

@@ -34,6 +34,12 @@ AGE_ANCHOR = 2025
 
 EPOCH = "1995-01-01"
 
+#: dim_time covers EPOCH..2001-12-31 → time_id ∈ [0, TIME_ID_MAX].
+#: An inner join against dim_time is therefore equivalent to this range
+#: filter (the calendar is dense), letting queries skip the join when
+#: they only need ordering/filtering on time_id.
+TIME_ID_MAX = 2556  # (date(2001,12,31) - date(1995,1,1)).days
+
 ICD10_CODES = [
     "A41.0", "A41.9", "E11.9", "E11.21", "E11.36", "E11.40", "E11.51",
     "E11.65", "I10", "I25.1", "J44.1", "J44.9", "N18.3", "N18.5",
@@ -245,3 +251,52 @@ def with_clause(d: Dialect, extra_ctes: list[tuple[str, str]]) -> str:
     all_ctes = mapping_ctes(d) + extra_ctes
     body = ",\n".join(f"{name} AS ({sql})" for name, sql in all_ctes)
     return "WITH " + body
+
+
+def query_with(extra_ctes: list[tuple[str, str]]) -> str:
+    """WITH clause for query-local CTEs only (warehouse resolved via
+    temp views — see `ensure_warehouse`). Empty string when none."""
+    if not extra_ctes:
+        return ""
+    body = ",\n".join(f"{name} AS ({sql})" for name, sql in extra_ctes)
+    return "WITH " + body
+
+
+#: applicationId → (sf_dir, persisted dfs) currently registered
+_WAREHOUSE_STATE: dict[str, tuple[str, list]] = {}
+
+
+def ensure_warehouse(spark, sf_dir: str) -> None:
+    """Materialize the mapped warehouse once per (session, sf_dir).
+
+    This is the engine's ETL step (the reference's phase-3 warehouse
+    load, healthcare-data-pipeline-main.py:606-670): each dim/fact is
+    computed from the base tables, persisted, and registered as a temp
+    view, so the 10 analytics queries read columnar cached tables
+    instead of re-deriving the mapping per query. At 100 TB the persist
+    becomes a partitioned-parquet write (sources/sinks.py); the query
+    texts are unchanged either way.
+
+    Derived-attribute hashing is the expensive part of the mapping, so
+    doing it exactly once — instead of once per CTE reference per
+    query — is both the local-bench and the cluster win.
+    """
+    from ..tables import register_views
+    from .dialect import SPARK as _SPARK_DIALECT
+
+    app_id = spark.sparkContext.applicationId
+    prev = _WAREHOUSE_STATE.get(app_id)
+    if prev is not None and prev[0] == sf_dir:
+        return
+    if prev is not None:
+        for old in prev[1]:
+            old.unpersist()
+    register_views(spark, sf_dir)
+    dfs = []
+    for name, sql in mapping_ctes(_SPARK_DIALECT):
+        # each CTE references only base views and earlier warehouse
+        # views, both already registered by the time it is built
+        df = spark.sql(sql).persist()
+        df.createOrReplaceTempView(name)
+        dfs.append(df)
+    _WAREHOUSE_STATE[app_id] = (sf_dir, dfs)

@@ -24,10 +24,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..tables import register_views
 from ..queries import register
 from .dialect import DUCK, SPARK, Dialect
-from .mapping import AGE_ANCHOR, ANALYSIS_YEAR, ANCHOR_DATE, with_clause
+from .mapping import (
+    AGE_ANCHOR,
+    ANALYSIS_YEAR,
+    ANCHOR_DATE,
+    ensure_warehouse,
+    query_with,
+    with_clause,
+)
 
 CENTS = "SUM(CAST(total_charges * 100 AS BIGINT))"
 
@@ -79,7 +85,7 @@ def q1_readmission(d: Dialect) -> str:
         GROUP BY diagnosis_category, age_group
         HAVING COUNT(*) >= 30
     """
-    return with_clause(d, ctes) + select
+    return ctes, select
 
 
 def q2_sepsis(d: Dialect) -> str:
@@ -158,7 +164,7 @@ def q2_sepsis(d: Dialect) -> str:
                {d.rdiv(f'SUM({compliant}) * 100', 'COUNT(*)', 2)} AS bundle_compliance_rate
         FROM BundleCompliance
     """
-    return with_clause(d, ctes) + select
+    return ctes, select
 
 
 def q3_provider(d: Dialect) -> str:
@@ -224,7 +230,7 @@ def q3_provider(d: Dialect) -> str:
         FROM ProviderMetrics pm
         JOIN SpecialtyBenchmarks sb ON pm.specialty = sb.specialty
     """
-    return with_clause(d, ctes) + select
+    return ctes, select
 
 
 def q4_chronic(d: Dialect) -> str:
@@ -310,7 +316,7 @@ def q4_chronic(d: Dialect) -> str:
         FROM DiseaseManagement
         GROUP BY condition_category
     """
-    return with_clause(d, ctes) + select
+    return ctes, select
 
 
 def q5_surveillance(d: Dialect) -> str:
@@ -327,46 +333,43 @@ def q5_surveillance(d: Dialect) -> str:
             WHERE e.discharge_time_id IS NULL
             """,
         ),
+        # One conditional-aggregation scan of each fact, pre-filtered by
+        # the (tiny, broadcastable) CurrentInpatients set — the original
+        # reference query's cl/pc/fe/wbc subqueries each rescan a fact
+        # table (healthcare-sql-analytics.sql:461-487); semantics are
+        # identical because every subquery is keyed by encounter_id and
+        # COALESCE'd to 0 on miss.
         (
             "cl",
             """
-            SELECT encounter_id, COUNT(DISTINCT order_time_id) AS central_line_days
-            FROM fact_medication_orders
-            WHERE route = 'Central Line'
-            GROUP BY encounter_id
+            SELECT mo.encounter_id,
+                   COUNT(DISTINCT mo.order_time_id) AS central_line_days
+            FROM fact_medication_orders mo
+            JOIN CurrentInpatients ci ON mo.encounter_id = ci.encounter_id
+            WHERE mo.route = 'Central Line'
+            GROUP BY mo.encounter_id
             """,
         ),
         (
-            "pc",
-            """
-            SELECT lr.encounter_id, COUNT(*) AS positive_cultures
-            FROM fact_lab_results lr
-            JOIN CurrentInpatients ci ON lr.encounter_id = ci.encounter_id
-            WHERE lr.lab_test_code LIKE '%CULTURE%'
-              AND lr.result_value > 0
-              AND lr.lab_time_id >= ci.admission_time_id + 2
-            GROUP BY lr.encounter_id
-            """,
-        ),
-        (
-            "fe",
-            """
-            SELECT encounter_id, COUNT(*) AS fever_episodes
-            FROM fact_lab_results
-            WHERE lab_test_code = 'TEMP' AND result_value > 38.3
-            GROUP BY encounter_id
-            """,
-        ),
-        (
-            "wbc",
+            "labstats",
             """
             SELECT lr.encounter_id,
-                   CASE WHEN MAX(lr.result_value) - MIN(lr.result_value) > 5
+                   COUNT(CASE WHEN lr.lab_test_code LIKE '%CULTURE%'
+                               AND lr.result_value > 0
+                               AND lr.lab_time_id >= ci.admission_time_id + 2
+                              THEN 1 END) AS positive_cultures,
+                   COUNT(CASE WHEN lr.lab_test_code = 'TEMP'
+                               AND lr.result_value > 38.3
+                              THEN 1 END) AS fever_episodes,
+                   CASE WHEN MAX(CASE WHEN lr.lab_test_code = 'WBC'
+                                       AND lr.lab_time_id >= ci.admission_time_id
+                                      THEN lr.result_value END)
+                           - MIN(CASE WHEN lr.lab_test_code = 'WBC'
+                                       AND lr.lab_time_id >= ci.admission_time_id
+                                      THEN lr.result_value END) > 5
                         THEN 1 ELSE 0 END AS wbc_trending_up
             FROM fact_lab_results lr
             JOIN CurrentInpatients ci ON lr.encounter_id = ci.encounter_id
-            WHERE lr.lab_test_code = 'WBC'
-              AND lr.lab_time_id >= ci.admission_time_id
             GROUP BY lr.encounter_id
             """,
         ),
@@ -375,20 +378,18 @@ def q5_surveillance(d: Dialect) -> str:
             """
             SELECT ci.encounter_id, ci.patient_id, ci.days_admitted, ci.in_icu,
                    COALESCE(cl.central_line_days, 0) AS central_line_days,
-                   COALESCE(pc.positive_cultures, 0) AS positive_cultures,
-                   COALESCE(fe.fever_episodes, 0) AS fever_episodes,
-                   COALESCE(wbc.wbc_trending_up, 0) AS wbc_trending_up,
+                   COALESCE(ls.positive_cultures, 0) AS positive_cultures,
+                   COALESCE(ls.fever_episodes, 0) AS fever_episodes,
+                   COALESCE(ls.wbc_trending_up, 0) AS wbc_trending_up,
                    (CASE WHEN ci.days_admitted > 7 THEN 2 ELSE 0 END)
                    + (CASE WHEN ci.in_icu THEN 3 ELSE 0 END)
                    + (CASE WHEN COALESCE(cl.central_line_days, 0) > 0 THEN 3 ELSE 0 END)
-                   + (COALESCE(pc.positive_cultures, 0) * 4)
-                   + (COALESCE(fe.fever_episodes, 0) * 2)
-                   + (COALESCE(wbc.wbc_trending_up, 0) * 2) AS hai_risk_score
+                   + (COALESCE(ls.positive_cultures, 0) * 4)
+                   + (COALESCE(ls.fever_episodes, 0) * 2)
+                   + (COALESCE(ls.wbc_trending_up, 0) * 2) AS hai_risk_score
             FROM CurrentInpatients ci
             LEFT JOIN cl ON ci.encounter_id = cl.encounter_id
-            LEFT JOIN pc ON ci.encounter_id = pc.encounter_id
-            LEFT JOIN fe ON ci.encounter_id = fe.encounter_id
-            LEFT JOIN wbc ON ci.encounter_id = wbc.encounter_id
+            LEFT JOIN labstats ls ON ci.encounter_id = ls.encounter_id
             """,
         ),
     ]
@@ -406,7 +407,7 @@ def q5_surveillance(d: Dialect) -> str:
         FROM RiskStratification
         WHERE hai_risk_score >= 5
     """
-    return with_clause(d, ctes) + select
+    return ctes, select
 
 
 def q6_drg(d: Dialect) -> str:
@@ -478,7 +479,7 @@ def q6_drg(d: Dialect) -> str:
         GROUP BY drg_category
         HAVING COUNT(*) >= 10
     """
-    return with_clause(d, ctes) + select
+    return ctes, select
 
 
 def q7_cohort(d: Dialect) -> str:
@@ -488,45 +489,45 @@ def q7_cohort(d: Dialect) -> str:
             """
             SELECT patient_id, result_value AS latest_a1c
             FROM (
+                -- time_id is days-since-epoch, so ordering by it equals
+                -- ordering by dim_time.full_date, and the dense-calendar
+                -- inner join reduces to a range filter (mapping.TIME_ID_MAX)
                 SELECT lr.patient_id, lr.result_value,
                        ROW_NUMBER() OVER (PARTITION BY lr.patient_id
-                                          ORDER BY t.full_date DESC,
+                                          ORDER BY lr.lab_time_id DESC,
                                                    lr.result_id DESC) AS rn
                 FROM fact_lab_results lr
-                JOIN dim_time t ON lr.lab_time_id = t.time_id
                 WHERE lr.lab_test_code = 'HBA1C'
+                  AND lr.lab_time_id BETWEEN 0 AND 2556
             ) ranked
             WHERE rn = 1
             """,
         ),
+        # Single scan of fact_encounters⋈dim_diagnosis replaces the
+        # reference's three per-cohort subqueries (diabetes count /
+        # complications EXISTS / exclusions NOT EXISTS,
+        # healthcare-sql-analytics.sql:599-650): each flag is keyed by
+        # patient_id over the same join, so one conditional aggregation
+        # computes all three with identical semantics.
         (
-            "diab_enc",
+            "pat_dx",
             """
-            SELECT e.patient_id, COUNT(DISTINCT e.encounter_id) AS diabetes_encounters
+            SELECT e.patient_id,
+                   COUNT(DISTINCT CASE WHEN dd.icd10_code LIKE 'E11%'
+                                       THEN e.encounter_id END)
+                     AS diabetes_encounters,
+                   MAX(CASE WHEN dd.icd10_code LIKE 'E11.2%'
+                             OR dd.icd10_code LIKE 'E11.3%'
+                             OR dd.icd10_code LIKE 'E11.4%'
+                             OR dd.icd10_code LIKE 'E11.5%'
+                            THEN 1 ELSE 0 END) AS has_complications,
+                   MAX(CASE WHEN dd.icd10_code LIKE 'N18.5%'
+                             OR dd.icd10_code LIKE 'Z94%'
+                             OR dd.icd10_code LIKE 'C%'
+                            THEN 1 ELSE 0 END) AS excluded
             FROM fact_encounters e
             JOIN dim_diagnosis dd ON e.primary_diagnosis_id = dd.diagnosis_id
-            WHERE dd.icd10_code LIKE 'E11%'
             GROUP BY e.patient_id
-            """,
-        ),
-        (
-            "complications",
-            """
-            SELECT DISTINCT e.patient_id
-            FROM fact_encounters e
-            JOIN dim_diagnosis dd ON e.primary_diagnosis_id = dd.diagnosis_id
-            WHERE dd.icd10_code LIKE 'E11.2%' OR dd.icd10_code LIKE 'E11.3%'
-               OR dd.icd10_code LIKE 'E11.4%' OR dd.icd10_code LIKE 'E11.5%'
-            """,
-        ),
-        (
-            "exclusions",
-            """
-            SELECT DISTINCT e.patient_id
-            FROM fact_encounters e
-            JOIN dim_diagnosis dd ON e.primary_diagnosis_id = dd.diagnosis_id
-            WHERE dd.icd10_code LIKE 'N18.5%' OR dd.icd10_code LIKE 'Z94%'
-               OR dd.icd10_code LIKE 'C%'
             """,
         ),
     ]
@@ -535,21 +536,18 @@ def q7_cohort(d: Dialect) -> str:
                CAST({AGE_ANCHOR} - p.birth_year AS BIGINT) AS age,
                p.gender, p.race,
                la.latest_a1c,
-               CAST(de.diabetes_encounters AS BIGINT) AS diabetes_encounters,
-               CAST(CASE WHEN c.patient_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
-                 AS has_complications,
-               CASE WHEN x.patient_id IS NULL THEN 'ELIGIBLE'
+               CAST(px.diabetes_encounters AS BIGINT) AS diabetes_encounters,
+               CAST(px.has_complications AS INT) AS has_complications,
+               CASE WHEN px.excluded = 0 THEN 'ELIGIBLE'
                     ELSE 'EXCLUDED' END AS trial_status
         FROM dim_patient p
-        JOIN diab_enc de ON p.patient_id = de.patient_id
-        LEFT JOIN latest_a1c la ON p.patient_id = la.patient_id
-        LEFT JOIN complications c ON p.patient_id = c.patient_id
-        LEFT JOIN exclusions x ON p.patient_id = x.patient_id
+        JOIN pat_dx px ON p.patient_id = px.patient_id
+        JOIN latest_a1c la ON p.patient_id = la.patient_id
         WHERE {AGE_ANCHOR} - p.birth_year BETWEEN 40 AND 75
           AND la.latest_a1c > 8.0
-          AND de.diabetes_encounters >= 2
+          AND px.diabetes_encounters >= 2
     """
-    return with_clause(d, ctes) + select
+    return ctes, select
 
 
 def q8_ed_throughput(d: Dialect) -> str:
@@ -602,7 +600,7 @@ def q8_ed_throughput(d: Dialect) -> str:
                     ELSE 'NEEDS IMPROVEMENT' END AS performance_category
         FROM HourlyMetrics
     """
-    return with_clause(d, ctes) + select
+    return ctes, select
 
 
 def q9_access_audit(d: Dialect) -> str:
@@ -632,7 +630,7 @@ def q9_access_audit(d: Dialect) -> str:
         LEFT JOIN user_patient_relationship upr
           ON upr.user_id = al.user_id AND upr.patient_id = al.patient_id
     """
-    return with_clause(d, ctes) + select
+    return ctes, select
 
 
 def q10_data_quality(d: Dialect) -> str:
@@ -660,7 +658,7 @@ def q10_data_quality(d: Dialect) -> str:
                CAST(0 AS BIGINT)
         FROM fact_lab_results
     """
-    return with_clause(d, []) + select
+    return [], select
 
 
 HC_QUERIES = {
@@ -679,11 +677,21 @@ HC_QUERIES = {
 
 def _make_runner(template):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir)
-        return spark.sql(template(SPARK))
+        # warehouse tables resolve as persisted temp views (built once
+        # per session+sf_dir); only query-local CTEs stay in the text
+        ensure_warehouse(spark, sf_dir)
+        ctes, select = template(SPARK)
+        return spark.sql(query_with(ctes) + select)
 
     return run
 
 
+def _oracle_text(template) -> str:
+    # DuckDB has no session to persist into: render the full
+    # self-contained WITH (mapping + query CTEs)
+    ctes, select = template(DUCK)
+    return with_clause(DUCK, ctes) + select
+
+
 for _name, _template in HC_QUERIES.items():
-    register(_name, _template(DUCK))(_make_runner(_template))
+    register(_name, _oracle_text(_template))(_make_runner(_template))

@@ -22,7 +22,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.helpers import round_div
-from ..functions.text import SHINGLE_K, minhash_col, shingles, simhash_bits_col, tokens
+from ..functions.text import (
+    SHINGLE_K,
+    minhash_col,
+    shingle_hashes,
+    shingles,
+    simhash_bits_col,
+    tokens,
+)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -50,10 +57,16 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """Per-doc MinHash signature columns mh_0..mh_{n-1}."""
-    base = with_shingles(df, text_col)
+    """Per-doc MinHash signature columns mh_0..mh_{n-1}.
+
+    One md5 per distinct shingle; each component is an affine remap of
+    that base hash (functions/text.py MH_COEFFS), so signature cost is
+    O(shingles), not O(shingles × components)."""
+    base = with_shingles(df, text_col).withColumn(
+        "sh_hashes", shingle_hashes("shingles")
+    )
     return base.select(
-        F.col(id_col), *[minhash_col("shingles", j) for j in range(num_hashes)]
+        F.col(id_col), *[minhash_col("sh_hashes", j) for j in range(num_hashes)]
     )
 
 
@@ -101,6 +114,9 @@ def lsh_candidate_pairs(
             ])
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
+    # both self-join sides branch from here — materialize the (tiny)
+    # banded index once instead of recomputing signatures per side
+    exploded = exploded.persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -125,30 +141,61 @@ def shingle_jaccard_pairs(
     threshold: float = 0.5,
     k: int = SHINGLE_K,
 ) -> DataFrame:
-    """Exact distinct-shingle Jaccard over pairs within blocking groups.
+    """Exact distinct-shingle Jaccard pairs within blocking groups,
+    via an inverted shingle index (explode → equi-join on the shingle →
+    per-pair overlap count), never a block-quadratic array_intersect.
 
-    Blocking keeps the quadratic term bounded per group; at scale the
-    block key would be an LSH bucket (see `lsh_candidate_pairs`) — the
-    verification math is identical.
+    Plan shape: |intersection| comes from a groupBy over the shared-
+    shingle equi-join, |union| from per-doc distinct-shingle sizes
+    joined back in. Only pairs sharing ≥1 shingle materialize, so work
+    is proportional to real overlap, and the shuffles are all on
+    (block, shingle) / (id_a, id_b) keys — the layout that survives a
+    100× scale-up (hot shingles are split by AQE; at extreme scale add
+    a document-frequency cap on the exploded index).
     """
+    # persist the per-doc shingle sets: the self-join's two sides and
+    # the size lookup all branch from this node, and without an explicit
+    # materialization each branch re-runs the tokenize+shingle pipeline
+    # (same reason you'd stage this table before a self-join on a
+    # cluster; Spark's LRU evicts it when memory is needed)
     d = with_shingles(df, text_col, k).withColumn(
         "sh_set", F.array_distinct(F.col("shingles"))
-    ).select(id_col, *block_cols, "sh_set")
-    a, b = d.alias("a"), d.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    ).select(id_col, *block_cols, "sh_set").persist()
+    sizes = d.select(
+        F.col(id_col), *block_cols, F.size("sh_set").alias("sh_n")
+    )
+    # explode_outer, not explode: plain explode makes Catalyst infer a
+    # `size(sh_set) > 0` guard and push the whole shingle pipeline down
+    # as a duplicate pre-filter (evaluated again, before the scan's
+    # repartition). Our shingle arrays are never empty, so the outer
+    # variant is semantically identical and evaluates the pipeline once.
+    inv = d.select(
+        F.col(id_col), *block_cols, F.explode_outer("sh_set").alias("sh")
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+        F.col("a.sh") == F.col("b.sh")
+    )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = F.size(F.array_intersect(F.col("a.sh_set"), F.col("b.sh_set")))
-    union = F.size(F.col("a.sh_set")) + F.size(F.col("b.sh_set")) - inter
+    overlap = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sh_n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sh_n").alias("n_b"))
+    inter = F.col("inter")
+    union = F.col("n_a") + F.col("n_b") - inter
     # threshold as an exact integer predicate (inter/union >= t), so the
     # result set is bit-identical across engines
     num, den = round(threshold * 100), 100
     return (
-        a.join(b, cond)
+        overlap.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(inter * den >= union * num)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            round_div(inter, union, "jaccard", 4),
-        )
+        .select("id_a", "id_b", round_div(inter, union, "jaccard", 4))
     )

@@ -17,9 +17,11 @@ from ..functions.text import (
     LANG_MARKERS,
     STOPWORDS,
     duck_minhash,
+    duck_shingle_hashes,
     duck_shingles,
     duck_simhash_bits,
     minhash_col,
+    shingle_hashes,
     simhash_bits_col,
     tokens,
 )
@@ -264,23 +266,26 @@ _MH_N = 8
 
 def _minhash_oracle() -> str:
     cols = ",\n           ".join(
-        f"CAST({duck_minhash('sh', j)} AS BIGINT) AS mh_{j}" for j in range(_MH_N)
+        f"CAST({duck_minhash('hs', j)} AS BIGINT) AS mh_{j}" for j in range(_MH_N)
     )
     return f"""
     WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    s AS (SELECT doc_id, {duck_shingles('toks')} AS sh FROM d)
+    s AS (SELECT doc_id, {duck_shingles('toks')} AS sh FROM d),
+    h AS (SELECT doc_id, {duck_shingle_hashes('sh')} AS hs FROM s)
     SELECT doc_id,
            {cols}
-    FROM s
+    FROM h
     """
 
 
 @register("dedup_minhash_signature", _minhash_oracle())
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    base = D.with_shingles(t.documents, "text")
+    base = D.with_shingles(t.documents, "text").withColumn(
+        "sh_hashes", shingle_hashes("shingles")
+    )
     return base.select(
-        "doc_id", *[minhash_col("shingles", j) for j in range(_MH_N)]
+        "doc_id", *[minhash_col("sh_hashes", j) for j in range(_MH_N)]
     )
 
 

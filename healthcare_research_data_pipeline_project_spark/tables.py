@@ -35,6 +35,26 @@ TABLE_NAMES = (
 #: constant-cardinality dims safe to broadcast at any scale factor
 ALWAYS_BROADCAST = {"region", "nation"}
 
+#: tables large enough that downstream per-row work (derived-attribute
+#: hashing, shingling, vector math) dominates a scan. The driver's
+#: parquet files are written as a single row group, so Spark plans ONE
+#: scan task per file regardless of maxPartitionBytes — without an
+#: explicit repartition, every derived computation over them runs on
+#: one core. On a real warehouse the inputs arrive in many
+#: files/row-groups and this spread is a no-op (we skip it when the
+#: scan already has enough splits).
+SPREAD_TABLES = {"customer", "part", "orders", "lineitem", "events",
+                 "documents", "embeddings"}
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    # file smaller than one scan split (spark.sql.files.maxPartitionBytes,
+    # 128 MB default) → Spark plans a single scan task; fan it out.
+    # Bigger files get multiple byte-range splits from the scan itself.
+    if os.path.getsize(path) >= 128 * 1024 * 1024:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
@@ -46,10 +66,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # same ns→us truncation DuckDB/pandas apply).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
-        return raw.withColumn(
+        return _spread(spark, raw, path).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if name in SPREAD_TABLES:
+        df = _spread(spark, df, path)
+    return df
 
 
 class Tables:
