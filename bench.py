@@ -34,6 +34,10 @@ def main() -> None:
     spark = get_spark(app_name="hrdp-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm up JVM + parquet reader once so the first timed query isn't
+    # charged Spark's boot cost (per-query numbers, not session startup)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in Q.QUERIES.items():

@@ -75,7 +75,12 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    # size the partition count to the data, not the cluster: every
+    # mapInPandas partition forks an Arrow-connected Python worker, and
+    # 32 workers for 64 rows is pure startup cost. ~16 rows per batch
+    # keeps worker count proportional to real work at any n.
+    num_parts = max(1, min(spark.sparkContext.defaultParallelism, n // 16))
+    return spark.range(0, n, 1, num_parts).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def decode_media(df: DataFrame) -> DataFrame:

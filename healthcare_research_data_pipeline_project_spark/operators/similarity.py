@@ -71,6 +71,47 @@ def brute_force_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within coarse blocks —
+    the IVF layout: `block_col` plays the role of the coarse-quantizer
+    cell (here the corpus's cluster label; at scale a trained k-means
+    assignment), so candidate pairs form only inside a cell via an
+    equi-join, never a global cross product.
+
+    Cosine is computed dot/(|a|·|b|) in strict array order and rounded
+    to 4 dp before thresholding so both engines produce the identical
+    pair set.
+    """
+    d = emb.select(
+        F.col(id_col), F.col(block_col).alias("block"), F.col(vec_col).alias("v")
+    ).persist()  # both self-join sides branch from this node
+    a = d.select(
+        F.col(id_col).alias("id_a"), "block", F.col("v").alias("va")
+    )
+    b = d.select(
+        F.col(id_col).alias("id_b"), F.col("block").alias("block_b"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(
+        b, (F.col("block") == F.col("block_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    cos = F.round(
+        _dot("va", "vb") / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb"))), 4
+    ).cast("double")
+    return (
+        pairs.select(
+            "id_a", "id_b", F.col("block").alias(block_col), cos.alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def _plane_component(plane: int, dim_idx: str) -> str:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     derived from md5(plane:dim) — engine-portable, no RNG state."""

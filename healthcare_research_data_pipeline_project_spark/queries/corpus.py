@@ -1007,3 +1007,43 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U2: set operations (SURVEY §2.7). The reference only uses UNION ALL
+# (healthcare-data-pipeline-main.py:436-450, mirrored by hc_q10), but
+# INTERSECT / EXCEPT / UNION DISTINCT are part of the engine surface:
+# each branch is a DataFrame set operator, tagged and unioned into one
+# comparable result. All three are hash-partition joins/aggregates on
+# the key — no driver involvement.
+# ---------------------------------------------------------------------------
+@register(
+    "u2_set_ops",
+    """
+    WITH a AS (SELECT c_custkey AS k FROM customer
+               WHERE c_mktsegment = 'BUILDING'),
+    b AS (SELECT DISTINCT o_custkey AS k FROM orders
+          WHERE o_totalprice > 250000)
+    SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+    UNION ALL
+    SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+    UNION ALL
+    SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+    """,
+)
+def u2_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    b = (
+        t.orders.filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    tag = lambda df, name: df.select(F.lit(name).alias("op"), "k")  # noqa: E731
+    return (
+        tag(a.intersect(b), "intersect")
+        .unionByName(tag(a.exceptAll(b.distinct()).distinct(), "except"))
+        .unionByName(tag(a.union(b).distinct(), "union"))
+    )

@@ -397,3 +397,46 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return S.lsh_topk(t.embeddings, _QUERY_IDS, k=_TOPK, num_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs, blocked by the corpus's coarse
+# cluster label (the IVF cell layout: pairs form only inside a cell).
+# Exact within blocks, so fully oracle-checkable.
+# ---------------------------------------------------------------------------
+_NEAR_DUP_T = 0.35
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+           CAST(ROUND({_dot_sql('a.embedding', 'b.embedding')} /
+                      (sqrt({_dot_sql('a.embedding', 'a.embedding')}) *
+                       sqrt({_dot_sql('b.embedding', 'b.embedding')})),
+                      4) AS DOUBLE) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE CAST(ROUND({_dot_sql('a.embedding', 'b.embedding')} /
+                     (sqrt({_dot_sql('a.embedding', 'a.embedding')}) *
+                      sqrt({_dot_sql('b.embedding', 'b.embedding')})),
+                     4) AS DOUBLE) >= {_NEAR_DUP_T}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return S.embedding_near_dup_pairs(t.embeddings, threshold=_NEAR_DUP_T)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: synthesized binary media → Arrow-batched feature
+# extraction (mapInPandas). Not SQL-expressible (binary payloads are
+# generated executor-side), so the driver records a rows-only check;
+# tests/test_pipeline_layer.py pins the sha256 feature values.
+# ---------------------------------------------------------------------------
+@register("mm_media_features")
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import binary_ops as mm
+
+    media = mm.synthesize_media(spark, n=64)
+    return mm.extract_features(media)

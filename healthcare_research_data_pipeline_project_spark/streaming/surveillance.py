@@ -100,6 +100,7 @@ def run_available_now(
     Use output_mode='complete' for aggregations (append would hold
     rows until the watermark closes the window, which a one-shot drain
     never reaches) and 'append' for row streams."""
+    spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -108,4 +109,4 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
-    return q.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+    return spark.sql(f"SELECT * FROM {query_name}").collect()
