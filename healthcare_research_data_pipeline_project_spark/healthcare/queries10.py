@@ -39,37 +39,62 @@ CENTS = "SUM(CAST(total_charges * 100 AS BIGINT))"
 
 
 def q1_readmission(d: Dialect) -> str:
-    ctes = [(
-        "ReadmissionAnalysis",
-        f"""
-        SELECT d.category AS diagnosis_category,
-               CASE WHEN {AGE_ANCHOR} - p.birth_year < 65 THEN 'Under 65'
-                    WHEN {AGE_ANCHOR} - p.birth_year BETWEEN 65 AND 79 THEN '65-79'
-                    ELSE '80+' END AS age_group,
-               e.length_of_stay, e.icu_days, e.total_charges,
-               CASE WHEN EXISTS (
-                   SELECT 1 FROM fact_encounters e2
-                   WHERE e2.patient_id = e.patient_id
-                     AND e2.encounter_id != e.encounter_id
-                     AND e2.admission_time_id BETWEEN e.discharge_time_id
-                         AND e.discharge_time_id + 30
-               ) THEN 1 ELSE 0 END AS readmitted_30day,
-               (SELECT COUNT(DISTINCT lr.lab_test_code)
-                FROM fact_lab_results lr
-                WHERE lr.encounter_id = e.encounter_id
-                  AND lr.abnormal_flag IN ('H', 'HH', 'L', 'LL')) AS abnormal_lab_count,
-               (SELECT COUNT(DISTINCT mo.medication_id)
-                FROM fact_medication_orders mo
-                WHERE mo.encounter_id = e.encounter_id) AS medication_count
-        FROM fact_encounters e
-        JOIN dim_patient p ON e.patient_id = p.patient_id
-        JOIN dim_diagnosis d ON e.primary_diagnosis_id = d.diagnosis_id
-        JOIN dim_time t ON e.discharge_time_id = t.time_id
-        WHERE t.year = {ANALYSIS_YEAR}
-          AND e.encounter_type = 'Inpatient'
-          AND e.mortality_flag = FALSE
-        """,
-    )]
+    # The reference's correlated scalar subqueries (abnormal-lab count,
+    # medication count — healthcare-sql-analytics.sql:172-184) are
+    # pre-rewritten as per-encounter aggregate CTEs + left joins: the
+    # plan Catalyst's decorrelation produces anyway, but stated
+    # explicitly (one scan per fact, grouped partial aggregation). The
+    # 30-day EXISTS stays an EXISTS — a banded semi-join on patient_id
+    # is its natural plan shape.
+    ctes = [
+        (
+            "lab_cnt",
+            """
+            SELECT encounter_id,
+                   COUNT(DISTINCT lab_test_code) AS abnormal_lab_count
+            FROM fact_lab_results
+            WHERE abnormal_flag IN ('H', 'HH', 'L', 'LL')
+            GROUP BY encounter_id
+            """,
+        ),
+        (
+            "med_cnt",
+            """
+            SELECT encounter_id,
+                   COUNT(DISTINCT medication_id) AS medication_count
+            FROM fact_medication_orders
+            GROUP BY encounter_id
+            """,
+        ),
+        (
+            "ReadmissionAnalysis",
+            f"""
+            SELECT d.category AS diagnosis_category,
+                   CASE WHEN {AGE_ANCHOR} - p.birth_year < 65 THEN 'Under 65'
+                        WHEN {AGE_ANCHOR} - p.birth_year BETWEEN 65 AND 79 THEN '65-79'
+                        ELSE '80+' END AS age_group,
+                   e.length_of_stay, e.icu_days, e.total_charges,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM fact_encounters e2
+                       WHERE e2.patient_id = e.patient_id
+                         AND e2.encounter_id != e.encounter_id
+                         AND e2.admission_time_id BETWEEN e.discharge_time_id
+                             AND e.discharge_time_id + 30
+                   ) THEN 1 ELSE 0 END AS readmitted_30day,
+                   COALESCE(lc.abnormal_lab_count, 0) AS abnormal_lab_count,
+                   COALESCE(mc.medication_count, 0) AS medication_count
+            FROM fact_encounters e
+            JOIN dim_patient p ON e.patient_id = p.patient_id
+            JOIN dim_diagnosis d ON e.primary_diagnosis_id = d.diagnosis_id
+            JOIN dim_time t ON e.discharge_time_id = t.time_id
+            LEFT JOIN lab_cnt lc ON e.encounter_id = lc.encounter_id
+            LEFT JOIN med_cnt mc ON e.encounter_id = mc.encounter_id
+            WHERE t.year = {ANALYSIS_YEAR}
+              AND e.encounter_type = 'Inpatient'
+              AND e.mortality_flag = FALSE
+            """,
+        ),
+    ]
     select = f"""
         SELECT diagnosis_category, age_group,
                CAST(COUNT(*) AS BIGINT) AS total_discharges,
@@ -89,14 +114,38 @@ def q1_readmission(d: Dialect) -> str:
 
 
 def q2_sepsis(d: Dialect) -> str:
+    # The reference expresses each bundle element as a correlated EXISTS
+    # (healthcare-sql-analytics.sql:233-278), which decorrelates into one
+    # fact rescan per element. Every element is equivalent to a
+    # per-encounter MIN/MAX: EXISTS(lact row with t <= first+3) ⟺
+    # MIN(lact time) <= first+3, etc. — so the whole bundle is two
+    # single-scan conditional aggregations (one per fact) left-joined to
+    # the cohort, and the flags become NULL-safe column comparisons.
     ctes = [
         (
-            "first_abx",
+            "lab_mins",
             """
-            SELECT mo.encounter_id, MIN(mo.start_time_id) AS first_abx_time
+            SELECT encounter_id,
+                   MIN(CASE WHEN lab_test_code = 'LACT'
+                            THEN lab_time_id END) AS min_lact_time,
+                   MIN(CASE WHEN lab_test_code LIKE 'BLOOD_CX%'
+                            THEN lab_time_id END) AS min_bcx_time
+            FROM fact_lab_results
+            GROUP BY encounter_id
+            """,
+        ),
+        (
+            "med_mins",
+            """
+            SELECT mo.encounter_id,
+                   MIN(CASE WHEN m.medication_class = 'Antibiotic'
+                            THEN mo.start_time_id END) AS first_abx_time,
+                   MAX(CASE WHEN (m.medication_name LIKE '%saline%'
+                                  OR m.medication_name LIKE '%lactated ringers%')
+                             AND mo.dose_amount >= 30
+                            THEN 1 ELSE 0 END) AS fluid_resuscitation
             FROM fact_medication_orders mo
             JOIN dim_medication m ON mo.medication_id = m.medication_id
-            WHERE m.medication_class = 'Antibiotic'
             GROUP BY mo.encounter_id
             """,
         ),
@@ -118,36 +167,18 @@ def q2_sepsis(d: Dialect) -> str:
             "BundleCompliance",
             """
             SELECT sp.encounter_id,
-                   CASE WHEN EXISTS (
-                       SELECT 1 FROM fact_lab_results lr
-                       WHERE lr.encounter_id = sp.encounter_id
-                         AND lr.lab_test_code = 'LACT'
-                         AND lr.lab_time_id <= sp.first_abnormal_lab_time + 3
-                   ) THEN 1 ELSE 0 END AS lactate_measured,
-                   CASE WHEN EXISTS (
-                       SELECT 1 FROM fact_lab_results lr
-                       JOIN first_abx fa ON lr.encounter_id = fa.encounter_id
-                       WHERE lr.encounter_id = sp.encounter_id
-                         AND lr.lab_test_code LIKE 'BLOOD_CX%'
-                         AND lr.lab_time_id < fa.first_abx_time
-                   ) THEN 1 ELSE 0 END AS blood_culture_before_abx,
-                   CASE WHEN EXISTS (
-                       SELECT 1 FROM fact_medication_orders mo
-                       JOIN dim_medication m ON mo.medication_id = m.medication_id
-                       WHERE mo.encounter_id = sp.encounter_id
-                         AND m.medication_class = 'Antibiotic'
-                         AND mo.start_time_id <= sp.first_abnormal_lab_time + 1
-                   ) THEN 1 ELSE 0 END AS antibiotics_within_hour,
-                   CASE WHEN EXISTS (
-                       SELECT 1 FROM fact_medication_orders mo
-                       WHERE mo.encounter_id = sp.encounter_id
-                         AND mo.medication_id IN (
-                             SELECT medication_id FROM dim_medication
-                             WHERE medication_name LIKE '%saline%'
-                                OR medication_name LIKE '%lactated ringers%')
-                         AND mo.dose_amount >= 30
-                   ) THEN 1 ELSE 0 END AS fluid_resuscitation
+                   CASE WHEN lm.min_lact_time
+                             <= sp.first_abnormal_lab_time + 3
+                        THEN 1 ELSE 0 END AS lactate_measured,
+                   CASE WHEN lm.min_bcx_time < mm.first_abx_time
+                        THEN 1 ELSE 0 END AS blood_culture_before_abx,
+                   CASE WHEN mm.first_abx_time
+                             <= sp.first_abnormal_lab_time + 1
+                        THEN 1 ELSE 0 END AS antibiotics_within_hour,
+                   COALESCE(mm.fluid_resuscitation, 0) AS fluid_resuscitation
             FROM SepsisPatients sp
+            LEFT JOIN lab_mins lm ON sp.encounter_id = lm.encounter_id
+            LEFT JOIN med_mins mm ON sp.encounter_id = mm.encounter_id
             """,
         ),
     ]
