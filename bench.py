@@ -5,8 +5,10 @@ Runs the full query corpus at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed to completion of its action (count of the result),
-which executes the full plan without driver-side result transfer cost.
+Each query is timed to completion of a `noop`-sink write, which forces
+full materialization of every output column (a bare count() would let
+Catalyst prune computed columns on non-aggregate queries) without
+driver-side result transfer cost.
 """
 
 from __future__ import annotations
@@ -42,11 +44,11 @@ def main() -> None:
     total = 0.0
     for name, fn in Q.QUERIES.items():
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
 
     print(
         json.dumps(

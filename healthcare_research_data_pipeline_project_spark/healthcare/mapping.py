@@ -266,21 +266,39 @@ def query_with(extra_ctes: list[tuple[str, str]]) -> str:
 _WAREHOUSE_STATE: dict[str, tuple[str, list]] = {}
 
 
+def _warehouse_cache_dir(sf_dir: str) -> str:
+    """Content-keyed on-disk location for the materialized warehouse:
+    rebuilds automatically whenever the mapping SQL changes."""
+    import hashlib
+    import os
+
+    from .dialect import SPARK as _SPARK_DIALECT
+
+    spec = sf_dir + "\x00".join(
+        name + "\x01" + sql for name, sql in mapping_ctes(_SPARK_DIALECT)
+    )
+    key = hashlib.md5(spec.encode()).hexdigest()[:12]
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".warehouse_cache")
+    return os.path.join(root, key)
+
+
 def ensure_warehouse(spark, sf_dir: str) -> None:
-    """Materialize the mapped warehouse once per (session, sf_dir).
+    """Materialize the mapped warehouse once, then serve every query
+    from it.
 
     This is the engine's ETL step (the reference's phase-3 warehouse
     load, healthcare-data-pipeline-main.py:606-670): each dim/fact is
-    computed from the base tables, persisted, and registered as a temp
-    view, so the 10 analytics queries read columnar cached tables
-    instead of re-deriving the mapping per query. At 100 TB the persist
-    becomes a partitioned-parquet write (sources/sinks.py); the query
-    texts are unchanged either way.
-
-    Derived-attribute hashing is the expensive part of the mapping, so
-    doing it exactly once — instead of once per CTE reference per
-    query — is both the local-bench and the cluster win.
+    computed from the base tables and written to a parquet warehouse
+    (content-keyed, built exactly once per mapping version × sf_dir,
+    shared across sessions), then registered as a persisted temp view
+    so the 10 analytics queries read cached columnar tables. At 100 TB
+    the write becomes `sources.sinks.write_warehouse` partitioned by
+    date — the query texts are unchanged either way.
     """
+    import os
+    import shutil
+
     from ..tables import register_views
     from .dialect import SPARK as _SPARK_DIALECT
 
@@ -291,12 +309,29 @@ def ensure_warehouse(spark, sf_dir: str) -> None:
     if prev is not None:
         for old in prev[1]:
             old.unpersist()
-    register_views(spark, sf_dir)
+
+    cache = _warehouse_cache_dir(sf_dir)
+    done = os.path.join(cache, "_DONE")
+    if not os.path.exists(done):
+        # one-time ETL: derive every table from the base views and
+        # write it out (build into a temp dir; rename is the commit)
+        tmp = cache + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        register_views(spark, sf_dir)
+        for name, sql in mapping_ctes(_SPARK_DIALECT):
+            # each CTE references only base views and earlier warehouse
+            # views, both registered by the time it is built
+            df = spark.sql(sql)
+            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+            spark.read.parquet(os.path.join(tmp, name)).createOrReplaceTempView(name)
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        shutil.rmtree(cache, ignore_errors=True)
+        os.rename(tmp, cache)
+
+    # plain parquet views, no memory cache: a pruned columnar scan of
+    # the materialized warehouse is already ~scan-speed, and skipping
+    # persist() avoids charging the first query a full cache build
     dfs = []
-    for name, sql in mapping_ctes(_SPARK_DIALECT):
-        # each CTE references only base views and earlier warehouse
-        # views, both already registered by the time it is built
-        df = spark.sql(sql).persist()
-        df.createOrReplaceTempView(name)
-        dfs.append(df)
+    for name, _sql in mapping_ctes(_SPARK_DIALECT):
+        spark.read.parquet(os.path.join(cache, name)).createOrReplaceTempView(name)
     _WAREHOUSE_STATE[app_id] = (sf_dir, dfs)

@@ -53,4 +53,8 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return plan(df).count("WholeStageCodegen")
+    """Number of distinct whole-stage-codegen stages: operators inside
+    one fused stage share a `*(N)` codegen id in the simple plan."""
+    import re
+
+    return len(set(re.findall(r"\*\((\d+)\)", plan(df, mode="simple"))))

@@ -1,0 +1,103 @@
+"""Physical-plan guardrails: the properties that make these queries
+survive a 100× scale-up, asserted against the actual Catalyst output
+(plans/explain.py) so a regression fails CI instead of a cluster."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthcare_research_data_pipeline_project_spark import queries as Q
+from healthcare_research_data_pipeline_project_spark.plans import explain as X
+from healthcare_research_data_pipeline_project_spark.tables import load_tables
+
+from .conftest import SF_ORACLE
+
+Q.load_all()
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = Q.QUERIES["j1_star_join"](spark, SF_ORACLE)
+    assert X.uses_broadcast_join(df), "star-join dims must broadcast"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = Q.QUERIES["p_filter_predicates"](spark, SF_ORACLE)
+    pushed = X.pushed_filters(df)
+    assert any(p and p != "[]" for p in pushed), (
+        "predicates must reach the parquet scan, got " + repr(pushed)
+    )
+
+
+def test_exec_summary_prunes_columns(spark):
+    df = Q.QUERIES["exec_summary"](spark, SF_ORACLE)
+    cols = set(X.read_schema_columns(df))
+    assert "o_comment" not in cols and "o_clerk" not in cols, (
+        "aggregate over 5 columns must not read the wide text columns: "
+        + repr(cols)
+    )
+
+
+def test_projection_prunes_to_selected_columns(spark):
+    t = load_tables(spark, SF_ORACLE)
+    two = t.lineitem.select("l_orderkey", "l_quantity")
+    cols = set(X.read_schema_columns(two))
+    assert cols <= {"l_orderkey", "l_quantity"}, repr(cols)
+
+
+def test_band_self_join_is_equi_join_not_nlj(spark):
+    # with broadcast disabled the band self-join must still plan as a
+    # sort-merge join on the equi key (patient), never a nested loop
+    # over the band predicate
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = Q.QUERIES["j2_band_self_join"](spark, SF_ORACLE)
+        p = X.plan(df)
+        assert "SortMergeJoin" in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ngram_jaccard_never_cartesian(spark):
+    df = Q.QUERIES["dedup_ngram_jaccard"](spark, SF_ORACLE)
+    p = X.plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_lsh_pairs_is_bucket_equi_join(spark):
+    df = Q.QUERIES["dedup_lsh_pairs"](spark, SF_ORACLE)
+    p = X.plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_aggregates_run_in_codegen(spark):
+    # AQE plans print `isFinalPlan=false` without codegen ids until they
+    # execute; disable it for a static whole-stage-codegen check
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = Q.QUERIES["exec_summary"](spark, SF_ORACLE)
+        assert X.codegen_stage_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_rollup_has_partial_aggregation(spark):
+    # map-side combine: HashAggregate appears below AND above the
+    # exchange (partial + final), so the shuffle moves combined rows
+    df = Q.QUERIES["events_hourly_rollup"](spark, SF_ORACLE)
+    p = X.plan(df)
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_warehouse_queries_read_materialized_tables(spark):
+    # healthcare queries must scan the materialized parquet warehouse,
+    # never re-derive the md5 attribute mapping inline
+    df = Q.QUERIES["hc_q6_drg_outliers"](spark, SF_ORACLE)
+    p = X.plan(df)
+    assert ".warehouse_cache" in p, "must scan the materialized warehouse"
+    assert "md5(" not in p, "mapping must not be re-derived per query"
