@@ -369,3 +369,65 @@ def test_alert_stream_threshold(spark, tmp_path):
     )
     assert rows and all(r["alert_type"] == "ERROR_SPIKE" for r in rows)
     assert all(r["error_cnt"] >= 5 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# API query builders (reference healthcare-api-main.py:236-388)
+# ---------------------------------------------------------------------------
+def test_search_patients_conditional_filters(spark):
+    from healthcare_research_data_pipeline_project_spark.healthcare import api
+
+    pats = etl.transform_patient_data(generator.generate_patients(spark, 200))
+    encs = generator.generate_encounters(spark, 400, n_patients=200)
+
+    everyone = api.search_patients(pats)
+    assert everyone.count() == 200
+
+    women = api.search_patients(pats, gender="Female")
+    assert women.count() == pats.filter(F.col("gender") == "Female").count()
+
+    aged = api.search_patients(pats, min_age=40, max_age=60, current_year=2025)
+    got = aged.select(F.min("birth_year"), F.max("birth_year")).collect()[0]
+    assert got[0] >= 1965 and got[1] <= 1985
+
+    dx = api.search_patients(pats, encounters=encs, diagnosis_codes=["I10"])
+    with_dx = (
+        encs.filter(F.col("diagnosis_code") == "I10")
+        .select("patient_id")
+        .distinct()
+        .count()
+    )
+    assert dx.count() == with_dx
+
+    demo = api.search_demographics(women)
+    assert demo["count"] == women.count()
+    assert abs(sum(demo["demographics"]["race_distribution"].values()) - 100.0) < 0.5
+
+
+def test_encounter_metrics_periods(spark):
+    from healthcare_research_data_pipeline_project_spark.healthcare import api
+
+    encs = generator.generate_encounters(spark, 500, n_patients=100)
+    rows = api.encounter_metrics(
+        encs, "2024-01-01", "2024-12-31", group_by="quarter"
+    ).collect()
+    assert 1 <= len(rows) <= 5
+    assert sum(r["encounters"] for r in rows) == encs.filter(
+        F.col("encounter_date").between("2024-01-01", "2024-12-31")
+    ).count()
+    assert all(0 <= r["readmission_rate"] <= 100 for r in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api.encounter_metrics(encs, "2024-01-01", "2024-12-31", group_by="hour")
+
+
+def test_quality_metrics_endpoint(spark):
+    from healthcare_research_data_pipeline_project_spark.healthcare import api
+
+    encs = generator.generate_encounters(spark, 300, n_patients=100)
+    labs = generator.generate_labs(spark, 500, n_encounters=300)
+    out = api.quality_metrics(encs, labs, "2024-01-01", "2024-12-31")
+    assert out["total_encounters"] > 0
+    assert 0 <= out["readmission_rate_pct"] <= 100
+    assert 0 <= out["abnormal_lab_rate_pct"] <= 100
