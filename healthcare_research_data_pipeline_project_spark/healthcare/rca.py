@@ -26,12 +26,16 @@ def readmission_analysis(encounters: DataFrame, labs: DataFrame) -> DataFrame:
     e = encounters.select(
         "encounter_id", "patient_id", "diagnosis_code", "discharge_date"
     )
+    # reference band (healthcare-data-pipeline-main.py:282): the
+    # readmission's ADMISSION date within [discharge, discharge + 30d]
+    # of the index encounter — inclusive of day 0
     pairs = band_self_join(
         encounters.select("encounter_id", "patient_id", "encounter_date",
                           "discharge_date", "diagnosis_code"),
         key="patient_id",
         date_col="discharge_date",
-        min_days=1,
+        right_date_col="encounter_date",
+        min_days=0,
         max_days=30,
     )
     # a = index encounter, b = the readmission; key the pair on a

@@ -24,9 +24,13 @@ def band_self_join(
     max_days: int = 30,
     left_alias: str = "a",
     right_alias: str = "b",
+    right_date_col: str | None = None,
 ) -> DataFrame:
     """Banded self-join: pairs (a, b) with equal `key` and
-    `b.date ∈ (a.date + min_days-1, a.date + max_days]`.
+    `b.right_date ∈ [a.date + min_days, a.date + max_days]`.
+    `right_date_col` defaults to `date_col`; the readmission idiom
+    bands b's *admission* against a's *discharge*
+    (healthcare-data-pipeline-main.py:282).
 
     Semantics of the 30-day readmission pair-finding
     (`healthcare-data-pipeline-main.py:279-282`,
@@ -40,7 +44,7 @@ def band_self_join(
     """
     a, b = df.alias(left_alias), df.alias(right_alias)
     ad = F.to_date(F.col(f"{left_alias}.{date_col}"))
-    bd = F.to_date(F.col(f"{right_alias}.{date_col}"))
+    bd = F.to_date(F.col(f"{right_alias}.{right_date_col or date_col}"))
     return a.join(
         b,
         (F.col(f"{left_alias}.{key}") == F.col(f"{right_alias}.{key}"))

@@ -110,3 +110,54 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-user event count + last-seen timestamp, carried across
+    micro-batches in explicit group state (the shape for custom
+    session/episode logic that windowed aggregation can't express).
+
+    State is one small tuple per user — bounded by user cardinality,
+    partitioned by the grouping key, never on the driver."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("events_seen", LongType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("events_seen", LongType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        total, last = (state.get if state.exists else (0, None))
+        for pdf in pdfs:
+            total += len(pdf)
+            batch_max = pdf["ts"].max()
+            last = batch_max if last is None or batch_max > last else last
+        state.update((total, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "events_seen": [total], "last_ts": [last]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -431,3 +431,33 @@ def test_quality_metrics_endpoint(spark):
     assert out["total_encounters"] > 0
     assert 0 <= out["readmission_rate_pct"] <= 100
     assert 0 <= out["abnormal_lab_rate_pct"] <= 100
+
+
+def test_to_records_bounded(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    recs = sinks.to_records(df.orderBy("id"), limit=2)
+    assert recs == [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+
+
+def test_stateful_user_counts(spark, tmp_path):
+    src = str(tmp_path / "events3")
+    _write_event_parquet(spark, src)
+    rows = sv.run_available_now(
+        sv.stateful_user_counts(sv.stream_events(spark, src)),
+        "t_stateful",
+        output_mode="update",
+    )
+    # final state per user must equal the batch per-user counts
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = max(
+            final.get(r["user_id"], 0), r["events_seen"]
+        )
+    batch = {
+        r["user_id"]: r["cnt"]
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert final == batch

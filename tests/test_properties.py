@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the numeric and merge
+primitives whose edge cases are easiest to get silently wrong —
+coverage the reference's suite lacks entirely (SURVEY §5)."""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from healthcare_research_data_pipeline_project_spark.functions.helpers import round_div
+from healthcare_research_data_pipeline_project_spark.operators.relational import (
+    band_self_join,
+    bucketize,
+)
+from healthcare_research_data_pipeline_project_spark.sources.sinks import upsert_by_key
+
+# one shared tiny frame per case keeps each hypothesis example cheap;
+# deadline=None because Spark job latency is not what we're testing
+SETTINGS = settings(max_examples=25, deadline=None)
+
+
+@given(num=st.integers(0, 10**9), den=st.integers(1, 10**6),
+       scale=st.integers(0, 4))
+@SETTINGS
+def test_round_div_matches_decimal_half_up(spark, num, den, scale):
+    got = (
+        spark.range(1)
+        .select(round_div(F.lit(num), F.lit(den), "r", scale))
+        .collect()[0]["r"]
+    )
+    want = float(
+        (Decimal(num) / Decimal(den)).quantize(
+            Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+        )
+    )
+    assert got == want, (num, den, scale, got, want)
+
+
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 100)),
+                min_size=1, max_size=30))
+@SETTINGS
+def test_upsert_is_idempotent_and_keyed(spark, rows):
+    inc = spark.createDataFrame(
+        [(k, v) for k, v in rows], "id long, v long"
+    )
+    # last-write-wins dedup: one row per key, and applying the same
+    # increment twice changes nothing
+    once = upsert_by_key(None, inc, "id", version_col=F.col("v"))
+    twice = upsert_by_key(once, inc, "id", version_col=F.col("v"))
+    got_once = sorted((r["id"], r["v"]) for r in once.collect())
+    got_twice = sorted((r["id"], r["v"]) for r in twice.collect())
+    keys = {k for k, _ in rows}
+    assert len(got_once) == len(keys)
+    # version_col=v → max v per key wins regardless of merge order
+    want = sorted((k, max(v for kk, v in rows if kk == k)) for k in keys)
+    assert got_once == want
+    assert got_twice == got_once
+
+
+@given(st.lists(st.integers(-50, 150), min_size=1, max_size=40))
+@SETTINGS
+def test_bucketize_total_and_bounds(spark, ages):
+    edges, labels = [18, 31, 46, 61, 76], ["0-17", "18-30", "31-45", "46-60", "61-75", "76+"]
+    df = spark.createDataFrame([(a,) for a in ages], "age int")
+    out = df.select(bucketize(F.col("age"), edges, labels).alias("b")).collect()
+    assert len(out) == len(ages)
+    assert {r["b"] for r in out} <= set(labels)
+    for a, r in zip(ages, out):
+        want = labels[sum(a >= e for e in edges)]
+        assert r["b"] == want, (a, r["b"], want)
+
+
+@given(st.lists(
+    st.tuples(st.integers(1, 4),            # patient
+              st.integers(0, 60),           # discharge day offset
+              st.integers(0, 60)),          # next admission day offset
+    min_size=2, max_size=12))
+@SETTINGS
+def test_band_self_join_matches_python_bruteforce(spark, rows):
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    recs = [
+        (i, p, str(base + dt.timedelta(days=adm)), str(base + dt.timedelta(days=dis)))
+        for i, (p, dis, adm) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        recs, "encounter_id long, patient_id long, encounter_date string, discharge_date string"
+    )
+    got = {
+        (r["a"]["encounter_id"], r["b"]["encounter_id"])
+        for r in band_self_join(
+            df, key="patient_id", date_col="discharge_date",
+            right_date_col="encounter_date",
+            min_days=0, max_days=30,
+        ).select(F.struct("a.*").alias("a"), F.struct("b.*").alias("b")).collect()
+    }
+    want = set()
+    for i, pi, admi, disi in recs:
+        for j, pj, admj, disj in recs:
+            if pi != pj:
+                continue
+            d = (dt.date.fromisoformat(admj) - dt.date.fromisoformat(disi)).days
+            if 0 <= d <= 30:
+                want.add((i, j))
+    assert got == want
