@@ -440,3 +440,15 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = mm.synthesize_media(spark, n=64)
     return mm.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (trained coarse quantizer: per-cell centroids + nprobe
+# routing). Candidate set depends on engine-internal centroid ranking,
+# so the driver records a rows-only check; pytest measures recall
+# against the exact brute force.
+# ---------------------------------------------------------------------------
+@register("sim_ivf_topk")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return S.ivf_topk(t.embeddings, _QUERY_IDS, k=_TOPK, nprobe=3)
