@@ -1,0 +1,199 @@
+"""Scale operators — the 100 TB toolkit the reference never needed.
+
+The reference trusts an RDBMS for execution (SURVEY §4) and its env
+knobs top out at `PARALLEL_WORKERS=4` (`healthcare-env-example.sh:66`).
+At cluster scale three problems dominate that a single Postgres never
+sees, and each gets a first-class operator here:
+
+1. **Skewed aggregation keys** → `salted_agg`: two-phase aggregation
+   through a deterministic salt so one hot key (the "flu season"
+   diagnosis, the crawler domain with 40% of documents) spreads over
+   `n_salts` reducers before the cheap final combine. Result-identical
+   to a plain groupBy — asserted by oracle.
+2. **Reproducible sampling/splits** → `hash_bucket` / `hash_sample` /
+   `hash_split`: content-hash bucketing (md5-derived, engine-portable)
+   instead of `rand()`, so a sample or train/val/test split is stable
+   across runs, engines, partitionings, and re-executions of failed
+   tasks. `rand()`-based sampling is NOT replay-safe under task retry;
+   hash bucketing is.
+3. **Repeated co-located joins** → `write_bucketed` / `read_bucketed`:
+   pre-shuffle the big fact once into N sorted buckets on the join key
+   so every later join/groupBy on that key is exchange-free. This is
+   the Spark-native replacement for the reference's secondary indexes
+   (`healthcare-sql-analytics.sql:21-22,89-91`).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import duck_hash64, hash64_expr
+
+# ---------------------------------------------------------------------------
+# Skew-safe two-phase aggregation
+# ---------------------------------------------------------------------------
+#  Decomposable aggregate specs: partial expression on (keys ∪ salt),
+#  final combine on keys. Exact by construction: counts/sums combine as
+#  sums (decimal sums stay decimal until the caller rounds), min/max as
+#  min/max. AVG must be derived by the caller as final sum / final
+#  count — never averaged across salts.
+_PARTIAL = {
+    "count": lambda c: F.count(F.lit(1) if c is None else c),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+_FINAL = {
+    "count": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salt_col(n_salts: int, entropy: str | Column) -> Column:
+    """Deterministic salt in [0, n_salts): hashed from a high-cardinality
+    column (e.g. the fact's own key), never `rand()` — replay-safe under
+    task retry and identical across partitionings."""
+    c = F.col(entropy) if isinstance(entropy, str) else entropy
+    return F.pmod(F.xxhash64(c), F.lit(n_salts)).alias("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    specs: dict[str, tuple[str, Column | None]],
+    n_salts: int = 16,
+    entropy: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    `specs` maps output alias → (kind, column) with kind in
+    {count, sum, min, max}. Phase 1 aggregates on (keys + salt) —
+    the hot key's rows spread over `n_salts` partial groups, so no
+    single reducer sees them all; phase 2 combines the ≤ n_salts
+    partials per key (tiny). Equivalent to `df.groupBy(keys).agg(...)`
+    by decomposability; the oracle check pins that.
+
+    At 100 TB: Spark's own hash aggregate already does map-side partial
+    aggregation, which handles *aggregation* skew for simple cases —
+    the salt matters when the partial state itself is too wide to
+    combine on one reducer (collect-style aggs, huge distinct maps) or
+    when the salted frame feeds a later skewed join. The operator keeps
+    the technique testable either way.
+    """
+    ent = entropy if entropy is not None else F.monotonically_increasing_id()
+    salted = df.withColumn("__salt", salt_col(n_salts, ent))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[
+            _PARTIAL[kind](col).alias(f"__p_{alias}")
+            for alias, (kind, col) in specs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _FINAL[kind](F.col(f"__p_{alias}")).alias(alias)
+            for alias, (kind, _) in specs.items()
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic content-hash sampling / dataset splits
+# ---------------------------------------------------------------------------
+def hash_bucket(key: str, n_buckets: int = 100, salt: str = "") -> Column:
+    """Stable bucket in [0, n_buckets): md5-derived, so the assignment
+    is identical in Spark and DuckDB (and any engine with md5) — the
+    portable primitive under `hash_sample` and `hash_split`.
+    `key` is a column name (or SQL expression string)."""
+    expr = hash64_expr(f"cast({key} as string)", salt)
+    return F.expr(f"{expr} % {n_buckets}")
+
+
+def duck_hash_bucket(key: str, n_buckets: int = 100, salt: str = "") -> str:
+    """DuckDB twin of `hash_bucket` (same md5 prefix → same bucket)."""
+    return f"({duck_hash64(f'CAST({key} AS VARCHAR)', salt)} % {n_buckets})"
+
+
+def hash_sample(
+    df: DataFrame, key: str, pct: int, n_buckets: int = 100, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose key hashes into the first `pct` of `n_buckets`
+    buckets — a reproducible ~pct% sample that is stable across runs
+    and consistent for equal keys (all rows of one document/patient
+    stay in or out together, unlike row-level `rand()` sampling)."""
+    return df.filter(hash_bucket(key, n_buckets, salt) < pct)
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Attach a deterministic `split` ∈ {train, val, test} column by
+    content-hash bucket: [0,train) train, [train,train+val) val, rest
+    test. Key-consistent (no leakage of one entity across splits) and
+    engine-portable for the oracle check."""
+    b = hash_bucket(key, 100, salt)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def duck_split_case(key: str, train_pct: int = 80, val_pct: int = 10,
+                    salt: str = "split") -> str:
+    b = duck_hash_bucket(key, 100, salt)
+    return (
+        f"CASE WHEN {b} < {train_pct} THEN 'train' "
+        f"WHEN {b} < {train_pct + val_pct} THEN 'val' ELSE 'test' END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed tables: pay the shuffle once, join exchange-free forever
+# ---------------------------------------------------------------------------
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist `df` hash-bucketed (and optionally sorted) on the join
+    key. Subsequent equi-joins and groupBys on `bucket_key` between
+    tables bucketed the same way need no Exchange — at 100 TB this
+    turns the nightly fact↔fact join (encounters↔labs on patient_id,
+    the reference's indexed FK pattern) from a full two-sided shuffle
+    into a zero-shuffle zip of co-located buckets.
+    `num_buckets` should be sized so one bucket of the largest table
+    fits an executor core's memory slice (e.g. 100 TB / 8192 buckets
+    ≈ 12 GB splits, still parallel within bucket via row groups)."""
+    spark = df.sparkSession
+    # A fresh session's catalog may not know the table even though its
+    # warehouse directory survives from an earlier run; saveAsTable then
+    # raises LOCATION_ALREADY_EXISTS. Drop both catalog entry and any
+    # orphaned location so the write is idempotent.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.split(".")[-1])
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_key)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table with bucket metadata intact (must go
+    through the catalog — a raw path read loses bucketing)."""
+    return spark.table(table)

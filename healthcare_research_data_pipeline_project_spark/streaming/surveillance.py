@@ -161,3 +161,15 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(events: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop repeated event_ids arriving within
+    the watermark horizon (`dropDuplicatesWithinWatermark`). This is
+    the streaming twin of the batch `dedup_exact` operator — at-least-
+    once sources (Kafka replays, file re-drops) become effectively-once
+    rows with state bounded by the watermark, where the batch operator
+    would need a full-history shuffle."""
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

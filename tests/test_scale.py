@@ -1,0 +1,162 @@
+"""Scale-operator tests: salted aggregation decomposability,
+deterministic hash sampling/splits, bucketed exchange-free joins,
+streaming dedup."""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import functions as F
+
+from healthcare_research_data_pipeline_project_spark.functions.helpers import DEC
+from healthcare_research_data_pipeline_project_spark.operators import scale as SC
+from healthcare_research_data_pipeline_project_spark.plans import explain as X
+from healthcare_research_data_pipeline_project_spark.streaming import (
+    surveillance as sv,
+)
+from healthcare_research_data_pipeline_project_spark.tables import load_tables
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation ≡ plain groupBy
+# ---------------------------------------------------------------------------
+def test_salted_agg_matches_plain(spark):
+    li = load_tables(spark, SF_SMOKE).lineitem
+    salted = {
+        r["l_returnflag"]: (r["cnt"], str(r["qty"]), str(r["mn"]), str(r["mx"]))
+        for r in SC.salted_agg(
+            li,
+            ["l_returnflag"],
+            {
+                "cnt": ("count", None),
+                "qty": ("sum", F.col("l_quantity").cast(DEC)),
+                "mn": ("min", F.col("l_extendedprice")),
+                "mx": ("max", F.col("l_extendedprice")),
+            },
+            n_salts=8,
+            entropy="l_orderkey",
+        ).collect()
+    }
+    plain = {
+        r["l_returnflag"]: (r["cnt"], str(r["qty"]), str(r["mn"]), str(r["mx"]))
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("qty"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_spreads_partials(spark):
+    """The partial phase must actually fan the hot key out over salts."""
+    li = load_tables(spark, SF_SMOKE).lineitem
+    partial = (
+        li.withColumn("__salt", SC.salt_col(8, "l_orderkey"))
+        .groupBy("l_returnflag", "__salt")
+        .count()
+    )
+    per_key = (
+        partial.groupBy("l_returnflag")
+        .agg(F.countDistinct("__salt").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 8 for r in per_key)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits
+# ---------------------------------------------------------------------------
+def test_hash_sample_stable_and_nested(spark):
+    docs = load_tables(spark, SF_SMOKE).documents
+    s10a = {r["doc_id"] for r in SC.hash_sample(docs, "doc_id", 10).select("doc_id").collect()}
+    s10b = {r["doc_id"] for r in SC.hash_sample(docs, "doc_id", 10).select("doc_id").collect()}
+    s20 = {r["doc_id"] for r in SC.hash_sample(docs, "doc_id", 20).select("doc_id").collect()}
+    assert s10a == s10b            # reproducible
+    assert s10a <= s20             # monotone: growing pct only adds rows
+    n = docs.count()
+    assert 0 < len(s10a) < len(s20) < n
+
+
+def test_hash_split_covers_and_is_key_consistent(spark):
+    docs = load_tables(spark, SF_SMOKE).documents
+    split = SC.hash_split(docs, "doc_id", train_pct=80, val_pct=10)
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    # roughly proportional (hash uniformity at n≈600: generous bounds)
+    total = sum(counts.values())
+    assert 0.6 < counts["train"] / total < 0.95
+    # same key always lands in the same split, even via a different frame
+    again = {
+        r["doc_id"]: r["split"]
+        for r in SC.hash_split(docs.select("doc_id"), "doc_id").collect()
+    }
+    for r in split.select("doc_id", "split").collect():
+        assert again[r["doc_id"]] == r["split"]
+
+
+# ---------------------------------------------------------------------------
+# Bucketed tables: exchange-free co-located join
+# ---------------------------------------------------------------------------
+@contextmanager
+def _conf(spark, key: str, value: str):
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    t = load_tables(spark, SF_SMOKE)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    SC.write_bucketed(t.orders, "b_orders", "o_custkey", 4, sort_cols=["o_custkey"])
+    SC.write_bucketed(t.customer, "b_customer", "c_custkey", 4, sort_cols=["c_custkey"])
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        bo, bc = SC.read_bucketed(spark, "b_orders"), SC.read_bucketed(spark, "b_customer")
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey).select(
+            "o_orderkey", "c_name"
+        )
+        p = X.plan(joined)
+        assert "Exchange" not in p, p
+        # sanity: the same join over plain parquet does shuffle both sides
+        plain = t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        ).select("o_orderkey", "c_name")
+        assert "Exchange" in X.plan(plain)
+        # and the answers agree
+        assert joined.count() == plain.count()
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+def test_dedup_stream_drops_replays(spark, tmp_path):
+    src = str(tmp_path / "dup_events")
+    rows = []
+    for i in range(30):
+        rows.append((i % 10, f"2024-01-01 10:{i % 60:02d}:00", i % 3, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(2).write.parquet(src)
+
+    out = sv.run_available_now(
+        sv.dedup_stream(sv.stream_events(spark, src)),
+        "t_dedup_stream",
+        output_mode="append",
+    )
+    ids = [r["event_id"] for r in out]
+    assert sorted(ids) == list(range(10))  # each replayed id survives once
