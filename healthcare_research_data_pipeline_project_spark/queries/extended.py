@@ -1,0 +1,263 @@
+"""Extended operator corpus: temporal joins, multidimensional
+aggregation, pivot, nested arrays, and JSON extraction.
+
+None of these exist in the reference (SURVEY notes their absence:
+as-of joins §2.3, grouping sets/cube/rollup §2.4, lag/lead §2.5,
+array/JSON scalar functions §2.8) — they round out the engine surface
+a user would expect, each expressed as the Spark plan we'd want at
+100 TB and pinned to a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.helpers import (
+    DEC,
+    duck_pct,
+    duck_round_div,
+    lng,
+    pct,
+    rnd,
+    round_div,
+)
+from ..operators.temporal import asof_join
+from ..tables import load_tables
+from . import register
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's latest click at or
+# before it. One shuffle on user_id (union + running last), never a
+# banded pair explosion — see operators/temporal.py.
+# ---------------------------------------------------------------------------
+@register(
+    "t_asof_join",
+    """
+    WITH l AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    m AS (
+      SELECT l.user_id, l.ts, r.ts AS rts, r.click_id
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS purchase_cnt,
+           CAST(COUNT(click_id) AS BIGINT) AS matched_cnt,
+           CAST(COALESCE(SUM(epoch_us(ts) - epoch_us(rts)), 0) AS BIGINT)
+             AS gap_us_total
+    FROM m GROUP BY user_id
+    """,
+)
+def t_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    # dedup right per (key, ts) — determinism contract of asof_join
+    clicks = (
+        t.events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    m = asof_join(
+        purchases, clicks, "user_id", "ts", "ts", payload=["click_id"]
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("matched_ts"))
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("purchase_cnt"),
+        F.count("click_id").alias("matched_cnt"),
+        F.coalesce(F.sum(gap), F.lit(0)).cast("long").alias("gap_us_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5: lag/lead successor pairing — the idiomatic-Spark twin of the
+# banded readmission self-join (SURVEY §2.5 note). One window shuffle
+# instead of a self-join; same 30-day-gap semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "w5_lead_reorder",
+    f"""
+    WITH x AS (
+      SELECT o_orderpriority, o_orderdate,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS next_dt
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS ord_cnt,
+           CAST(COUNT(next_dt) AS BIGINT) AS with_successor,
+           CAST(COUNT(CASE WHEN date_diff('day', o_orderdate, next_dt) <= 30
+                           THEN 1 END) AS BIGINT) AS reorder_30d,
+           {duck_pct(
+               "COUNT(CASE WHEN date_diff('day', o_orderdate, next_dt) <= 30"
+               " THEN 1 END)",
+               "COUNT(*)",
+           )} AS reorder_pct
+    FROM x GROUP BY o_orderpriority
+    """,
+)
+def w5_lead_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    x = t.orders.withColumn("next_dt", F.lead("o_orderdate").over(w))
+    gap_days = F.datediff(F.col("next_dt"), F.col("o_orderdate"))
+    reorder = F.sum(F.when(gap_days <= 30, 1).otherwise(0)).cast("long")
+    return x.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("ord_cnt"),
+        F.count("next_dt").alias("with_successor"),
+        reorder.alias("reorder_30d"),
+        pct(reorder, F.count(F.lit(1)), "reorder_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A16: ROLLUP with grouping_id — subtotals and grand total in one pass
+# (partial aggregation handles all levels map-side; no extra shuffles
+# vs a plain groupBy).
+# ---------------------------------------------------------------------------
+@register(
+    "a16_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS line_cnt,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def a16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        lng(F.grouping_id(), "gid"),
+        F.count(F.lit(1)).alias("line_cnt"),
+        rnd(F.sum(F.col("l_quantity").cast(DEC)), "sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A17: pivot with explicit value list (scale rule: always pass the
+# pivot values — omitting them costs an extra distinct scan of the
+# fact and risks a column-count explosion).
+# ---------------------------------------------------------------------------
+@register(
+    "a17_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) * 100 AS BIGINT)
+             AS f_qty_cents,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) * 100 AS BIGINT)
+             AS o_qty_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    p = (
+        t.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC) * 100).cast("long"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F").alias("f_qty_cents"),
+        F.col("O").alias("o_qty_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array explode: per-(label, dimension) stats over the embedding
+# vectors via posexplode. min/max are exact (float→double widening is
+# exact in both engines). The average is computed over values
+# quantized to exact integer micro-units (floor(v·1e6) — double
+# multiply and floor are bit-identical across engines) and rounded in
+# integer arithmetic: summing raw doubles is NOT portable when the
+# mean sits near a rounding tie, because Spark's and DuckDB's
+# summation orders differ (helpers module doctrine).
+# ---------------------------------------------------------------------------
+@register(
+    "arr_dim_stats",
+    f"""
+    WITH x AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS min_v, MAX(v) AS max_v,
+           {duck_round_div(
+               "SUM(CAST(FLOOR((v + 16) * 1000000) AS BIGINT))",
+               "COUNT(*) * 1000000",
+               4,
+           )} - 16 AS avg_v
+    FROM x WHERE dim <= 4 GROUP BY label, dim
+    """,
+)
+def arr_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    x = t.embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),  # 1-based like SQL
+        F.col("v").cast("double").alias("v"),
+    )
+    # +16 offset keeps the quantized units non-negative (round_div's
+    # integer-division trick and DuckDB's `//` disagree on negatives)
+    micro = F.floor((F.col("v") + 16) * 1_000_000).cast("long")
+    return (
+        x.filter(F.col("dim") <= 4)
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            (
+                round_div(
+                    F.sum(micro), F.count(F.lit(1)) * 1_000_000, "x", 4
+                )
+                - 16
+            ).alias("avg_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction: typed scalar pulled from a JSON string column
+# (`events.props`), aggregated per event_type. JVM-side
+# get_json_object — no Python in the path.
+# ---------------------------------------------------------------------------
+@register(
+    "f_json_extract",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_cnt,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.sum(k).cast("long").alias("k_sum"),
+        F.max(k).cast("long").alias("k_max"),
+    )
