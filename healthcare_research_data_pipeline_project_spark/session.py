@@ -44,6 +44,19 @@ def get_spark(
         .master(master or os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect advisoryPartitionSizeInBytes when coalescing instead of
+        # padding reducer count out to defaultParallelism — fewer, fuller
+        # reducers; the setting Spark's AQE docs recommend for busy
+        # clusters, and it removes per-task scheduling overhead when a
+        # shuffle is small relative to the core count
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # with parallelismFirst off, the advisory size is the knob that
+        # balances reducer fan-in: 2m keeps compute-heavy aggregations
+        # (percentiles, multi-distinct) parallel at local test scale while
+        # still collapsing kB-sized shuffles to one task. At warehouse
+        # scale raise this back to 64-256m — partition count then comes
+        # from data volume, which is the property that transfers.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")
