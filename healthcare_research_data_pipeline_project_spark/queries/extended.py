@@ -23,6 +23,7 @@ from ..functions.helpers import (
     rnd,
     round_div,
 )
+from ..operators.interval import interval_join
 from ..operators.temporal import asof_join
 from ..tables import load_tables
 from . import register
@@ -233,6 +234,63 @@ def arr_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - 16
             ).alias("avg_v"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyless interval join: purchases within 10 minutes after each error
+# event — bucketized equi-join (operators/interval.py), never a
+# nested-loop. Oracle is DuckDB's native range join (IEJoin).
+# ---------------------------------------------------------------------------
+@register(
+    "t_interval_join",
+    """
+    WITH e AS (
+      SELECT event_id AS error_id, ts AS w_start,
+             ts + INTERVAL 10 MINUTE AS w_end
+      FROM events WHERE event_type = 'error'
+    ),
+    p AS (SELECT ts FROM events WHERE event_type = 'purchase')
+    SELECT e.error_id, CAST(COUNT(*) AS BIGINT) AS purchase_cnt
+    FROM p JOIN e ON p.ts BETWEEN e.w_start AND e.w_end
+    GROUP BY e.error_id
+    """,
+)
+def t_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    errors = t.events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts")
+    )
+    joined = interval_join(
+        purchases, errors, "p_ts", "w_start", "w_end",
+        bucket_width_seconds=600,
+    )
+    return joined.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("purchase_cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate tier: HLL distinct + quantile-sketch percentiles. At
+# 100 TB these replace their exact twins (COUNT(DISTINCT) is a full
+# shuffle of every key; approx_* is a fixed-size sketch merged
+# map-side). Sketch outputs are engine-specific, so there is no DuckDB
+# oracle — the accuracy contract (rel. error vs the exact values) is
+# pinned by test_approx_within_tolerance instead.
+# ---------------------------------------------------------------------------
+@register("a2b_approx_stats")
+def a2b_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("approx_p50"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
     )
 
 

@@ -119,6 +119,84 @@ def test_rollup_has_grand_total(spark):
     assert grand[0]["l_returnflag"] is None
 
 
+def test_interval_join_matches_naive(spark):
+    from healthcare_research_data_pipeline_project_spark.operators.interval import (
+        interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(i, _ts(f"2024-01-01 10:{i:02d}:00")) for i in range(60)],
+        "pid long, p_ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01 10:05:00"), _ts("2024-01-01 10:15:00")),
+            (200, _ts("2024-01-01 10:50:00"), _ts("2024-01-01 11:10:00")),
+            (300, _ts("2024-01-01 09:00:00"), _ts("2024-01-01 09:30:00")),
+        ],
+        "iid long, w_start timestamp, w_end timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, "p_ts", "w_start", "w_end", 600
+        ).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .filter(F.col("p_ts").between(F.col("w_start"), F.col("w_end")))
+        .collect()
+    }
+    assert got == naive and len(got) == 11 + 10  # [05,15] and [50,59]
+
+
+def test_interval_join_plan_no_nested_loop(spark):
+    df = EXT.t_interval_join(spark, SF_SMOKE)
+    p = X.plan(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_approx_within_tolerance(spark):
+    for r in EXT.a2b_approx_stats(spark, SF_SMOKE).collect():
+        assert abs(r["approx_custs"] - r["exact_custs"]) <= 0.05 * r["exact_custs"]
+        # percentile_approx returns a real data value (no interpolation);
+        # at smoke SF the inter-value gap inside a group is percents wide
+        assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.05 * abs(r["exact_p50"])
+
+
+def test_click_purchase_stream_join(spark, tmp_path):
+    from healthcare_research_data_pipeline_project_spark.streaming import (
+        joins as SJ,
+        surveillance as sv,
+    )
+
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (2, "2024-01-01 10:05:00", 1, "purchase"),   # pairs with 1
+        (3, "2024-01-01 10:20:00", 1, "purchase"),   # >10min after click 1
+        (4, "2024-01-01 10:18:00", 1, "click"),      # pairs with 3
+        (5, "2024-01-01 10:06:00", 2, "purchase"),   # user 2: no click
+        (6, "2024-01-01 12:00:00", 3, "click"),      # click w/o purchase
+    ]
+    src = str(tmp_path / "cp_events")
+    spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for i, ts, u, et in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(2).write.parquet(src)
+
+    out = sv.run_available_now(
+        SJ.click_purchase_join(sv.stream_events(spark, src)),
+        "t_cp_join",
+        output_mode="append",
+    )
+    pairs = {(r["purchase_id"], r["click_id"]) for r in out}
+    assert pairs == {(2, 1), (3, 4)}
+
+
 def test_pivot_unpivot_roundtrip(spark):
     """stack() inverts the pivot back to the long form."""
     p = EXT.a17_pivot(spark, SF_SMOKE)
