@@ -23,6 +23,7 @@ from ..functions.helpers import (
     rnd,
     round_div,
 )
+from ..functions.text import DUCK_TOKENS, tokens
 from ..operators.interval import interval_join
 from ..operators.temporal import asof_join
 from ..tables import load_tables
@@ -291,6 +292,99 @@ def a2b_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("exact_custs"),
         F.percentile_approx("o_totalprice", 0.5, 10_000).alias("approx_p50"),
         F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6: rolling window frame (RANGE BETWEEN N PRECEDING) — trailing
+# 7-day order revenue per priority. The frame is keyed on an integer
+# day column so Spark's rangeBetween and SQL RANGE frames agree
+# exactly; sums are decimal cents (exact, order-independent).
+# ---------------------------------------------------------------------------
+@register(
+    "w6_rolling_window",
+    """
+    WITH x AS (
+      SELECT o_orderkey, o_orderpriority,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day_num,
+             CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, CAST(day_num AS INT) AS day_num,
+           CAST(SUM(cents) OVER (PARTITION BY o_orderpriority ORDER BY day_num
+                                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_7d_cents
+    FROM x
+    """,
+)
+def w6_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    x = t.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("int")
+        .alias("day_num"),
+        (F.col("o_totalprice").cast(DEC) * 100).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return x.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "day_num",
+        F.sum("cents").over(w).cast("long").alias("trailing_7d_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF corpus statistics: term df / tf via explode + two aggregations
+# (term-local shuffles only; N is a scalar broadcast into the plan).
+# idf uses natural log — rounded at 4dp since libm implementations may
+# differ in the last ulp (cross-engine doctrine in functions/helpers).
+# ---------------------------------------------------------------------------
+@register(
+    "text_tfidf",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest({DUCK_TOKENS.format(text="text")}) AS term
+      FROM documents
+    ),
+    d AS (
+      SELECT term,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, df, tf,
+           CAST(ROUND(ln(CAST(n.n_docs AS DOUBLE) / df), 4) AS DOUBLE) AS idf,
+           CAST(ROUND(tf * ROUND(ln(CAST(n.n_docs AS DOUBLE) / df), 4), 2)
+                AS DOUBLE) AS tfidf_mass
+    FROM d, n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    terms = t.documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    d = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    n_docs = t.documents.count()  # scalar; folded into the plan as a literal
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 4)
+    return d.select(
+        "term",
+        "df",
+        "tf",
+        idf.cast("double").alias("idf"),
+        F.round(F.col("tf") * idf, 2).cast("double").alias("tfidf_mass"),
     )
 
 
