@@ -148,6 +148,80 @@ def a16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A18: CUBE — all 2^k grouping-set combinations in one pass (Spark
+# expands the sets map-side; one shuffle, same as a plain groupBy).
+# grouping_id disambiguates real NULL keys from subtotal rows.
+# ---------------------------------------------------------------------------
+@register(
+    "a18_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS line_cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS price_cents
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def a18_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        lng(F.grouping_id(), "gid"),
+        F.count(F.lit(1)).alias("line_cnt"),
+        (F.sum(F.col("l_extendedprice").cast(DEC)) * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W7: ranking-function battery — rank/dense_rank keyed on a non-unique
+# date (tie groups share a rank, so values are deterministic); ntile &
+# lag/lead keyed on the unique orderkey (total order, so bucket
+# boundaries and neighbors are deterministic). One window partition
+# spec each → two sorts, no extra shuffle beyond the partition key.
+# ---------------------------------------------------------------------------
+@register(
+    "w7_rank_battery",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(RANK() OVER (PARTITION BY o_orderpriority
+                             ORDER BY CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS drnk,
+           CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_orderkey) AS BIGINT) AS quartile,
+           CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+                AS BIGINT) AS prev_cents,
+           CAST(LEAD(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+                AS BIGINT) AS next_cents
+    FROM orders
+    """,
+)
+def w7_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    by_date = Window.partitionBy("o_orderpriority").orderBy(
+        F.to_date("o_orderdate")
+    )
+    by_key = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    cents = F.col("o_totalprice").cast(DEC) * 100
+    return t.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        lng(F.rank().over(by_date), "rnk"),
+        lng(F.dense_rank().over(by_date), "drnk"),
+        lng(F.ntile(4).over(by_key), "quartile"),
+        F.lag(cents).over(by_key).cast("long").alias("prev_cents"),
+        F.lead(cents).over(by_key).cast("long").alias("next_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A17: pivot with explicit value list (scale rule: always pass the
 # pivot values — omitting them costs an extra distinct scan of the
 # fact and risks a column-count explosion).
