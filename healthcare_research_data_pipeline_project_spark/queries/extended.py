@@ -148,6 +148,45 @@ def a16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F20: string-function battery — case, trim, substring (1-based),
+# concat_ws, global regexp replace, split-derived token count. All
+# JVM-side codegen expressions; DuckDB twins are name-for-name except
+# regexp_replace, which needs the 'g' flag to match Spark's
+# replace-all semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "f_string_battery",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           TRIM(p_type) AS type_trim,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           CONCAT_WS('|', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+           REGEXP_REPLACE(p_name, ' ', '_', 'g') AS name_snake,
+           CAST(LEN(STRING_SPLIT(p_name, ' ')) AS BIGINT) AS name_tokens
+    FROM part
+    """,
+)
+def f_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim("p_type").alias("type_trim"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.size(F.split("p_name", " ")).cast("long").alias("name_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A18: CUBE — all 2^k grouping-set combinations in one pass (Spark
 # expands the sets map-side; one shuffle, same as a plain groupBy).
 # grouping_id disambiguates real NULL keys from subtotal rows.
