@@ -1,0 +1,458 @@
+"""Training-data pipeline corpus, part 2: corpus n-gram statistics,
+repetition-based quality filtering (Gopher-style), benchmark
+decontamination, stratified sampling, time-series gap-filling, and
+multidimensional/array batteries.
+
+These extend `datapipe.py` with the curation operators an LLM
+training-data pipeline runs between raw crawl and tokenized shards.
+Everything stays JVM-side (higher-order Catalyst expressions, no
+Python UDFs); every ratio uses the exact integer-arithmetic rounding
+from `functions.helpers` so the DuckDB oracle matches bit-for-bit.
+
+Scale notes are per-operator: each docstring says what the plan does
+at 100 TB (what shuffles, what broadcasts, what would be precomputed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.helpers import duck_round_div, round_div
+from ..functions.text import DUCK_TOKENS, duck_shingles, shingles, tokens
+from ..operators.scale import duck_hash_bucket, hash_bucket
+from ..tables import load_tables
+from . import register
+
+_TOKS = DUCK_TOKENS.format(text="text")
+
+# Bigram builders. Spark `sequence(0, n)` generates a *descending*
+# sequence when n < 0, so single-token docs can't use the
+# sequence-slice idiom — the (element, index) transform lambda with a
+# null-filter sidesteps it. DuckDB's generate_series(1, 0) is empty,
+# so the plain form is safe there.
+_BIGRAMS_SPARK = (
+    "filter(transform({toks}, (t, i) -> CASE WHEN i < size({toks}) - 1"
+    " THEN concat(t, ' ', {toks}[i + 1]) END), x -> x IS NOT NULL)"
+)
+_BIGRAMS_DUCK = (
+    "list_transform(generate_series(1, len({toks}) - 1),"
+    " i -> {toks}[i] || ' ' || {toks}[i + 1])"
+)
+
+
+def _bigrams(toks_col: str) -> F.Column:
+    return F.expr(_BIGRAMS_SPARK.format(toks=toks_col))
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics: top-10 bigrams per language.
+# 100 TB: explode(bigrams) is the map side; the (lang, bigram) count is
+# one partial-aggregated shuffle; the per-lang top-k is a second tiny
+# shuffle over already-aggregated rows (card = distinct bigrams). For a
+# web-scale vocabulary you'd add a count-min/frequency-floor filter
+# between the two aggregations; at corpus scale the exact form is right.
+# ---------------------------------------------------------------------------
+_TOP_BG = 10
+
+
+@register(
+    "text_ngram_counts",
+    f"""
+    WITH d AS (SELECT lang, {_TOKS} AS toks FROM documents),
+    b AS (SELECT lang, unnest({_BIGRAMS_DUCK.format(toks='toks')}) AS bigram
+          FROM d),
+    c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM b GROUP BY lang, bigram),
+    r AS (SELECT lang, bigram, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY cnt DESC, bigram) AS rnk
+          FROM c)
+    SELECT lang, bigram, CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= {_TOP_BG}
+    """,
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t.documents.withColumn("toks", tokens(F.col("text")))
+    b = d.select("lang", F.explode(_bigrams("toks")).alias("bigram"))
+    c = b.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "bigram")
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_BG)
+        .select("lang", "bigram", F.col("cnt").cast("long").alias("cnt"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filter (Gopher-rule style): most-frequent-
+# token fraction, duplicate-shingle fraction, top-bigram fraction, and
+# a keep flag from integer-exact threshold comparisons
+# (top_token ≤ 0.2 · tokens, dup shingles ≤ 0.3, top bigram ≤ 0.2).
+# All per-row higher-order expressions — a pure map stage, no shuffle;
+# at 100 TB this runs scan-speed inside whole-stage codegen and the
+# keep flag drives a pushdown-friendly filter on the next stage.
+# The per-doc O(distinct·n) frequency scan is bounded by document
+# length, not data size.
+# ---------------------------------------------------------------------------
+def _top_freq_spark(arr: str) -> str:
+    return (
+        f"array_max(transform(array_distinct({arr}),"
+        f" t -> size(filter({arr}, x -> x = t))))"
+    )
+
+
+def _top_freq_duck(arr: str) -> str:
+    return (
+        f"list_max(list_transform(list_distinct({arr}),"
+        f" t -> len(list_filter({arr}, x -> x = t))))"
+    )
+
+
+@register(
+    "text_repetition_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS token_cnt,
+             {_top_freq_duck('toks')} AS top_token_cnt,
+             len({duck_shingles('toks')}) AS sh_cnt,
+             len(list_distinct({duck_shingles('toks')})) AS sh_distinct,
+             {_BIGRAMS_DUCK.format(toks='toks')} AS bg
+      FROM d
+    ),
+    x AS (
+      SELECT doc_id, token_cnt, top_token_cnt, sh_cnt, sh_distinct,
+             len(bg) AS bg_cnt,
+             CASE WHEN len(bg) = 0 THEN 0
+                  ELSE {_top_freq_duck('bg')} END AS top_bg_cnt
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(token_cnt AS BIGINT) AS token_cnt,
+           {duck_round_div('top_token_cnt', 'token_cnt', 4)} AS top_token_frac,
+           {duck_round_div('sh_cnt - sh_distinct', 'sh_cnt', 4)}
+             AS dup_shingle_frac,
+           {duck_round_div('top_bg_cnt', 'bg_cnt', 4)} AS top_bigram_frac,
+           CAST(CASE WHEN top_token_cnt * 10 <= token_cnt * 2
+                      AND (sh_cnt - sh_distinct) * 10 <= sh_cnt * 3
+                      AND top_bg_cnt * 10 <= bg_cnt * 2
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM x
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = (
+        t.documents.withColumn("toks", tokens(F.col("text")))
+        .withColumn("token_cnt", F.size("toks"))
+        .withColumn("top_token_cnt", F.expr(_top_freq_spark("toks")))
+        .withColumn("sh", shingles("toks"))
+        .withColumn("sh_cnt", F.size("sh"))
+        .withColumn("sh_distinct", F.size(F.array_distinct("sh")))
+        .withColumn("bg", _bigrams("toks"))
+        .withColumn("bg_cnt", F.size("bg"))
+        .withColumn(
+            "top_bg_cnt",
+            F.when(F.col("bg_cnt") == 0, F.lit(0)).otherwise(
+                F.expr(_top_freq_spark("bg"))
+            ),
+        )
+    )
+    keep = (
+        (F.col("top_token_cnt") * 10 <= F.col("token_cnt") * 2)
+        & ((F.col("sh_cnt") - F.col("sh_distinct")) * 10 <= F.col("sh_cnt") * 3)
+        & (F.col("top_bg_cnt") * 10 <= F.col("bg_cnt") * 2)
+    )
+    return d.select(
+        "doc_id",
+        F.col("token_cnt").cast("long").alias("token_cnt"),
+        round_div(F.col("top_token_cnt"), F.col("token_cnt"), "top_token_frac", 4),
+        round_div(
+            F.col("sh_cnt") - F.col("sh_distinct"), F.col("sh_cnt"),
+            "dup_shingle_frac", 4,
+        ),
+        round_div(F.col("top_bg_cnt"), F.col("bg_cnt"), "top_bigram_frac", 4),
+        F.when(keep, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents whose shingle sets
+# overlap a held-out eval split (doc_id % 97 == 0 — deterministic, so
+# both engines pick the identical split). The eval shingle vocabulary
+# is tiny relative to the corpus → broadcast to every executor, and the
+# per-doc hit count is a map-side join + one aggregation keyed by
+# doc_id (pre-partitioned by the explode, combiner-friendly).
+# 100 TB: eval sets are MBs while the corpus is TBs, so the broadcast
+# never becomes the bottleneck; if the eval vocabulary outgrew memory
+# you'd switch the hit-count join to a bloom-filter pre-pass.
+# ---------------------------------------------------------------------------
+_EVAL_MOD = 97
+_CONTAM_NUM, _CONTAM_DEN = 1, 20  # flag when hits/total >= 1/20
+
+
+@register(
+    "text_decontaminate",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({duck_shingles(_TOKS)}) AS sh
+      FROM documents
+    ),
+    ev AS (
+      SELECT list_distinct(flatten(list(sh))) AS es
+      FROM d WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    t AS (SELECT doc_id, sh FROM d WHERE doc_id % {_EVAL_MOD} <> 0)
+    SELECT t.doc_id,
+           CAST(len(sh) AS BIGINT) AS shingle_cnt,
+           CAST(len(list_intersect(sh, es)) AS BIGINT) AS contaminated_cnt,
+           {duck_round_div('len(list_intersect(sh, es))', 'len(sh)', 4)}
+             AS contamination_ratio,
+           CAST(CASE WHEN len(list_intersect(sh, es)) * {_CONTAM_DEN}
+                          >= len(sh) * {_CONTAM_NUM}
+                     THEN 1 ELSE 0 END AS INT) AS is_contaminated
+    FROM t, ev
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = (
+        t.documents.withColumn("toks", tokens(F.col("text")))
+        .withColumn("sh", F.array_distinct(shingles("toks")))
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_sh = (
+        d.filter(is_eval)
+        .select(F.explode("sh").alias("sh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    exploded = (
+        d.filter(~is_eval)
+        .select("doc_id", F.size("sh").alias("shingle_cnt"),
+                F.explode("sh").alias("sh"))
+        .join(F.broadcast(eval_sh), "sh", "left")
+    )
+    agg = exploded.groupBy("doc_id", "shingle_cnt").agg(
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("hits")
+    )
+    return agg.select(
+        "doc_id",
+        F.col("shingle_cnt").cast("long").alias("shingle_cnt"),
+        F.col("hits").cast("long").alias("contaminated_cnt"),
+        round_div(F.col("hits"), F.col("shingle_cnt"), "contamination_ratio", 4),
+        (F.col("hits") * _CONTAM_DEN >= F.col("shingle_cnt") * _CONTAM_NUM)
+        .cast("int")
+        .alias("is_contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling: per-language sampling rates over
+# the content-hash bucket (en 40%, de 25%, rest 10%) — the downsample/
+# upweight step of corpus mixing. Pure map-side filter: no shuffle, no
+# rand() (replay-safe under task retry), identical assignment in every
+# engine with md5. At 100 TB the filter is evaluated at scan time.
+# ---------------------------------------------------------------------------
+_STRAT_SALT = "strat"
+
+
+@register(
+    "ds_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE {duck_hash_bucket('doc_id', 100, _STRAT_SALT)} <
+          CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 25 ELSE 10 END
+    """,
+)
+def ds_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rate = (
+        F.when(F.col("lang") == "en", 40)
+        .when(F.col("lang") == "de", 25)
+        .otherwise(10)
+    )
+    return (
+        t.documents.filter(hash_bucket("doc_id", 100, _STRAT_SALT) < rate)
+        .select("doc_id", "lang", "source",
+                F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill + last-observation-carried-forward: regularize
+# the event stream onto a dense (event_type × day) calendar spine,
+# zero-filling counts and LOCF-filling the daily average value.
+# The spine is tiny (types × days) and cross-joined driver-side; the
+# daily aggregate is one shuffle; LOCF is a window over the spine
+# (rows per partition = #days, bounded). avg is computed in exact
+# micro-unit decimals so both engines round identically.
+# 100 TB: bounds would come from partition metadata (min/max of the
+# date partition column) instead of a scan; the spine stays tiny.
+# ---------------------------------------------------------------------------
+@register(
+    "t_gap_fill",
+    """
+    WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
+    daily AS (
+      SELECT event_type, day, COUNT(*) AS event_cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000) AS BIGINT)
+               AS micro_sum
+      FROM ev GROUP BY event_type, day
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev),
+    days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    spine AS (
+      SELECT t.event_type, d.day,
+             CAST(COALESCE(daily.event_cnt, 0) AS BIGINT) AS event_cnt,
+             {avg} AS avg_value
+      FROM types t CROSS JOIN days d
+      LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, event_cnt,
+           last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS avg_value_locf
+    FROM spine
+    """.format(avg=duck_round_div("micro_sum", "daily.event_cnt * 1000000", 4)),
+)
+def t_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_type", F.to_date("ts").alias("day"), "value")
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.sum(F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("long")
+        .alias("micro_sum"),
+    )
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(days).join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    avg = round_div(
+        F.col("micro_sum"), F.col("event_cnt") * 1000000, "avg_value", 4
+    )
+    return spine.select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("event_cnt"), F.lit(0)).cast("long").alias("event_cnt"),
+        avg,
+    ).select(
+        "event_type",
+        # DATE-typed outputs round-trip differently through pandas in the
+        # two engines (datetime.date vs datetime64) — emit timestamps
+        F.col("day").cast("timestamp").alias("day"),
+        "event_cnt",
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS: detail + per-flag subtotal + grand total in one pass
+# (complements the ROLLUP/CUBE queries in extended.py). Spark computes
+# all sets in a single Expand + one shuffle — cheaper at 100 TB than
+# three separate aggregations and a union.
+# ---------------------------------------------------------------------------
+@register(
+    "a19_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def a19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array-function battery over the embedding column: size / element
+# transform + fold (L2 norm) / min-max / sort + slice (top-3 mean) /
+# predicate count — the vector-column toolbox every embedding pipeline
+# leans on, all whole-stage-codegen expressions (zero shuffle).
+# ---------------------------------------------------------------------------
+@register(
+    "f_array_battery",
+    f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           CAST(ROUND(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS DOUBLE)
+             AS l2_norm,
+           CAST(ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS DOUBLE)
+             AS max_val,
+           CAST(ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS DOUBLE)
+             AS min_val,
+           CAST(ROUND(list_sum(list_transform(
+                  list_sort(embedding, 'DESC')[1:3],
+                  x -> CAST(x AS DOUBLE))) / 3, 4) AS DOUBLE) AS top3_mean,
+           {duck_round_div(
+               'len(list_filter(embedding, x -> x > 0))', 'len(embedding)', 4)}
+             AS frac_positive
+    FROM embeddings
+    """,
+)
+def f_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.embeddings.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("n_dims"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(embedding, 0.0D,"
+                    " (a, x) -> a + cast(x as double) * cast(x as double))"
+                )
+            ),
+            4,
+        ).cast("double").alias("l2_norm"),
+        F.round(F.array_max("embedding").cast("double"), 4)
+        .cast("double")
+        .alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 4)
+        .cast("double")
+        .alias("min_val"),
+        F.round(
+            F.expr(
+                "aggregate(slice(sort_array(embedding, false), 1, 3), 0.0D,"
+                " (a, x) -> a + cast(x as double))"
+            )
+            / 3,
+            4,
+        ).cast("double").alias("top3_mean"),
+        round_div(
+            F.size(F.filter(F.col("embedding"), lambda x: x > 0)),
+            F.size("embedding"),
+            "frac_positive",
+            4,
+        ),
+    )

@@ -1,0 +1,158 @@
+"""Semantic pins for the datapipe2 corpus: n-gram stats, repetition
+quality filter, decontamination, stratified sampling, gap-fill/LOCF,
+grouping sets, array battery. Each query is also oracle-checked at
+sf0.01 by tools/check_correctness.py — these tests pin hand-computable
+cases and structural invariants the hash compare can't explain."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from healthcare_research_data_pipeline_project_spark.queries import (
+    QUERIES,
+    load_all,
+)
+
+from .conftest import SF_SMOKE
+
+load_all()
+
+
+def test_ngram_counts_topk_per_lang(spark):
+    rows = QUERIES["text_ngram_counts"](spark, SF_SMOKE).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 10
+        cnts = [r["cnt"] for r in rs]
+        assert cnts == sorted(cnts, reverse=True)
+
+
+def test_repetition_stats_hand_case(spark):
+    # "a a a a b" → top token 'a' 4/5; shingles of 3: [a a a, a a a, a a b]
+    # → 3 total, 2 distinct → dup 1/3; bigrams [a a, a a, a a, a b] →
+    # top bigram 3/4. Heavily repetitive → keep = 0.
+    df = spark.createDataFrame([(1, "a a a a b")], "doc_id long, text string")
+    from healthcare_research_data_pipeline_project_spark.functions.text import (
+        tokens,
+        shingles,
+    )
+    from healthcare_research_data_pipeline_project_spark.queries.datapipe2 import (
+        _bigrams,
+        _top_freq_spark,
+    )
+
+    d = (
+        df.withColumn("toks", tokens(F.col("text")))
+        .withColumn("top_token_cnt", F.expr(_top_freq_spark("toks")))
+        .withColumn("sh", shingles("toks"))
+        .withColumn("bg", _bigrams("toks"))
+    )
+    r = d.select(
+        "top_token_cnt",
+        F.size("sh").alias("sh_cnt"),
+        F.size(F.array_distinct("sh")).alias("sh_distinct"),
+        F.size("bg").alias("bg_cnt"),
+        F.expr(_top_freq_spark("bg")).alias("top_bg_cnt"),
+    ).first()
+    assert r["top_token_cnt"] == 4
+    assert (r["sh_cnt"], r["sh_distinct"]) == (3, 2)
+    assert (r["bg_cnt"], r["top_bg_cnt"]) == (4, 3)
+
+
+def test_repetition_single_token_doc_survives(spark):
+    # 1-token doc: no bigrams — must not error and must not divide by 0
+    from healthcare_research_data_pipeline_project_spark.queries.datapipe2 import (
+        _bigrams,
+    )
+    from healthcare_research_data_pipeline_project_spark.functions.text import (
+        tokens,
+    )
+
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    r = (
+        df.withColumn("toks", tokens(F.col("text")))
+        .select(F.size(_bigrams("toks")).alias("bg_cnt"))
+        .first()
+    )
+    assert r["bg_cnt"] == 0
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    res = QUERIES["text_decontaminate"](spark, SF_SMOKE).collect()
+    assert res, "expected non-eval docs"
+    for r in res:
+        assert 0 <= r["contaminated_cnt"] <= r["shingle_cnt"]
+        expected_flag = int(
+            r["contaminated_cnt"] * 20 >= r["shingle_cnt"]
+        )
+        assert r["is_contaminated"] == expected_flag
+        # eval docs themselves never appear
+        assert r["doc_id"] % 97 != 0
+
+
+def test_stratified_sample_is_deterministic_and_stratified(spark):
+    a = QUERIES["ds_stratified_sample"](spark, SF_SMOKE)
+    b = QUERIES["ds_stratified_sample"](spark, SF_SMOKE)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert ids_a == ids_b  # hash-based, replay-stable
+
+
+def test_gap_fill_dense_spine_and_locf(spark):
+    rows = QUERIES["t_gap_fill"](spark, SF_SMOKE).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    n_days = {len(v) for v in by_type.values()}
+    assert len(n_days) == 1  # every type covers the identical spine
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r["day"])
+        days = [r["day"].date() for r in rs]
+        assert (days[-1] - days[0]).days == len(days) - 1  # dense, no gaps
+        # LOCF: avg_value_locf is never null after the first observed day
+        seen = False
+        for r in rs:
+            if r["event_cnt"] > 0:
+                seen = True
+            if seen:
+                assert r["avg_value_locf"] is not None
+
+
+def test_grouping_sets_totals_consistent(spark):
+    rows = QUERIES["a19_grouping_sets"](spark, SF_SMOKE).collect()
+    detail = [r for r in rows if r["l_returnflag"] is not None
+              and r["l_linestatus"] is not None]
+    subtotal = {r["l_returnflag"]: r["cnt"] for r in rows
+                if r["l_returnflag"] is not None and r["l_linestatus"] is None}
+    grand = [r for r in rows if r["l_returnflag"] is None]
+    assert len(grand) == 1
+    assert grand[0]["cnt"] == sum(r["cnt"] for r in detail)
+    for flag, cnt in subtotal.items():
+        assert cnt == sum(r["cnt"] for r in detail if r["l_returnflag"] == flag)
+
+
+def test_array_battery_matches_python_math(spark):
+    row = (
+        QUERIES["f_array_battery"](spark, SF_SMOKE)
+        .filter(F.col("vec_id") == 0)
+        .first()
+    )
+    from healthcare_research_data_pipeline_project_spark.tables import load_tables
+
+    emb = (
+        load_tables(spark, SF_SMOKE)
+        .embeddings.filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    )
+    v = [float(x) for x in emb]
+    assert row["n_dims"] == len(v)
+    assert abs(row["l2_norm"] - math.sqrt(sum(x * x for x in v))) < 1e-3
+    assert abs(row["max_val"] - max(v)) < 1e-3
+    top3 = sorted(v, reverse=True)[:3]
+    assert abs(row["top3_mean"] - sum(top3) / 3) < 1e-3
