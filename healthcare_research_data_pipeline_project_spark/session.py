@@ -58,6 +58,17 @@ def get_spark(
         # from data volume, which is the property that transfers.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0` ahead of
+        # every explode and lets it push below exchanges — when the
+        # array is an expensive computed column (shingles, n-grams,
+        # LSH bands) the whole expression is then evaluated twice, once
+        # of those on the pre-repartition scan task. Measured 7x slowdown
+        # on the decontamination query; our generators never feed empty
+        # arrays where it matters, so drop the rule engine-wide.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
