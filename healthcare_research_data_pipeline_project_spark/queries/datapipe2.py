@@ -456,3 +456,132 @@ def f_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering: LSH candidate pairs → connected components →
+# one cluster id per document (keep the min-id doc per cluster). The
+# component labels depend on engine-internal LSH banding, so the driver
+# records a rows-only check; pytest verifies the partition structure
+# against a driver-side union-find over the same collected pairs.
+# 100 TB: each label-propagation round is a key-partitioned join +
+# combiner aggregation; lineage is truncated per round
+# (localCheckpoint), and near-dup graphs converge in 2-4 rounds.
+# ---------------------------------------------------------------------------
+@register("dedup_clusters")
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    from ..operators.graph import dedup_clusters
+
+    t = load_tables(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(
+        t.documents, "text", "doc_id", num_hashes=16, bands=4
+    )
+    return dedup_clusters(t.documents, pairs)
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (SURVEY's "token counting: whitespace + a
+# BPE-ish regex"): alternation of alphanumeric runs and single
+# non-space symbols — the GPT-2-style pre-tokenizer shape. Pure map
+# stage; the pattern uses only RE2/Java-common syntax so both engines
+# extract identical matches.
+# ---------------------------------------------------------------------------
+_BPE_PAT = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "text_bpe_tokens",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '{_BPE_PAT}') AS bpe,
+             {_TOKS} AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(bpe) AS BIGINT) AS bpe_token_cnt,
+           CAST(len(list_distinct(bpe)) AS BIGINT) AS uniq_bpe_cnt,
+           {duck_round_div(
+               "list_sum(list_transform(bpe, t -> length(t)))", "len(bpe)", 4)}
+             AS avg_bpe_len,
+           {duck_round_div("len(bpe)", "len(ws)", 4)} AS subword_ratio
+    FROM d
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t.documents.withColumn(
+        # Spark SQL string literals process backslash escapes (DuckDB's
+        # don't), so \s must be doubled on this side only
+        "bpe",
+        F.expr(
+            f"regexp_extract_all(lower(text), '{_BPE_PAT.replace(chr(92), chr(92) * 2)}', 0)"
+        ),
+    ).withColumn("ws", tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.size("bpe").cast("long").alias("bpe_token_cnt"),
+        F.size(F.array_distinct("bpe")).cast("long").alias("uniq_bpe_cnt"),
+        round_div(
+            F.expr("aggregate(bpe, 0, (a, t) -> a + length(t))"),
+            F.size("bpe"),
+            "avg_bpe_len",
+            4,
+        ),
+        round_div(F.size("bpe"), F.size("ws"), "subword_ratio", 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (gap-based): Spark's session_window operator,
+# oracled with the equivalent gaps-and-islands SQL. Semantics note:
+# Spark session windows are half-open [start, last_ts + gap), so an
+# event exactly `gap` after the previous one starts a NEW session —
+# the oracle's new-session predicate is therefore `>=`, not `>`.
+# Complements events_sessionize (lag+cumsum form) with the built-in
+# operator, which at 100 TB runs as a single shuffle on user_id with
+# in-partition sort — same cost shape, less code.
+# ---------------------------------------------------------------------------
+_SW_GAP_MIN = 30
+
+
+@register(
+    "w9_session_window",
+    f"""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL {_SW_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    y AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL {_SW_GAP_MIN} MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS event_cnt
+    FROM y
+    GROUP BY user_id, sid
+    """,
+)
+def w9_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            "user_id", F.session_window("ts", f"{_SW_GAP_MIN} minutes")
+        )
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("event_cnt").cast("long").alias("event_cnt"),
+        )
+    )

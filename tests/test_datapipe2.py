@@ -156,3 +156,60 @@ def test_array_battery_matches_python_math(spark):
     assert abs(row["max_val"] - max(v)) < 1e-3
     top3 = sorted(v, reverse=True)[:3]
     assert abs(row["top3_mean"] - sum(top3) / 3) < 1e-3
+
+
+def test_connected_components_hand_graph(spark):
+    from healthcare_research_data_pipeline_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    # two components {1,2,3,7} (path) and {5,6}; 9 isolated via self-edge
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (7, 3), (5, 6), (9, 9)], "id_a long, id_b long"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_dedup_clusters_match_union_find(spark):
+    from healthcare_research_data_pipeline_project_spark.operators import dedup as D
+    from healthcare_research_data_pipeline_project_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_SMOKE).documents
+    pairs = D.lsh_candidate_pairs(docs, "text", "doc_id", 16, 4)
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in QUERIES["dedup_clusters"](spark, SF_SMOKE).collect()
+    }
+
+    # driver-side union-find oracle over the same pairs
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in pairs.collect():
+        union(r["id_a"], r["id_b"])
+    from collections import defaultdict
+
+    groups = defaultdict(set)
+    for d in [r["doc_id"] for r in docs.select("doc_id").collect()]:
+        groups[find(d)].add(d)
+    expected = {}
+    for members in groups.values():
+        root = min(members)
+        for m in members:
+            expected[m] = (root, len(members))
+    assert got == expected
