@@ -585,3 +585,44 @@ def w9_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_cnt").cast("long").alias("event_cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression/covariance aggregate battery: least-squares fit of
+# extendedprice against quantity per return flag — the moment-based
+# aggregates (slope/intercept/R²/covariance/correlation) every
+# profiling pipeline wants. All decomposable (sum/sum-of-products
+# moments), so Spark computes them with map-side partial aggregation —
+# one shuffle of 3 tiny rows per flag at any scale. Rounded at 4 dp:
+# the moments are irrational-valued doubles (helpers module doctrine).
+# ---------------------------------------------------------------------------
+@register(
+    "a20_regr_battery",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS DOUBLE)
+             AS slope,
+           CAST(ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS DOUBLE)
+             AS intercept,
+           CAST(ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS DOUBLE)
+             AS r2,
+           CAST(ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS DOUBLE)
+             AS cov_s,
+           CAST(ROUND(corr(l_extendedprice, l_quantity), 4) AS DOUBLE)
+             AS corr_pq
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a20_regr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.regr_slope(y, x), 4).cast("double").alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).cast("double").alias("intercept"),
+        F.round(F.regr_r2(y, x), 4).cast("double").alias("r2"),
+        F.round(F.covar_samp(y, x), 4).cast("double").alias("cov_s"),
+        F.round(F.corr(y, x), 4).cast("double").alias("corr_pq"),
+    )

@@ -213,3 +213,54 @@ def test_dedup_clusters_match_union_find(spark):
         for m in members:
             expected[m] = (root, len(members))
     assert got == expected
+
+
+def test_udtf_tokenize_matches_explode_fast_path(spark):
+    from healthcare_research_data_pipeline_project_spark.functions.text import tokens
+    from healthcare_research_data_pipeline_project_spark.functions.udtf_ops import (
+        TokenizeUDTF,
+    )
+
+    df = spark.createDataFrame(
+        [("the quick brown fox",), ("und der zug",)], "text string"
+    )
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    df.createOrReplaceTempView("udtf_docs")
+    got = [
+        (r["pos"], r["token"], r["is_stop"])
+        for r in spark.sql(
+            "SELECT t.* FROM udtf_docs, LATERAL tokenize_udtf(text) t"
+        ).orderBy("token", "pos").collect()
+    ]
+    fast = (
+        df.select(F.posexplode(tokens(F.col("text"))).alias("pos", "token"))
+        .orderBy("token", "pos")
+        .collect()
+    )
+    assert [(r["pos"], r["token"]) for r in fast] == [(p, t) for p, t, _ in got]
+    assert dict((t, s) for _, t, s in got)["the"] is True
+    assert dict((t, s) for _, t, s in got)["quick"] is False
+
+
+def test_udtf_chunker_covers_document(spark):
+    from healthcare_research_data_pipeline_project_spark.functions.udtf_ops import (
+        ChunkUDTF,
+    )
+
+    text = " ".join(f"w{i}" for i in range(80))
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    spark.createDataFrame([(text,)], "text string").createOrReplaceTempView(
+        "udtf_chunk_docs"
+    )
+    rows = sorted(
+        spark.sql(
+            "SELECT c.* FROM udtf_chunk_docs, LATERAL chunk_udtf(text) c"
+        ).collect(),
+        key=lambda r: r["start_pos"],
+    )
+    # stride 24, window 32 over 80 tokens → starts 0,24,48 (the chunk
+    # at 48 reaches the end; a start at 72 would be fully contained)
+    assert [r["start_pos"] for r in rows] == [0, 24, 48]
+    assert rows[0]["n_tokens"] == 32 and rows[-1]["end_pos"] == 80
+    # consecutive chunks overlap by window - stride = 8 tokens
+    assert rows[0]["end_pos"] - rows[1]["start_pos"] == 8
