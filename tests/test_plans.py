@@ -101,3 +101,38 @@ def test_warehouse_queries_read_materialized_tables(spark):
     p = X.plan(df)
     assert ".warehouse_cache" in p, "must scan the materialized warehouse"
     assert "md5(" not in p, "mapping must not be re-derived per query"
+
+
+def test_decontaminate_broadcasts_eval_vocabulary(spark):
+    df = Q.QUERIES["text_decontaminate"](spark, SF_ORACLE)
+    assert X.uses_broadcast_join(df), (
+        "eval shingle vocabulary must broadcast — a shuffle join here "
+        "would reshuffle the full corpus at 100 TB"
+    )
+
+
+def test_repetition_stats_is_map_only(spark):
+    p = X.plan(Q.QUERIES["text_repetition_stats"](spark, SF_ORACLE))
+    # one benign round-robin spread of the single-file scan is allowed;
+    # no key-shuffle (HashPartitioning) may appear in a pure map stage
+    assert "hashpartitioning" not in p.lower(), p
+
+
+def test_stratified_sample_pushes_no_shuffle(spark):
+    p = X.plan(Q.QUERIES["ds_stratified_sample"](spark, SF_ORACLE))
+    assert "hashpartitioning" not in p.lower(), p
+
+
+def test_grouping_sets_single_expand(spark):
+    p = X.plan(Q.QUERIES["a19_grouping_sets"](spark, SF_ORACLE), "simple")
+    assert p.count("Expand") == 1, (
+        "grouping sets must compute all granularities in ONE Expand pass"
+    )
+    assert p.count("HashAggregate") >= 2, "needs partial+final aggregation"
+
+
+def test_gap_fill_spine_broadcasts(spark):
+    # the (type × day) spine is tiny; joining it to the daily aggregate
+    # must not shuffle the aggregate a second time
+    df = Q.QUERIES["t_gap_fill"](spark, SF_ORACLE)
+    assert X.uses_broadcast_join(df)
