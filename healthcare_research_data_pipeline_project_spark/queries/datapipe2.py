@@ -626,3 +626,96 @@ def a20_regr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp(y, x), 4).cast("double").alias("cov_s"),
         F.round(F.corr(y, x), 4).cast("double").alias("corr_pq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM): group stats keyed by
+# a *nullable* derived key must pair their NULL groups too — a plain
+# equi-join silently drops them (NULL = NULL is NULL). Spark plans
+# eqNullSafe as a hash join on a null-safe key, same shuffle shape as a
+# normal equi-join at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "j10_null_safe_join",
+    f"""
+    WITH a AS (
+      SELECT NULLIF(o_orderpriority, '1-URGENT') AS pr,
+             COUNT(*) AS total_cnt
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT NULLIF(o_orderpriority, '1-URGENT') AS pr,
+             COUNT(*) AS big_cnt
+      FROM orders WHERE o_totalprice > 200000 GROUP BY 1
+    )
+    SELECT a.pr, CAST(a.total_cnt AS BIGINT) AS total_cnt,
+           CAST(COALESCE(b.big_cnt, 0) AS BIGINT) AS big_cnt,
+           {duck_round_div('COALESCE(b.big_cnt, 0) * 100', 'a.total_cnt', 2)}
+             AS big_pct
+    FROM a LEFT JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
+    """,
+)
+def j10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pr = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pr")
+    a = t.orders.groupBy(pr).agg(F.count(F.lit(1)).alias("total_cnt"))
+    b = (
+        t.orders.filter(F.col("o_totalprice") > 200000)
+        .groupBy(pr)
+        .agg(F.count(F.lit(1)).alias("big_cnt"))
+    )
+    j = a.join(b, a["pr"].eqNullSafe(b["pr"]), "left")
+    return j.select(
+        a["pr"].alias("pr"),
+        F.col("total_cnt").cast("long").alias("total_cnt"),
+        F.coalesce("big_cnt", F.lit(0)).cast("long").alias("big_cnt"),
+        round_div(
+            F.coalesce("big_cnt", F.lit(0)) * 100, F.col("total_cnt"),
+            "big_pct", 2,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-frame value functions: first/last/nth within an explicit
+# frame, completing the ranking battery (w7) with the value-positional
+# family. Per-customer order history ordered by date: first order
+# value, latest order value (running), second order key. One shuffle
+# on the partition key; frames evaluate in-partition after sort.
+# ---------------------------------------------------------------------------
+@register(
+    "w10_value_window_battery",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
+           CAST(last_value(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_last_price,
+           CAST(nth_value(o_orderkey, 2) OVER w AS BIGINT) AS second_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w10_value_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    running = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(full).cast("double").alias("first_price"),
+        F.last("o_totalprice").over(running).cast("double")
+        .alias("running_last_price"),
+        F.nth_value("o_orderkey", 2).over(full).cast("long")
+        .alias("second_orderkey"),
+    )
