@@ -719,3 +719,47 @@ def w10_value_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(full).cast("long")
         .alias("second_orderkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map-function battery: per-order map of linenumber → quantity built
+# with map_from_entries(collect_list(struct(...))), then consumed via
+# size / element_at / map_keys. The oracle derives the same scalars
+# relationally (map values are checked through lookups, since MapType
+# doesn't round-trip comparably through pandas). One shuffle on the
+# group key; map construction is post-aggregation, per-group-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "f_map_battery",
+    """
+    WITH per_line AS (
+      SELECT l_orderkey, l_linenumber,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MAX(CASE WHEN l_linenumber = 1 THEN qty END)
+                AS DOUBLE) AS qty_line1,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_keys
+    FROM per_line
+    GROUP BY l_orderkey
+    """,
+)
+def f_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    # map keys must be unique — aggregate to (order, linenumber) grain
+    # first (synthetic lineitem repeats linenumbers within an order)
+    per_line = t.lineitem.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("l_linenumber", "qty")))
+    g = per_line.groupBy("l_orderkey").agg(m.alias("line_map"))
+    return g.select(
+        "l_orderkey",
+        F.size("line_map").cast("long").alias("n_lines"),
+        F.element_at("line_map", F.lit(1)).cast("double").alias("qty_line1"),
+        F.array_join(
+            F.array_sort(F.map_keys("line_map")), ","
+        ).alias("line_keys"),
+    )
