@@ -763,3 +763,106 @@ def f_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.map_keys("line_map")), ","
         ).alias("line_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch, built relationally: d salted md5 hash rows × w
+# buckets; the sketch is d parallel bucket-count aggregations (one
+# posexplode fan-out + one shuffle of d·w counter rows), and a point
+# estimate is min_j sketch[j][h_j(q)] — always an overestimate of the
+# true count. Heavy-hitter frequency estimation in fixed d·w memory,
+# the streaming-safe alternative to exact GROUP BY at web-vocabulary
+# cardinalities. Hashes are the engine-portable md5 spec, so the whole
+# sketch (not just the estimates) hash-matches the DuckDB oracle.
+# ---------------------------------------------------------------------------
+_CM_D, _CM_W = 4, 256
+_CM_PROBES = list(range(1, 11))
+
+
+def _cm_bucket_spark(j: int) -> str:
+    from ..functions.text import hash64_expr
+
+    return f"({hash64_expr('cast(l_partkey as string)', f'cm{j}')} % {_CM_W})"
+
+
+def _cm_bucket_duck(j: int, key: str = "l_partkey") -> str:
+    from ..functions.text import duck_hash64
+
+    return f"({duck_hash64(f'CAST({key} AS VARCHAR)', f'cm{j}')} % {_CM_W})"
+
+
+@register(
+    "a21_countmin_sketch",
+    f"""
+    WITH fanout AS (
+      {" UNION ALL ".join(
+          f"SELECT {j} AS j, {_cm_bucket_duck(j)} AS col FROM lineitem"
+          for j in range(_CM_D))}
+    ),
+    sketch AS (
+      SELECT j, col, COUNT(*) AS cnt FROM fanout GROUP BY j, col
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT {k} AS probe_key, {j} AS j,"
+          f" {_cm_bucket_duck(j, str(k))} AS col"
+          for k in _CM_PROBES for j in range(_CM_D))}
+    ),
+    est AS (
+      SELECT probe_key, MIN(cnt) AS est_cnt
+      FROM probes JOIN sketch USING (j, col)
+      GROUP BY probe_key
+    ),
+    exact AS (
+      SELECT l_partkey AS probe_key, COUNT(*) AS exact_cnt
+      FROM lineitem WHERE l_partkey IN ({", ".join(map(str, _CM_PROBES))})
+      GROUP BY l_partkey
+    )
+    SELECT e.probe_key AS probe_key,
+           CAST(e.est_cnt AS BIGINT) AS est_cnt,
+           CAST(COALESCE(x.exact_cnt, 0) AS BIGINT) AS exact_cnt,
+           CAST(e.est_cnt - COALESCE(x.exact_cnt, 0) AS BIGINT) AS overcount
+    FROM est e LEFT JOIN exact x ON e.probe_key = x.probe_key
+    """,
+)
+def a21_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem
+    fan = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), F.expr(_cm_bucket_spark(j)).alias("col")
+            )
+            for j in range(_CM_D)
+        ]
+    )
+    sketch = (
+        li.select(F.explode(fan).alias("e"))
+        .select("e.j", "e.col")
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe_rows = [
+        (k, j, int(__import__("hashlib").md5(f"{k}#cm{j}".encode()).hexdigest()[:8], 16) % _CM_W)
+        for k in _CM_PROBES
+        for j in range(_CM_D)
+    ]
+    probes = spark.createDataFrame(probe_rows, "probe_key long, j int, col long")
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "col"])
+        .groupBy("probe_key")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    exact = (
+        li.filter(F.col("l_partkey").isin(_CM_PROBES))
+        .groupBy(F.col("l_partkey").alias("probe_key"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, "probe_key", "left").select(
+        "probe_key",
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        F.coalesce("exact_cnt", F.lit(0)).cast("long").alias("exact_cnt"),
+        (F.col("est_cnt") - F.coalesce("exact_cnt", F.lit(0)))
+        .cast("long")
+        .alias("overcount"),
+    )

@@ -264,3 +264,12 @@ def test_udtf_chunker_covers_document(spark):
     assert rows[0]["n_tokens"] == 32 and rows[-1]["end_pos"] == 80
     # consecutive chunks overlap by window - stride = 8 tokens
     assert rows[0]["end_pos"] - rows[1]["start_pos"] == 8
+
+
+def test_countmin_estimates_bound_exact_counts(spark):
+    rows = QUERIES["a21_countmin_sketch"](spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # CM sketches only ever overestimate
+        assert r["est_cnt"] >= r["exact_cnt"]
+        assert r["overcount"] == r["est_cnt"] - r["exact_cnt"]
