@@ -866,3 +866,125 @@ def a21_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing: drive each source toward a weighted target share of
+# the training mix (here: `src1*` sources get 2× the share of the
+# rest). Pass 1 computes per-source counts (tiny aggregate); the
+# per-source keep-rate is target_share/actual_share capped at 100%
+# (undersized sources keep everything, oversized ones are hash-
+# downsampled). Pass 2 filters by deterministic content-hash permille.
+# The rate table is dimension-sized → broadcast; the filter itself is
+# map-side. This is the mixture-weights step of corpus assembly.
+# ---------------------------------------------------------------------------
+@register(
+    "ds_corpus_mix",
+    f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS src_cnt,
+             CASE WHEN source LIKE 'src1%' THEN 2 ELSE 1 END AS w,
+             SUM(COUNT(*)) OVER () AS total_cnt,
+             SUM(CASE WHEN source LIKE 'src1%' THEN 2 ELSE 1 END) OVER ()
+               AS sum_w
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source,
+             src_cnt,
+             CAST(LEAST(1000, (1000 * w * total_cnt) // (sum_w * src_cnt))
+                  AS BIGINT) AS keep_permille
+      FROM counts
+    )
+    SELECT d.doc_id, d.source, r.keep_permille
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {duck_hash_bucket('d.doc_id', 1000, 'mix')} < r.keep_permille
+    """,
+)
+def ds_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w_all = Window.partitionBy()
+    weight = F.when(F.col("source").like("src1%"), 2).otherwise(1)
+    counts = (
+        t.documents.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("src_cnt"))
+        .withColumn("w", weight)
+        .withColumn("total_cnt", F.sum("src_cnt").over(w_all))
+        .withColumn("sum_w", F.sum("w").over(w_all))
+    )
+    rates = counts.select(
+        "source",
+        F.least(
+            F.lit(1000).cast("long"),
+            F.expr("(1000 * w * total_cnt) div (sum_w * src_cnt)"),
+        ).alias("keep_permille"),
+    )
+    return (
+        t.documents.join(F.broadcast(rates), "source")
+        .filter(hash_bucket("doc_id", 1000, "mix") < F.col("keep_permille"))
+        .select("doc_id", "source", "keep_permille")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing length buckets: ntile token-length quantile buckets
+# and the padding waste each bucket pays when padded to its max length
+# — the batch-shape accounting every tokenized-shard writer needs.
+# ntile is one sort-shuffle over (corpus) — at 100 TB you'd swap it
+# for approx-quantile boundary computation + a map-side bucketer; the
+# per-bucket aggregate is exact either way.
+# ---------------------------------------------------------------------------
+_N_BUCKETS = 8
+
+
+@register(
+    "ds_length_buckets",
+    f"""
+    WITH d AS (
+      SELECT doc_id, len({_TOKS}) AS token_cnt FROM documents
+    ),
+    b AS (
+      SELECT doc_id, token_cnt,
+             NTILE({_N_BUCKETS}) OVER (ORDER BY token_cnt, doc_id) AS bucket
+      FROM d
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS doc_cnt,
+           CAST(MIN(token_cnt) AS BIGINT) AS min_len,
+           CAST(MAX(token_cnt) AS BIGINT) AS max_len,
+           CAST(SUM(token_cnt) AS BIGINT) AS token_sum,
+           {duck_round_div(
+               '(COUNT(*) * MAX(token_cnt) - SUM(token_cnt)) * 100',
+               'COUNT(*) * MAX(token_cnt)', 2)} AS padding_waste_pct
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def ds_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("token_cnt")
+    )
+    b = d.withColumn(
+        "bucket",
+        F.ntile(_N_BUCKETS).over(Window.orderBy("token_cnt", "doc_id")),
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("doc_cnt"),
+        F.min("token_cnt").alias("min_len"),
+        F.max("token_cnt").alias("max_len"),
+        F.sum("token_cnt").alias("token_sum"),
+    )
+    return g.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("doc_cnt").cast("long").alias("doc_cnt"),
+        F.col("min_len").cast("long").alias("min_len"),
+        F.col("max_len").cast("long").alias("max_len"),
+        F.col("token_sum").cast("long").alias("token_sum"),
+        round_div(
+            (F.col("doc_cnt") * F.col("max_len") - F.col("token_sum")) * 100,
+            F.col("doc_cnt") * F.col("max_len"),
+            "padding_waste_pct",
+            2,
+        ),
+    )

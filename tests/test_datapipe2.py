@@ -273,3 +273,27 @@ def test_countmin_estimates_bound_exact_counts(spark):
         # CM sketches only ever overestimate
         assert r["est_cnt"] >= r["exact_cnt"]
         assert r["overcount"] == r["est_cnt"] - r["exact_cnt"]
+
+
+def test_corpus_mix_downsamples_low_weight_sources(spark):
+    rows = QUERIES["ds_corpus_mix"](spark, SF_SMOKE).collect()
+    rates = {}
+    for r in rows:
+        rates.setdefault(r["source"], r["keep_permille"])
+    hi = [v for s, v in rates.items() if s.startswith("src1")]
+    lo = [v for s, v in rates.items() if not s.startswith("src1")]
+    assert hi and lo
+    # 2x-weighted sources keep at a strictly higher (capped) rate
+    assert min(hi) > max(lo)
+
+
+def test_length_buckets_partition_corpus(spark):
+    rows = QUERIES["ds_length_buckets"](spark, SF_SMOKE).collect()
+    assert sorted(r["bucket"] for r in rows) == list(range(1, 9))
+    for r in rows:
+        assert r["min_len"] <= r["max_len"]
+        assert 0 <= r["padding_waste_pct"] < 100
+    # buckets are ordered by length: max of bucket i <= min of bucket i+1
+    rows.sort(key=lambda r: r["bucket"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_len"] <= b["min_len"]
