@@ -1,0 +1,376 @@
+"""Training-data pipeline corpus, part 3: corpus-duplicated span
+statistics (C4/RefinedWeb-style span dedup accounting), Zipf-law corpus
+fit, time-series OHLC resampling, sliding rate-limit windows (the
+engine-side twin of the reference API's per-hour rate limiting,
+healthcare-api-main.py:237,292,393), a bitwise/boolean aggregate
+battery, and a broadcast band-lookup join.
+
+Same doctrine as datapipe/datapipe2: JVM-side Catalyst expressions
+only, exact integer/decimal arithmetic wherever a ratio or sum feeds
+the oracle hash, and a per-operator scale note describing the plan at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.helpers import duck_round_div, round_div
+from ..functions.text import DUCK_TOKENS, duck_shingles, shingles, tokens
+from ..tables import load_tables
+from . import register
+
+_TOKS = DUCK_TOKENS.format(text="text")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-duplicated span statistics: for every document, the fraction
+# of its (positional) 3-gram spans whose shingle also occurs in >= T
+# distinct documents corpus-wide. This is the accounting pass of
+# C4-style span dedup — documents dominated by boilerplate spans get
+# keep=0. Distinct from text_decontaminate (overlap vs a tiny eval
+# split): here the lookup side is the corpus's own shingle vocabulary.
+# Plan: explode → shingle-keyed partial-aggregated count(distinct) →
+# shuffle join back on shingle → per-doc aggregation. At 100 TB the
+# common-shingle table is still orders of magnitude smaller than the
+# exploded spans (HAVING >= T prunes the long tail), and you'd insert
+# a bloom-filter pre-pass on shingle before the join; the per-doc
+# aggregation combines map-side because the explode preserves doc_id
+# clustering.
+# ---------------------------------------------------------------------------
+_SPAN_T = 5          # "common" = appears in >= 5 distinct docs
+_SPAN_NUM, _SPAN_DEN = 3, 10  # keep when dup spans <= 30%
+
+
+@register(
+    "text_span_dedup",
+    f"""
+    WITH d AS (SELECT doc_id, {duck_shingles(_TOKS)} AS sh FROM documents),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    common AS (
+      SELECT s FROM ex GROUP BY s HAVING COUNT(DISTINCT doc_id) >= {_SPAN_T}
+    ),
+    per AS (
+      SELECT ex.doc_id,
+             COUNT(*) AS span_cnt,
+             SUM(CASE WHEN c.s IS NOT NULL THEN 1 ELSE 0 END) AS dup_cnt
+      FROM ex LEFT JOIN common c ON ex.s = c.s
+      GROUP BY ex.doc_id
+    )
+    SELECT doc_id,
+           CAST(span_cnt AS BIGINT) AS span_cnt,
+           CAST(dup_cnt AS BIGINT) AS dup_span_cnt,
+           {duck_round_div('dup_cnt', 'span_cnt', 4)} AS dup_span_frac,
+           CAST(CASE WHEN dup_cnt * {_SPAN_DEN} <= span_cnt * {_SPAN_NUM}
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM per
+    """,
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ex = (
+        t.documents.withColumn("toks", tokens(F.col("text")))
+        .select("doc_id", F.explode(shingles("toks")).alias("s"))
+    )
+    common = (
+        ex.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("dc"))
+        .filter(F.col("dc") >= _SPAN_T)
+        .select("s", F.lit(1).alias("is_common"))
+    )
+    per = (
+        ex.join(common, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("span_cnt"),
+            F.coalesce(F.sum("is_common"), F.lit(0)).alias("dup_cnt"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("span_cnt").cast("long").alias("span_cnt"),
+        F.col("dup_cnt").cast("long").alias("dup_span_cnt"),
+        round_div(F.col("dup_cnt"), F.col("span_cnt"), "dup_span_frac", 4),
+        (F.col("dup_cnt") * _SPAN_DEN <= F.col("span_cnt") * _SPAN_NUM)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law corpus fit: per-language token frequency table, frequency
+# rank, and the least-squares slope/R² of ln(freq) against ln(rank) —
+# the standard sanity check that a corpus has a natural-language-like
+# frequency distribution (slope ≈ -1 for real text). Composition of
+# explode + two-level aggregation + ranking window + regression
+# moments. The regression inputs are already aggregated (vocab-sized),
+# so the window sort and regr_* run over tiny frames at any corpus
+# scale; the only big shuffle is the (lang, token) count.
+# ---------------------------------------------------------------------------
+@register(
+    "text_zipf_fit",
+    f"""
+    WITH tok AS (SELECT lang, unnest({_TOKS}) AS token FROM documents),
+    c AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token),
+    r AS (
+      SELECT lang, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, token) AS rnk
+      FROM c
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(cnt) AS BIGINT) AS token_cnt,
+           CAST(ROUND(regr_slope(ln(cnt), ln(rnk)), 4) AS DOUBLE) AS zipf_slope,
+           CAST(ROUND(regr_r2(ln(cnt), ln(rnk)), 4) AS DOUBLE) AS zipf_r2
+    FROM r
+    GROUP BY lang
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    c = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "token")
+    r = c.withColumn("rnk", F.row_number().over(w))
+    ln_cnt, ln_rnk = F.log(F.col("cnt")), F.log(F.col("rnk"))
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("cnt").cast("long").alias("token_cnt"),
+        F.round(F.regr_slope(ln_cnt, ln_rnk), 4).cast("double")
+        .alias("zipf_slope"),
+        F.round(F.regr_r2(ln_cnt, ln_rnk), 4).cast("double").alias("zipf_r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample to 6-hour OHLC bars per event type: open/close
+# via positional row_number (deterministic (ts, event_id) tiebreak —
+# the reference's idiom would be nondeterministic), high/low via
+# min/max, exact micro-unit average. One shuffle on (type, bucket);
+# both window orders share the single exchange (same partition keys),
+# and the final aggregation collapses in-partition. The bucket key is
+# integer epoch arithmetic — at 100 TB it doubles as the write
+# partition column, so downstream range scans prune on it.
+# ---------------------------------------------------------------------------
+_BAR_S = 21_600  # 6 hours
+
+
+@register(
+    "t_resample_ohlc",
+    f"""
+    WITH ev AS (
+      SELECT event_type,
+             (epoch_us(ts) // {_BAR_S * 1_000_000}) * {_BAR_S} AS bucket_epoch,
+             value, ts, event_id
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, bucket_epoch, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket_epoch
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket_epoch
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM ev
+    )
+    SELECT event_type,
+           CAST(bucket_epoch AS BIGINT) AS bucket_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open_v,
+           CAST(MAX(value) AS DOUBLE) AS high_v,
+           CAST(MIN(value) AS DOUBLE) AS low_v,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE) AS close_v,
+           {duck_round_div(
+               'CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)',
+               'COUNT(*) * 100', 4)} AS avg_v
+    FROM w
+    GROUP BY event_type, bucket_epoch
+    """,
+)
+def t_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(_BAR_S * 1_000_000))
+        .cast("long")  # positive epochs: truncation == floor division
+        .__mul__(_BAR_S)
+        .alias("bucket_epoch"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    pk = ["event_type", "bucket_epoch"]
+    w_a = Window.partitionBy(*pk).orderBy("ts", "event_id")
+    w_d = Window.partitionBy(*pk).orderBy(F.desc("ts"), F.desc("event_id"))
+    w = ev.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    g = w.groupBy(*pk).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_raw"),
+        F.max("value").alias("high_raw"),
+        F.min("value").alias("low_raw"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_raw"),
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return g.select(
+        "event_type",
+        F.col("bucket_epoch").cast("long").alias("bucket_epoch"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("open_raw").cast("double").alias("open_v"),
+        F.col("high_raw").cast("double").alias("high_v"),
+        F.col("low_raw").cast("double").alias("low_v"),
+        F.col("close_raw").cast("double").alias("close_v"),
+        round_div(F.col("cents"), F.col("n_events") * 100, "avg_v", 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding rate-limit window: per user, the event count and exact spend
+# inside the trailing 1-hour window ending at each event — the
+# engine-side form of the reference API's per-hour rate limits
+# (healthcare-api-main.py:237,292,393: 100/50/20 calls per 3600 s,
+# enforced there with Redis counters). A RANGE frame over microsecond
+# epochs: frame membership is defined by the timestamp *value*, so
+# equal-timestamp peers aggregate identically in both engines (no tie
+# nondeterminism). One shuffle on user_id; in-partition sort + a
+# sliding two-pointer frame — linear per partition, no pair explosion,
+# unlike a self-join formulation which would square per-user
+# cardinality at 100 TB.
+# ---------------------------------------------------------------------------
+_RL_LIMIT = 10  # flag users bursting > 10 events/hour
+
+
+@register(
+    "t_rate_limit_window",
+    f"""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) OVER w AS BIGINT)
+                AS BIGINT) AS spend_cents_1h,
+           CAST(CASE WHEN COUNT(*) OVER w > {_RL_LIMIT} THEN 1 ELSE 0 END
+                AS INT) AS over_limit
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {3_600_000_000} PRECEDING AND CURRENT ROW)
+    """,
+)
+def t_rate_limit_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    return t.events.select(
+        "event_id",
+        "user_id",
+        cnt.cast("long").alias("cnt_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)") * 100)
+        .over(w)
+        .cast("long")
+        .alias("spend_cents_1h"),
+        (cnt > _RL_LIMIT).cast("int").alias("over_limit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise / boolean aggregate battery: bit_and / bit_or / bit_xor over
+# a bounded integer projection plus bool_and / bool_or flags — the
+# bitmap-index-style aggregates (permission masks, feature flags,
+# shard-presence maps). All fully decomposable and order-independent
+# (xor included), so Spark computes them with map-side partials and a
+# one-row-per-group shuffle at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "a22_bitwise_bool_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(bit_and(o_custkey % 256) AS BIGINT) AS mask_and,
+           CAST(bit_or(o_custkey % 256) AS BIGINT) AS mask_or,
+           CAST(bit_xor(o_custkey % 256) AS BIGINT) AS mask_xor,
+           CAST(CASE WHEN bool_and(o_totalprice > 5000) THEN 1 ELSE 0 END
+                AS INT) AS all_above_5k,
+           CAST(CASE WHEN bool_or(o_totalprice > 400000) THEN 1 ELSE 0 END
+                AS INT) AS any_above_400k
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a22_bitwise_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    m = F.col("o_custkey") % 256
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.bit_and(m).cast("long").alias("mask_and"),
+        F.bit_or(m).cast("long").alias("mask_or"),
+        F.bit_xor(m).cast("long").alias("mask_xor"),
+        F.bool_and(F.col("o_totalprice") > 5000).cast("int")
+        .alias("all_above_5k"),
+        F.bool_or(F.col("o_totalprice") > 400000).cast("int")
+        .alias("any_above_400k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast band-lookup join: classify every order into a price tier
+# from a tiny [lo, hi) band table. The correct plan for a
+# dimension-band lookup is a broadcast nested-loop join — the build
+# side is a handful of rows, so "nested loop" is really "per-row scan
+# of a cached 4-row array", and the probe side never shuffles. This is
+# the third interval-join flavor in the corpus (t_interval_join =
+# keyless bucketized equi-join for *large* interval sides, t_asof_join
+# = temporal nearest-predecessor); band lookup is the one you want
+# when the interval side is dimension-sized. Bands are half-open and
+# exhaustive, so the join is exactly row-preserving.
+# ---------------------------------------------------------------------------
+_TIERS = [
+    ("T1_budget", 0.0, 100_000.0),
+    ("T2_mid", 100_000.0, 200_000.0),
+    ("T3_high", 200_000.0, 300_000.0),
+    ("T4_jumbo", 300_000.0, 1e12),
+]
+
+
+@register(
+    "j11_broadcast_band_lookup",
+    f"""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _TIERS)}
+    )
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS tier_total,
+           {duck_round_div(
+               'CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)',
+               'COUNT(*) * 100', 2)} AS tier_avg
+    FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY tier
+    """,
+)
+def j11_broadcast_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    p = F.col("o_totalprice")
+    j = t.orders.join(
+        F.broadcast(tiers), (p >= F.col("lo")) & (p < F.col("hi"))
+    )
+    g = j.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        F.sum(p.cast("decimal(18,2)")).alias("total_dec"),
+        F.sum(p.cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    return g.select(
+        "tier",
+        F.col("order_cnt").cast("long").alias("order_cnt"),
+        F.col("total_dec").cast("double").alias("tier_total"),
+        round_div(F.col("cents"), F.col("order_cnt") * 100, "tier_avg", 2),
+    )

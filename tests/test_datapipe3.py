@@ -1,0 +1,129 @@
+"""Semantic pins for the datapipe3 corpus: span-dedup accounting,
+Zipf fit, OHLC resample, rate-limit window, bitwise aggregates, and
+the broadcast band-lookup join. Each query is also oracle-checked at
+sf0.01 by tools/check_correctness.py — these tests pin hand-computable
+cases and the physical-plan shapes the hash compare can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthcare_research_data_pipeline_project_spark.queries import (
+    QUERIES,
+    load_all,
+)
+
+from .conftest import SF_SMOKE
+
+load_all()
+
+
+def test_span_dedup_fractions_are_consistent(spark):
+    rows = QUERIES["text_span_dedup"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["dup_span_cnt"] <= r["span_cnt"]
+        expected_keep = int(r["dup_span_cnt"] * 10 <= r["span_cnt"] * 3)
+        assert r["keep"] == expected_keep
+
+
+def test_zipf_fit_slope_negative_and_counts_add_up(spark):
+    rows = QUERIES["text_zipf_fit"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # frequency must decay with rank on any natural-ish corpus
+        assert r["zipf_slope"] < 0
+        assert 0 <= r["zipf_r2"] <= 1
+        assert r["vocab_size"] <= r["token_cnt"]
+
+
+def test_resample_ohlc_hand_case(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", "a", 5.0),
+            (2, "2024-01-01 01:00:00", "a", 9.0),
+            (3, "2024-01-01 05:59:59", "a", 2.0),
+            (4, "2024-01-01 06:00:00", "a", 7.0),  # next 6h bar
+        ],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.createOrReplaceTempView("_ohlc_probe")
+    import healthcare_research_data_pipeline_project_spark.queries.datapipe3 as d3
+
+    class _T:
+        events = df
+
+    orig = d3.load_tables
+    d3.load_tables = lambda s, d: _T()
+    try:
+        got = {
+            (r["event_type"], r["bucket_epoch"]): r
+            for r in QUERIES["t_resample_ohlc"](spark, SF_SMOKE).collect()
+        }
+    finally:
+        d3.load_tables = orig
+    bar0 = got[("a", 1704067200)]
+    assert (bar0["open_v"], bar0["close_v"]) == (5.0, 2.0)
+    assert (bar0["high_v"], bar0["low_v"]) == (9.0, 2.0)
+    assert bar0["n_events"] == 3
+    assert float(bar0["avg_v"]) == 5.3333
+    bar1 = got[("a", 1704088800)]
+    assert bar1["n_events"] == 1 and bar1["open_v"] == bar1["close_v"] == 7.0
+
+
+def test_rate_limit_window_hand_case(spark):
+    # user 1: events at t, t+30min, t+59:59, t+61min → counts 1,2,3,3
+    # (the 4th event's trailing hour drops the first event but keeps
+    # the 30min and 59:59 ones)
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 1.0),
+        (2, 1, "2024-01-01 00:30:00", 1.0),
+        (3, 1, "2024-01-01 00:59:59", 1.0),
+        (4, 1, "2024-01-01 01:01:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import healthcare_research_data_pipeline_project_spark.queries.datapipe3 as d3
+
+    class _T:
+        events = df
+
+    orig = d3.load_tables
+    d3.load_tables = lambda s, d: _T()
+    try:
+        got = {
+            r["event_id"]: r["cnt_1h"]
+            for r in QUERIES["t_rate_limit_window"](spark, SF_SMOKE).collect()
+        }
+    finally:
+        d3.load_tables = orig
+    assert got == {1: 1, 2: 2, 3: 3, 4: 3}
+
+
+def test_band_lookup_is_broadcast_and_row_preserving(spark):
+    df = QUERIES["j11_broadcast_band_lookup"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    total = df.agg(F.sum("order_cnt")).collect()[0][0]
+    n_orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert total == n_orders  # bands are exhaustive and disjoint
+
+
+def test_bitwise_agg_matches_python(spark):
+    import functools
+
+    rows = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderpriority", (F.col("o_custkey") % 256).alias("m")
+    ).collect()
+    by_p: dict[str, list[int]] = {}
+    for r in rows:
+        by_p.setdefault(r["o_orderpriority"], []).append(r["m"])
+    got = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["a22_bitwise_bool_agg"](spark, SF_SMOKE).collect()
+    }
+    for p, ms in by_p.items():
+        assert got[p]["mask_and"] == functools.reduce(lambda a, b: a & b, ms)
+        assert got[p]["mask_or"] == functools.reduce(lambda a, b: a | b, ms)
+        assert got[p]["mask_xor"] == functools.reduce(lambda a, b: a ^ b, ms)
