@@ -1,0 +1,108 @@
+"""Slowly-changing-dimension (Type 2) maintenance.
+
+The reference's warehouse load is a last-write-wins row upsert
+(`session.merge` per PK, healthcare-data-pipeline-main.py:606-670 —
+Type 1: history destroyed). A research warehouse tracking patient
+attributes over time needs Type 2: close the old version, open a new
+one, keep both queryable by validity interval. This module provides
+that as a pure DataFrame transformation — no Delta/ACID dependency,
+output is the next full dimension snapshot to write.
+
+Scale shape: one equi-join of the current slice against the update
+batch on the business key (update batches are usually dimension-sized
+→ broadcast), a column-comparison filter, and a union of three
+branches. No window, no skew surface; at 100 TB of *fact* data the
+dimension stays orders of magnitude smaller and this runs in seconds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: Sequence[str],
+    effective_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Merge an update batch into a Type-2 dimension snapshot.
+
+    `dim` carries (key, *tracked, valid_from, valid_to, is_current);
+    `updates` carries (key, *tracked). Returns the new snapshot:
+
+    - history rows (is_current = false) pass through untouched;
+    - current rows whose tracked attributes changed are closed at
+      `effective_ts` and a fresh current row is opened;
+    - current rows with no update (or an identical one) pass through;
+    - brand-new keys open their first current row at `effective_ts`.
+
+    Null-safe comparison: a NULL→value or value→NULL attribute change
+    counts as a change (eqNullSafe, not `=`).
+    """
+    eff = F.lit(effective_ts).cast("timestamp")
+    upd = updates.select(key, *[F.col(c).alias(f"__u_{c}") for c in tracked])
+
+    history = dim.filter(~F.col(is_current))
+    current = dim.filter(F.col(is_current))
+
+    joined = current.join(F.broadcast(upd), key, "full_outer")
+
+    def changed() -> Column:
+        c: Column = F.lit(False)
+        for t in tracked:
+            c = c | ~F.col(t).eqNullSafe(F.col(f"__u_{t}"))
+        return c
+
+    has_update = F.col(f"__u_{tracked[0]}").isNotNull() | F.lit(False)
+    # a key present in updates but absent from current dim
+    is_new_key = F.col(valid_from).isNull()
+    is_changed = ~is_new_key & has_update & changed()
+
+    out_cols = [key, *tracked, valid_from, valid_to, is_current]
+
+    untouched = joined.filter(~is_new_key & ~is_changed).select(*out_cols)
+    closed = joined.filter(is_changed).select(
+        key,
+        *tracked,
+        valid_from,
+        eff.alias(valid_to),
+        F.lit(False).alias(is_current),
+    )
+    reopened = joined.filter(is_changed | is_new_key).select(
+        key,
+        *[F.col(f"__u_{t}").alias(t) for t in tracked],
+        eff.alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+        F.lit(True).alias(is_current),
+    )
+    return (
+        history.select(*out_cols)
+        .unionByName(untouched)
+        .unionByName(closed)
+        .unionByName(reopened)
+    )
+
+
+def snapshot_as_of(
+    dim: DataFrame,
+    as_of: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time view of a Type-2 dimension: rows whose validity
+    interval [valid_from, valid_to) covers `as_of`. This is the probe
+    every time-travel join runs; at scale the dimension is broadcast
+    and the interval filter evaluates map-side."""
+    ts = F.lit(as_of).cast("timestamp")
+    return dim.filter(
+        (F.col(valid_from) <= ts)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > ts))
+    )

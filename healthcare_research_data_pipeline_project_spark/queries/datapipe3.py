@@ -374,3 +374,152 @@ def j11_broadcast_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_dec").cast("double").alias("tier_total"),
         round_div(F.col("cents"), F.col("order_cnt") * 100, "tier_avg", 2),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension maintenance (operators/scd.py): the reference's
+# warehouse load is a Type-1 last-write-wins upsert
+# (healthcare-data-pipeline-main.py:606-670); this is the
+# history-preserving upgrade. Scenario: customers with negative
+# balances are reclassified to a DELINQUENT segment effective
+# 2024-06-01 — unchanged customers pass through, changed ones get a
+# closed-out row plus a fresh current row. The merge is one broadcast
+# full-outer join on the business key + a three-branch union; at
+# 100 TB the dimension side stays broadcast-sized.
+# ---------------------------------------------------------------------------
+_SCD_T0, _SCD_T1 = "2024-01-01", "2024-06-01"
+
+
+@register(
+    "scd2_customer_segments",
+    f"""
+    WITH upd AS (
+      SELECT c_custkey,
+             c_mktsegment AS old_seg,
+             CASE WHEN c_acctbal < 0 THEN 'DELINQUENT'
+                  ELSE c_mktsegment END AS new_seg
+      FROM customer
+    )
+    SELECT c_custkey, old_seg AS segment,
+           TIMESTAMP '{_SCD_T0}' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           CAST(1 AS INT) AS is_current
+    FROM upd WHERE old_seg = new_seg
+    UNION ALL
+    SELECT c_custkey, old_seg,
+           TIMESTAMP '{_SCD_T0}', TIMESTAMP '{_SCD_T1}', CAST(0 AS INT)
+    FROM upd WHERE old_seg <> new_seg
+    UNION ALL
+    SELECT c_custkey, new_seg,
+           TIMESTAMP '{_SCD_T1}', CAST(NULL AS TIMESTAMP), CAST(1 AS INT)
+    FROM upd WHERE old_seg <> new_seg
+    """,
+)
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_apply
+
+    t = load_tables(spark, sf_dir)
+    dim = t.customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(_SCD_T0).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = t.customer.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "DELINQUENT")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    merged = scd2_apply(dim, updates, "c_custkey", ["segment"], _SCD_T1)
+    return merged.select(
+        "c_custkey",
+        "segment",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis: view → click → purchase, each step strictly
+# after the user's first occurrence of the previous step. Stage
+# frames are first-timestamp aggregates joined per step (each a
+# user_id-keyed shuffle that AQE coalesces; no window needed), and the
+# final result is a cross join of three one-row aggregates. The
+# time-to-convert average is exact integer microsecond arithmetic.
+# At 100 TB the step joins stay key-partitioned on user_id — the same
+# partitioning reused across all three steps, so stages 2-3 are
+# exchange-free after the first shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "t_funnel_conversion",
+    f"""
+    WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t1
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t0
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t1
+          GROUP BY e.user_id),
+    pv AS (SELECT SUM(epoch_us(p.t2) - epoch_us(v.t0)) AS us_sum,
+                  COUNT(*) AS n_purchase
+           FROM p JOIN v ON p.user_id = v.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+           CAST(pv.n_purchase AS BIGINT) AS n_purchase,
+           {duck_round_div('(SELECT COUNT(*) FROM c) * 100',
+                           '(SELECT COUNT(*) FROM v)', 2)} AS click_pct,
+           {duck_round_div('pv.n_purchase * 100',
+                           '(SELECT COUNT(*) FROM c)', 2)} AS purchase_pct,
+           {duck_round_div('pv.us_sum', 'pv.n_purchase * 1000000', 2)}
+             AS avg_secs_to_convert
+    FROM pv
+    """,
+)
+def t_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ev = t.events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    pv = p.join(v, "user_id").agg(
+        F.sum(F.unix_micros("t2") - F.unix_micros("t0")).alias("us_sum"),
+        F.count(F.lit(1)).alias("n_purchase"),
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    r = nv.crossJoin(nc).crossJoin(pv)
+    return r.select(
+        F.col("n_view").cast("long").alias("n_view"),
+        F.col("n_click").cast("long").alias("n_click"),
+        F.col("n_purchase").cast("long").alias("n_purchase"),
+        round_div(F.col("n_click") * 100, F.col("n_view"), "click_pct", 2),
+        round_div(
+            F.col("n_purchase") * 100, F.col("n_click"), "purchase_pct", 2
+        ),
+        round_div(
+            F.col("us_sum"), F.col("n_purchase") * 1_000_000,
+            "avg_secs_to_convert", 2,
+        ),
+    )

@@ -100,3 +100,36 @@ class ResultCache:
             value = value.persist()
         self._store[key] = (time.monotonic(), value)
         return value
+
+
+def compact_small_files(
+    spark,
+    src: str,
+    dest: str,
+    target_bytes: int = 128 << 20,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~target_bytes output files.
+
+    The small-files problem is the classic failure mode of streaming /
+    per-batch sinks at scale: a 100 TB table written in 10k micro-
+    batches ends up with millions of KB-sized files and every scan
+    pays per-file open cost. Compaction = read, repartition to
+    ceil(bytes / target), rewrite. With `sort_cols` the rewrite uses
+    repartitionByRange, giving min/max-clustered files so downstream
+    range predicates prune at the footer level (poor man's Z-order).
+    Returns the number of output partitions chosen.
+    """
+    import math
+
+    df = spark.read.parquet(src)
+    jconf = spark._jsc.hadoopConfiguration()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(jconf)
+    total = fs.getContentSummary(jpath).getLength()
+    n = max(1, math.ceil(total / target_bytes))
+    out = (
+        df.repartitionByRange(n, *sort_cols) if sort_cols else df.repartition(n)
+    )
+    out.write.mode("overwrite").parquet(dest)
+    return n

@@ -127,3 +127,68 @@ def test_bitwise_agg_matches_python(spark):
         assert got[p]["mask_and"] == functools.reduce(lambda a, b: a & b, ms)
         assert got[p]["mask_or"] == functools.reduce(lambda a, b: a | b, ms)
         assert got[p]["mask_xor"] == functools.reduce(lambda a, b: a ^ b, ms)
+
+
+def test_scd2_apply_hand_case(spark):
+    from healthcare_research_data_pipeline_project_spark.operators.scd import (
+        scd2_apply,
+        snapshot_as_of,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (1, "gold", "2024-01-01", None, True),
+            (2, "silver", "2024-01-01", None, True),
+            (2, "bronze", "2023-01-01", "2024-01-01", False),  # history
+        ],
+        "k long, tier string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "k", "tier",
+        "cast(valid_from as timestamp) valid_from",
+        "cast(valid_to as timestamp) valid_to",
+        "is_current",
+    )
+    updates = spark.createDataFrame(
+        [(1, "gold"), (2, "gold"), (3, "silver")], "k long, tier string"
+    )
+    out = scd2_apply(dim, updates, "k", ["tier"], "2024-06-01")
+    rows = {(r["k"], r["tier"], r["is_current"]): r for r in out.collect()}
+    assert len(rows) == 5  # 1 history + 1 untouched + closed/reopened + new
+    assert (1, "gold", True) in rows          # identical update: untouched
+    closed = rows[(2, "silver", False)]
+    assert str(closed["valid_to"]).startswith("2024-06-01")
+    assert (2, "gold", True) in rows          # reopened
+    new = rows[(3, "silver", True)]
+    assert str(new["valid_from"]).startswith("2024-06-01")
+    # point-in-time probes
+    asof_feb = snapshot_as_of(out, "2024-02-01")
+    assert {(r["k"], r["tier"]) for r in asof_feb.collect()} == {
+        (1, "gold"), (2, "silver"),
+    }
+    asof_jul = snapshot_as_of(out, "2024-07-01")
+    assert {(r["k"], r["tier"]) for r in asof_jul.collect()} == {
+        (1, "gold"), (2, "gold"), (3, "silver"),
+    }
+
+
+def test_funnel_monotone_and_sane(spark):
+    r = QUERIES["t_funnel_conversion"](spark, SF_SMOKE).collect()[0]
+    assert r["n_view"] >= r["n_click"] >= r["n_purchase"] > 0
+    assert 0 < float(r["click_pct"]) <= 100
+    assert float(r["avg_secs_to_convert"]) > 0
+
+
+def test_compact_small_files(spark, tmp_path):
+    from healthcare_research_data_pipeline_project_spark.sources.sinks import (
+        compact_small_files,
+    )
+
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "compact")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    orders.repartition(64).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) >= 64
+    compact_small_files(spark, src, dest, target_bytes=1 << 30,
+                        sort_cols=["o_orderdate"])
+    out = spark.read.parquet(dest)
+    assert len(out.inputFiles()) <= 2
+    assert out.count() == orders.count()
