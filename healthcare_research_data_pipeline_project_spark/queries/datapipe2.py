@@ -749,9 +749,14 @@ def w10_value_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # map keys must be unique — aggregate to (order, linenumber) grain
-    # first (synthetic lineitem repeats linenumbers within an order)
-    per_line = t.lineitem.groupBy("l_orderkey", "l_linenumber").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+    # first (synthetic lineitem repeats linenumbers within an order).
+    # One explicit hash repartition on the order key satisfies BOTH
+    # grouping levels (HashPartitioning(ok) clusters (ok, ln) too), so
+    # the whole query runs on a single exchange instead of two.
+    per_line = (
+        t.lineitem.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
     )
     m = F.map_from_entries(F.collect_list(F.struct("l_linenumber", "qty")))
     g = per_line.groupBy("l_orderkey").agg(m.alias("line_map"))
@@ -779,16 +784,22 @@ _CM_D, _CM_W = 4, 256
 _CM_PROBES = list(range(1, 11))
 
 
+# One md5 per row supplies all d hash functions: the 128-bit digest
+# splits into four independent 32-bit words (substrings of the hex),
+# so the fan-out costs 1 md5 instead of d — the dominant cost of the
+# sketch build at scale.
 def _cm_bucket_spark(j: int) -> str:
-    from ..functions.text import hash64_expr
-
-    return f"({hash64_expr('cast(l_partkey as string)', f'cm{j}')} % {_CM_W})"
+    return (
+        f"(cast(conv(substring(md5(concat(cast(l_partkey as string), '#cm')),"
+        f" {1 + 8 * j}, 8), 16, 10) as bigint) % {_CM_W})"
+    )
 
 
 def _cm_bucket_duck(j: int, key: str = "l_partkey") -> str:
-    from ..functions.text import duck_hash64
-
-    return f"({duck_hash64(f'CAST({key} AS VARCHAR)', f'cm{j}')} % {_CM_W})"
+    return (
+        f"(CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || '#cm'),"
+        f" {1 + 8 * j}, 8) AS BIGINT) % {_CM_W})"
+    )
 
 
 @register(
@@ -843,7 +854,7 @@ def a21_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     probe_rows = [
-        (k, j, int(__import__("hashlib").md5(f"{k}#cm{j}".encode()).hexdigest()[:8], 16) % _CM_W)
+        (k, j, int(__import__("hashlib").md5(f"{k}#cm".encode()).hexdigest()[8 * j:8 * j + 8], 16) % _CM_W)
         for k in _CM_PROBES
         for j in range(_CM_D)
     ]
