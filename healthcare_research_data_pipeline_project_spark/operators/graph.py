@@ -43,6 +43,10 @@ def connected_components(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the edge list ONCE — without this every round's join
+    # re-executes the whole upstream pipeline that produced the pairs
+    # (for LSH dedup that is the minhash + banding computation)
+    sym = sym.localCheckpoint(eager=True)
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
 
@@ -52,24 +56,26 @@ def connected_components(
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("component").alias("nbr"))
         )
+        # carry the changed-flag through the checkpoint so convergence
+        # is a cheap aggregate over materialized rows, not an extra
+        # old-vs-new join job per round
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("component"), F.coalesce("nbr", "component")).alias(
-                    "component"
+                    "new_component"
                 ),
+                (F.coalesce("nbr", "component") < F.col("component"))
+                .cast("int")
+                .alias("chg"),
             )
+            .withColumnRenamed("new_component", "component")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum("chg")).collect()[0][0]
+        labels = new_labels.drop("chg")
+        if not changed:
             break
     return labels
 
