@@ -523,3 +523,179 @@ def t_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_secs_to_convert", 2,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy-name matching: candidate duplicate pairs among distinct
+# part names with edit distance <= 4, blocked on the trailing token.
+# The blocking key is what makes fuzzy matching survive scale: the
+# quadratic levenshtein comparison only runs WITHIN blocks, turning an
+# O(n²) all-pairs scan into an equi-join on block plus per-block
+# pair enumeration (at 100 TB you'd pick blocks to keep the largest
+# block bounded — multiple redundant blockings beat one permissive
+# one). The distinct-name projection runs first so the fact-table
+# multiplicity never enters the pair space.
+# ---------------------------------------------------------------------------
+_FUZZ_MAX = 4
+
+
+@register(
+    "dedup_fuzzy_names",
+    f"""
+    WITH names AS (
+      SELECT DISTINCT p_name AS name,
+             {DUCK_TOKENS.format(text="p_name")}[-1] AS block
+      FROM part
+    )
+    SELECT a.block AS block, a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist
+    FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= {_FUZZ_MAX}
+    """,
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    names = (
+        t.part.select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("block", F.element_at(tokens(F.col("name")), -1))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .filter(dist <= _FUZZ_MAX)
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity and key-uniqueness audit: orphan-FK counts for
+# every fact→dim edge of the star schema plus duplicate-PK counts —
+# the constraint checks an RDBMS enforces on write (the reference
+# declares FOREIGN KEY / PRIMARY KEY in its DDL,
+# healthcare-sql-analytics.sql:67-92) and a lakehouse must audit on
+# read. Orphan checks are anti-joins (broadcast when the dim is small;
+# AQE decides); uniqueness is count vs count-distinct in one partial-
+# aggregated pass per table. Output is one row per constraint, so the
+# audit composes into a scheduled data-quality report at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_referential_audit",
+    """
+    SELECT 'fk' AS check_type, 'lineitem.l_orderkey->orders' AS constraint_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS violation_cnt
+    UNION ALL
+    SELECT 'fk', 'orders.o_custkey->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'fk', 'lineitem.l_partkey->part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'fk', 'lineitem.l_suppkey->supplier',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'pk', 'orders.o_orderkey unique',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'pk', 'customer.c_custkey unique',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+                AS BIGINT)
+    """,
+)
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str):
+        cnt = fact.join(
+            dim.select(F.col(pk).alias(fk)), fk, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("violation_cnt"))
+        return cnt.select(
+            F.lit("fk").alias("check_type"),
+            F.lit(name).alias("constraint_name"),
+            F.col("violation_cnt").cast("long"),
+        )
+
+    def dup_pk(tbl: DataFrame, pk: str, name: str):
+        return tbl.agg(
+            (F.count(F.lit(1)) - F.countDistinct(pk))
+            .cast("long")
+            .alias("violation_cnt")
+        ).select(
+            F.lit("pk").alias("check_type"),
+            F.lit(name).alias("constraint_name"),
+            "violation_cnt",
+        )
+
+    parts = [
+        orphans(t.lineitem, "l_orderkey", t.orders, "o_orderkey",
+                "lineitem.l_orderkey->orders"),
+        orphans(t.orders, "o_custkey", t.customer, "c_custkey",
+                "orders.o_custkey->customer"),
+        orphans(t.lineitem, "l_partkey", t.part, "p_partkey",
+                "lineitem.l_partkey->part"),
+        orphans(t.lineitem, "l_suppkey", t.supplier, "s_suppkey",
+                "lineitem.l_suppkey->supplier"),
+        dup_pk(t.orders, "o_orderkey", "orders.o_orderkey unique"),
+        dup_pk(t.customer, "c_custkey", "customer.c_custkey unique"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic surrogate-key assignment: build a (lang, source)
+# dimension with dense surrogate ids from a total order on the
+# business key, then attach the key to every document — the dim-build
+# primitive behind every star-schema load. NOT
+# monotonically_increasing_id(): that is partition-layout-dependent
+# and unstable under retries; a rank over the business-key order is
+# reproducible on any cluster shape. The ranked dim is tiny (distinct
+# combos), so the attach join broadcasts; the only full-data cost is
+# one distinct aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "ds_surrogate_keys",
+    """
+    WITH dim AS (
+      SELECT lang, source,
+             ROW_NUMBER() OVER (ORDER BY lang, source) AS sk
+      FROM (SELECT DISTINCT lang, source FROM documents)
+    )
+    SELECT d.doc_id, d.lang, d.source, CAST(dim.sk AS BIGINT) AS sk
+    FROM documents d JOIN dim ON d.lang = dim.lang AND d.source = dim.source
+    """,
+)
+def ds_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    dim = (
+        t.documents.select("lang", "source")
+        .distinct()
+        .withColumn(
+            "sk", F.row_number().over(Window.orderBy("lang", "source"))
+        )
+    )
+    return t.documents.join(F.broadcast(dim), ["lang", "source"]).select(
+        "doc_id", "lang", "source", F.col("sk").cast("long").alias("sk")
+    )

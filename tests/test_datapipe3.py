@@ -192,3 +192,68 @@ def test_compact_small_files(spark, tmp_path):
     out = spark.read.parquet(dest)
     assert len(out.inputFiles()) <= 2
     assert out.count() == orders.count()
+
+
+def test_fuzzy_names_pairs_are_blocked_and_bounded(spark):
+    rows = QUERIES["dedup_fuzzy_names"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert r["name_a"].split()[-1] == r["name_b"].split()[-1] == r["block"]
+        assert 1 <= r["edit_dist"] <= 4
+
+    # spot-check the distance against a pure-python Levenshtein
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for r in rows[:10]:
+        assert r["edit_dist"] == lev(r["name_a"], r["name_b"])
+
+
+def test_referential_audit_detects_injected_violations(spark):
+    import healthcare_research_data_pipeline_project_spark.queries.datapipe3 as d3
+
+    class _T:
+        orders = spark.createDataFrame(
+            [(1, 10), (2, 10), (2, 99)], "o_orderkey long, o_custkey long"
+        )  # dup PK 2; custkey 99 is an orphan
+        customer = spark.createDataFrame([(10,)], "c_custkey long")
+        lineitem = spark.createDataFrame(
+            [(1, 100, 200), (7, 100, 200)],
+            "l_orderkey long, l_partkey long, l_suppkey long",
+        )  # orderkey 7 is an orphan
+        part = spark.createDataFrame([(100,)], "p_partkey long")
+        supplier = spark.createDataFrame([(200,)], "s_suppkey long")
+
+    orig = d3.load_tables
+    d3.load_tables = lambda s, d: _T()
+    try:
+        got = {
+            r["constraint_name"]: r["violation_cnt"]
+            for r in QUERIES["dq_referential_audit"](spark, SF_SMOKE).collect()
+        }
+    finally:
+        d3.load_tables = orig
+    assert got["lineitem.l_orderkey->orders"] == 1
+    assert got["orders.o_custkey->customer"] == 1
+    assert got["orders.o_orderkey unique"] == 1
+    assert got["lineitem.l_partkey->part"] == 0
+    assert got["customer.c_custkey unique"] == 0
+
+
+def test_surrogate_keys_dense_and_stable(spark):
+    rows = QUERIES["ds_surrogate_keys"](spark, SF_SMOKE).collect()
+    by_combo = {}
+    for r in rows:
+        by_combo.setdefault((r["lang"], r["source"]), set()).add(r["sk"])
+    # one sk per combo, dense 1..n, ordered by (lang, source)
+    assert all(len(v) == 1 for v in by_combo.values())
+    sks = [next(iter(by_combo[k])) for k in sorted(by_combo)]
+    assert sks == list(range(1, len(by_combo) + 1))
