@@ -699,3 +699,101 @@ def ds_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.join(F.broadcast(dim), ["lang", "source"]).select(
         "doc_id", "lang", "source", F.col("sk").cast("long").alias("sk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average per user: a RECURSIVE sequence
+# statistic (ema_i = α·x_i + (1-α)·ema_{i-1}) that no window frame can
+# express — computed as a higher-order fold over the per-user event
+# sequence, seeded with the first value. Both engines fold in the same
+# deterministic (ts, event_id) order with the same IEEE double ops, so
+# the result is bit-identical without any rounding. α = 0.5 is exact
+# in binary. Per-user sequences are bounded (sessions, not the
+# corpus), so collect_list stays small; at 100 TB with million-event
+# keys you'd swap the fold for applyInPandasWithState over time order.
+# ---------------------------------------------------------------------------
+@register(
+    "t_ewma",
+    """
+    WITH s AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(vals[-1] AS DOUBLE) AS last_value,
+           CAST(list_reduce(vals, (a, b) -> 0.5 * b + 0.5 * a) AS DOUBLE)
+             AS ewma
+    FROM s
+    """,
+)
+def t_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    s = t.events.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ),
+            lambda r: r["value"].cast("double"),
+        ).alias("vals")
+    )
+    return s.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.element_at("vals", -1).cast("double").alias("last_value"),
+        F.expr(
+            "aggregate(slice(vals, 2, size(vals) - 1),"
+            " vals[0], (a, b) -> 0.5D * b + 0.5D * a)"
+        ).cast("double").alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding character chunking (Catalyst-native twin of the ChunkUDTF in
+# functions/udtf_ops.py): fixed-length chunks with overlap via
+# sequence + explode + substring — the shard-preparation step before
+# tokenization/embedding. Pure map-side fan-out: no shuffle at all,
+# output partitioning inherits the scan, and chunk boundaries are
+# byte-deterministic. The inclusive-bound sequence spec matches
+# DuckDB's generate_series exactly (both ends inclusive, step 90).
+# ---------------------------------------------------------------------------
+_CHUNK_LEN, _CHUNK_STRIDE = 120, 90
+
+
+@register(
+    "text_chunks",
+    f"""
+    SELECT doc_id,
+           CAST(start AS INT) AS chunk_start,
+           substr(text, start + 1, {_CHUNK_LEN}) AS chunk,
+           CAST(length(substr(text, start + 1, {_CHUNK_LEN})) AS INT)
+             AS chunk_len
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                    {_CHUNK_STRIDE})) AS start
+      FROM documents
+    )
+    """,
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    starts = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.length("text") - 1, F.lit(0)),
+            F.lit(_CHUNK_STRIDE),
+        )
+    )
+    return (
+        t.documents.select("doc_id", "text", starts.alias("start"))
+        .select(
+            "doc_id",
+            F.col("start").cast("int").alias("chunk_start"),
+            F.expr(f"substr(text, start + 1, {_CHUNK_LEN})").alias("chunk"),
+            F.length(F.expr(f"substr(text, start + 1, {_CHUNK_LEN})"))
+            .cast("int")
+            .alias("chunk_len"),
+        )
+    )

@@ -257,3 +257,48 @@ def test_surrogate_keys_dense_and_stable(spark):
     assert all(len(v) == 1 for v in by_combo.values())
     sks = [next(iter(by_combo[k])) for k in sorted(by_combo)]
     assert sks == list(range(1, len(by_combo) + 1))
+
+
+def test_ewma_hand_case(spark):
+    import healthcare_research_data_pipeline_project_spark.queries.datapipe3 as d3
+
+    class _T:
+        events = spark.createDataFrame(
+            [
+                (1, 7, "2024-01-01 00:00:00", 1.0),
+                (2, 7, "2024-01-01 00:01:00", 2.0),
+                (3, 7, "2024-01-01 00:02:00", 3.0),
+            ],
+            "event_id long, user_id long, ts string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    orig = d3.load_tables
+    d3.load_tables = lambda s, d: _T()
+    try:
+        r = QUERIES["t_ewma"](spark, SF_SMOKE).collect()[0]
+    finally:
+        d3.load_tables = orig
+    # ema = 0.5*3 + 0.5*(0.5*2 + 0.5*1) = 2.25
+    assert (r["user_id"], r["n_events"], r["last_value"]) == (7, 3, 3.0)
+    assert r["ewma"] == 2.25
+
+
+def test_text_chunks_cover_document_with_overlap(spark):
+    rows = QUERIES["text_chunks"](spark, SF_SMOKE).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    for doc_id, chunks in list(by_doc.items())[:20]:
+        text = docs[doc_id]
+        chunks.sort(key=lambda r: r["chunk_start"])
+        assert chunks[0]["chunk_start"] == 0
+        # strides are regular and every char is covered (len > stride)
+        starts = [c["chunk_start"] for c in chunks]
+        assert starts == list(range(0, len(text), 90))
+        for c in chunks:
+            assert c["chunk"] == text[c["chunk_start"]:c["chunk_start"] + 120]
+        assert chunks[-1]["chunk_start"] + chunks[-1]["chunk_len"] == len(text)
