@@ -797,3 +797,176 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chunk_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square contingency test: are document language and source
+# independent? Observed (lang × source) counts vs expected
+# row·col/total, χ² = Σ (o-e)²/e. Cross-engine FP doctrine: each
+# cell's contribution is a handful of identical IEEE ops (bit-equal in
+# both engines), rounded to 6 dp and cast to DECIMAL *before* the
+# final sum — so the sum is exact decimal addition and immune to
+# accumulation-order drift between Spark's partial aggregation and
+# DuckDB's. The contingency table is (langs × sources)-sized, so
+# everything after the first count aggregate is a few hundred rows at
+# any corpus scale; the margins attach via broadcast-sized windows.
+# ---------------------------------------------------------------------------
+@register(
+    "a23_chisq_contingency",
+    """
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    m AS (
+      SELECT lang, source, o,
+             SUM(o) OVER (PARTITION BY lang) AS row_t,
+             SUM(o) OVER (PARTITION BY source) AS col_t,
+             SUM(o) OVER () AS n
+      FROM cells
+    ),
+    contrib AS (
+      SELECT n,
+             CAST(ROUND((o - row_t * col_t / n) * (o - row_t * col_t / n)
+                        / (row_t * col_t / n), 6) AS DECIMAL(18,6)) AS c
+      FROM m
+    )
+    SELECT CAST(ROUND(CAST(SUM(c) AS DOUBLE), 4) AS DOUBLE) AS chi2,
+           CAST((SELECT (COUNT(DISTINCT lang) - 1)
+                        * (COUNT(DISTINCT source) - 1) FROM documents)
+                AS BIGINT) AS dof,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM contrib
+    """,
+)
+def a23_chisq_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cells = t.documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    m = (
+        cells.withColumn("row_t", F.sum("o").over(Window.partitionBy("lang")))
+        .withColumn("col_t", F.sum("o").over(Window.partitionBy("source")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    e = F.col("row_t") * F.col("col_t") / F.col("n")
+    contrib = m.select(
+        "n",
+        F.round((F.col("o") - e) * (F.col("o") - e) / e, 6)
+        .cast("decimal(18,6)")
+        .alias("c"),
+    )
+    dof = t.documents.agg(
+        ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1))
+        .cast("long")
+        .alias("dof")
+    )
+    agg = contrib.agg(
+        F.round(F.sum("c").cast("double"), 4).cast("double").alias("chi2"),
+        F.max("n").cast("long").alias("n"),
+    )
+    return agg.crossJoin(dof).select("chi2", "dof", "n")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: the leading-digit distribution of order
+# totals vs Benford's log10(1 + 1/d) expectation — the classic
+# anomaly/fraud screen for financial fact tables. One partial-
+# aggregated count by digit (9 groups at any scale) + constant
+# expected shares; deviations use the exact integer round_div so both
+# engines agree bit-for-bit. A synthetic uniform-ish price column
+# deviates from Benford wildly — the point of the audit is the
+# *measurement*, which the oracle pins exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_benford_audit",
+    f"""
+    WITH d AS (
+      -- floor, not CAST: double->BIGINT rounds-to-nearest in DuckDB
+      -- but truncates in Spark; floor is identical in both engines
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY digit),
+    tot AS (SELECT SUM(cnt) AS n FROM c)
+    SELECT digit,
+           CAST(cnt AS BIGINT) AS cnt,
+           {duck_round_div('cnt * 10000', 'n', 4)} AS observed_frac,
+           CAST(ROUND(log10(1.0 + 1.0 / digit), 4) AS DOUBLE) AS benford_frac
+    FROM c, tot
+    """,
+)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t.orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    c = c.withColumn("n", F.sum("cnt").over(Window.partitionBy()))
+    return c.select(
+        "digit",
+        F.col("cnt").cast("long").alias("cnt"),
+        round_div(F.col("cnt") * 10000, F.col("n"), "observed_frac", 4),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4)
+        .cast("double")
+        .alias("benford_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language token entropy (corpus diversity): H = -Σ p·ln p over
+# the token distribution — the curation metric that flags degenerate
+# or over-deduplicated corpus slices. Same exactness doctrine as the
+# χ² query: per-token contributions are identical IEEE doubles,
+# rounded to 8 dp, summed as exact decimals. The (lang, token) count
+# is the only corpus-scale shuffle; the entropy sum runs over the
+# vocabulary.
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_entropy",
+    f"""
+    WITH tok AS (SELECT lang, unnest({_TOKS}) AS token FROM documents),
+    c AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token),
+    m AS (
+      SELECT lang, cnt, SUM(cnt) OVER (PARTITION BY lang) AS n
+      FROM c
+    ),
+    contrib AS (
+      SELECT lang, n,
+             CAST(ROUND(-(CAST(cnt AS DOUBLE) / n)
+                        * ln(CAST(cnt AS DOUBLE) / n), 8)
+                  AS DECIMAL(18,8)) AS h
+      FROM m
+    )
+    SELECT lang,
+           CAST(MAX(n) AS BIGINT) AS token_cnt,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(ROUND(CAST(SUM(h) AS DOUBLE), 4) AS DOUBLE) AS entropy_nats
+    FROM contrib
+    GROUP BY lang
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    c = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.withColumn("n", F.sum("cnt").over(Window.partitionBy("lang")))
+    p = F.col("cnt").cast("double") / F.col("n")
+    contrib = m.select(
+        "lang",
+        "n",
+        F.round(-p * F.log(p), 8).cast("decimal(18,8)").alias("h"),
+    )
+    return contrib.groupBy("lang").agg(
+        F.max("n").cast("long").alias("token_cnt"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.round(F.sum("h").cast("double"), 4).cast("double")
+        .alias("entropy_nats"),
+    )
