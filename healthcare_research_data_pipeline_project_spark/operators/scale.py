@@ -28,9 +28,10 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.helpers import col_of
 from ..functions.text import duck_hash64, hash64_expr
 
 # ---------------------------------------------------------------------------
@@ -197,3 +198,60 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table with bucket metadata intact (must go
     through the catalog — a raw path read loses bucketing)."""
     return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# Scalable global prefix sum (two-phase, no single-partition window)
+# ---------------------------------------------------------------------------
+def prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    sums: dict[str, str | Column],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running SUM(value) in `order_cols` order without the
+    classic scale trap: `SUM(x) OVER (ORDER BY k)` with no PARTITION BY
+    plans a SinglePartition exchange — every row through one task, the
+    one shape that cannot survive a 100x scale-up. Two phases instead:
+
+      1. `repartitionByRange(order_cols)` + per-partition window cumsum
+         (each task sorts/sums only its slice; equal keys land in one
+         partition, so partition-local order is globally consistent);
+      2. per-partition totals (one row per partition) → tiny running
+         offset, broadcast back and added.
+
+    `sums` maps output column -> summed column; all running sums share
+    the one range exchange. Result is identical to the single-partition
+    window whenever the sums are exact (integers/decimals) and order
+    ties are sum-indifferent — pinned by tests/test_scale.py against
+    the naive window. The per-partition totals reuse the range exchange
+    (ReusedExchange), so the big input is shuffled exactly once."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = with_pid
+    for out, val in sums.items():
+        local = local.withColumn(f"__loc_{out}", F.sum(col_of(val)).over(w_local))
+    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = with_pid.groupBy("__pid").agg(
+        *[F.sum(col_of(val)).alias(f"__ptot_{out}") for out, val in sums.items()]
+    )
+    for out in sums:
+        # partition-count-sized frame: a single-partition window over
+        # O(num_partitions) rows is fine at any data scale
+        offsets = offsets.withColumn(
+            f"__off_{out}",
+            F.coalesce(F.sum(f"__ptot_{out}").over(w_prev), F.lit(0)),
+        )
+    offsets = offsets.select("__pid", *[f"__off_{out}" for out in sums])
+    res = local.join(F.broadcast(offsets), "__pid")
+    for out in sums:
+        res = res.withColumn(out, F.col(f"__loc_{out}") + F.col(f"__off_{out}"))
+    return res.drop(
+        "__pid", *[f"__loc_{o}" for o in sums], *[f"__off_{o}" for o in sums]
+    )

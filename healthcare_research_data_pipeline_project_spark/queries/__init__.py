@@ -28,5 +28,13 @@ def register(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every corpus module so the registry is fully populated."""
-    from . import corpus, datapipe, datapipe2, datapipe3, extended, scale  # noqa: F401
+    from . import (  # noqa: F401
+        corpus,
+        datapipe,
+        datapipe2,
+        datapipe3,
+        datapipe4,
+        extended,
+        scale,
+    )
     from ..healthcare import queries10  # noqa: F401

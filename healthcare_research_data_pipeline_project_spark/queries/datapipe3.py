@@ -892,7 +892,7 @@ def a23_chisq_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(cnt) AS n FROM c)
     SELECT digit,
            CAST(cnt AS BIGINT) AS cnt,
-           {duck_round_div('cnt * 10000', 'n', 4)} AS observed_frac,
+           {duck_round_div('cnt', 'n', 6)} AS observed_frac,
            CAST(ROUND(log10(1.0 + 1.0 / digit), 4) AS DOUBLE) AS benford_frac
     FROM c, tot
     """,
@@ -911,7 +911,7 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "digit",
         F.col("cnt").cast("long").alias("cnt"),
-        round_div(F.col("cnt") * 10000, F.col("n"), "observed_frac", 4),
+        round_div(F.col("cnt"), F.col("n"), "observed_frac", 6),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4)
         .cast("double")
         .alias("benford_frac"),

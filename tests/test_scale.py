@@ -160,3 +160,44 @@ def test_dedup_stream_drops_replays(spark, tmp_path):
     )
     ids = [r["event_id"] for r in out]
     assert sorted(ids) == list(range(10))  # each replayed id survives once
+
+
+# ---------------------------------------------------------------------------
+# Two-phase prefix sum ≡ single-partition global window
+# ---------------------------------------------------------------------------
+def test_prefix_sum_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    ords = load_tables(spark, SF_SMOKE).orders.select(
+        "o_orderkey", F.lit(1).alias("one"), F.col("o_custkey").alias("v")
+    )
+    got = {
+        r["o_orderkey"]: (r["rn"], r["cv"])
+        for r in SC.prefix_sum(
+            ords, ["o_orderkey"], {"rn": "one", "cv": "v"}, num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["o_orderkey"]: (r["rn"], r["cv"])
+        for r in ords.withColumn("rn", F.sum("one").over(w))
+        .withColumn("cv", F.sum("v").over(w))
+        .collect()
+    }
+    assert got == want
+
+
+def test_prefix_sum_avoids_single_partition_exchange(spark):
+    ords = load_tables(spark, SF_SMOKE).orders.select(
+        "o_orderkey", F.lit(1).alias("one")
+    )
+    p = X.plan(SC.prefix_sum(ords, ["o_orderkey"], {"rn": "one"}))
+    # the data-sized frame must move through a range exchange, and the
+    # only SinglePartition stage allowed is the partition-count-sized
+    # offsets frame (grouped by __pid, at most num_partitions rows)
+    assert "rangepartitioning" in p.lower()
+    for line in p.splitlines():
+        if "singlepartition" in line.lower():
+            assert "__pid" in p.lower()
