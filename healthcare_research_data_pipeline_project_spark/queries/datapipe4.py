@@ -578,3 +578,57 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog collapse: treat the event stream as a change-data feed
+# per user (signup → Insert, error → Delete, anything else → Update)
+# and materialize the current state — keep each key's latest operation
+# by (ts, event_id) and drop keys whose last op is a delete. This is
+# the batch core of a MERGE/CDC-apply pipeline (the reference's
+# session.merge upsert, healthcare-data-pipeline-main.py:606-670,
+# generalized with deletes). Plan: one key-partitioned ranking window
+# — partial shuffle on user_id only, no global sort; the same shape
+# Delta/Hudi use for snapshot reconstruction.
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_last_state",
+    """
+    WITH c AS (
+      SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, op AS last_op, value AS last_value, ts AS last_ts
+    FROM c WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )

@@ -139,3 +139,37 @@ def fhir_patients(resources: DataFrame) -> DataFrame:
         F.col("gender").alias("gender"),
         F.to_date("birthDate").alias("birth_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Columnar + raw-corpus sources (beyond the reference's csv/json/hl7/
+# fhir): ORC as the second native columnar interchange format, line
+# text for raw document corpora, and binaryFile for multimodal blobs
+# (image/audio payloads enter as whole-file binary rows that feed
+# multimodal/binary_ops; files > maxPartitionBytes are NOT split, so
+# at 100 TB the blob store should hold many medium files, not few
+# giant ones).
+# ---------------------------------------------------------------------------
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Native ORC scan — same pushdown/pruning guarantees as parquet."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
+    """Line-per-row text corpus (`value` column); `wholetext=True`
+    yields one row per file (document-per-file corpora). NB: must go
+    through the .text(wholetext=) kwarg — the pyspark wrapper passes
+    its own default which silently overrides .option("wholetext")."""
+    return spark.read.text(path, wholetext=wholetext)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Whole-file binary rows: (path, modificationTime, length, content)
+    — the ingestion edge for image/audio/video blobs. Pair with
+    multimodal.binary_ops for decode/feature plumbing."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -133,3 +133,13 @@ def compact_small_files(
     )
     out.write.mode("overwrite").parquet(dest)
     return n
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink with optional hive-style partitioning (same layout
+    doctrine as `write_warehouse`: partition columns are the pruning
+    interface for downstream scans)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

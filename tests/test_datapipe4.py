@@ -210,3 +210,26 @@ def test_ab_ztest_sign_follows_conversion_gap(spark):
     if r["z_score"] is not None:
         gap = r["cvr_a"] - r["cvr_b"]
         assert (r["z_score"] > 0) == (gap > 0) or gap == 0
+
+
+def test_cdc_last_state_hand_case(spark):
+    # u1: insert then update → survives as U; u2: insert then delete →
+    # dropped; u3: delete then re-insert → survives as I; tie on ts for
+    # u1 broken by event_id (higher wins)
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "signup", 1.0),
+        (2, 1, "2024-01-02 00:00:00", "click", 2.0),
+        (3, 1, "2024-01-02 00:00:00", "view", 3.0),
+        (4, 2, "2024-01-01 00:00:00", "signup", 4.0),
+        (5, 2, "2024-01-03 00:00:00", "error", 5.0),
+        (6, 3, "2024-01-01 00:00:00", "error", 6.0),
+        (7, 3, "2024-01-02 00:00:00", "signup", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["user_id"]: (r["last_op"], r["last_value"])
+        for r in _with_tables(spark, {"events": ev}, "cdc_last_state")
+    }
+    assert out == {1: ("U", 3.0), 3: ("I", 7.0)}

@@ -461,3 +461,65 @@ def test_stateful_user_counts(spark, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+# ---------------------------------------------------------------------------
+# Columnar + raw-corpus sources (ORC, text, binaryFile)
+# ---------------------------------------------------------------------------
+def test_orc_roundtrip(spark, tmp_path):
+    from healthcare_research_data_pipeline_project_spark.sources.readers import read_orc
+    from healthcare_research_data_pipeline_project_spark.sources.sinks import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    p = str(tmp_path / "t.orc")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert sorted((r.asDict() for r in back.collect()), key=lambda d: d["id"]) == sorted(
+        (r.asDict() for r in df.collect()), key=lambda d: d["id"]
+    )
+
+
+def test_orc_partitioned_write_prunes(spark, tmp_path):
+    from healthcare_research_data_pipeline_project_spark.sources.readers import read_orc
+    from healthcare_research_data_pipeline_project_spark.sources.sinks import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], "id long, part string"
+    )
+    p = str(tmp_path / "part.orc")
+    write_orc(df, p, partition_by=["part"])
+    back = read_orc(spark, p).filter(F.col("part") == "x")
+    assert back.count() == 2
+    # partition pruning: only the part=x directory is scanned
+    import os
+
+    assert os.path.isdir(os.path.join(p, "part=x"))
+
+
+def test_text_and_wholetext(spark, tmp_path):
+    from healthcare_research_data_pipeline_project_spark.sources.readers import read_text
+
+    f = tmp_path / "doc.txt"
+    f.write_text("line one\nline two\n")
+    lines = read_text(spark, str(f))
+    assert sorted(r["value"] for r in lines.collect()) == ["line one", "line two"]
+    whole = read_text(spark, str(f), wholetext=True)
+    assert whole.count() == 1
+    assert "line one\nline two" in whole.collect()[0]["value"]
+
+
+def test_binary_files_reader(spark, tmp_path):
+    from healthcare_research_data_pipeline_project_spark.sources.readers import (
+        read_binary_files,
+    )
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "b.jpg").write_bytes(b"JPEGDATA")
+    allf = read_binary_files(spark, str(tmp_path))
+    assert allf.count() == 2
+    jpg = read_binary_files(spark, str(tmp_path), glob="*.jpg").collect()
+    assert len(jpg) == 1
+    assert bytes(jpg[0]["content"]) == b"JPEGDATA"
+    assert jpg[0]["length"] == 8
