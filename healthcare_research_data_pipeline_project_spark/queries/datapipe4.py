@@ -640,3 +640,42 @@ def cdc_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("last_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hopping-window rollup (1-hour windows sliding every 15 minutes) —
+# the batch twin of a sliding streaming aggregation, complementing the
+# tumbling events_hourly_rollup. Spark's F.window(ts, 1h, 15m) expands
+# each event into its 4 covering windows before the partial aggregate;
+# the oracle reproduces the same window-start arithmetic with an
+# unnest over hop offsets (window_start = floor(epoch/hop)·hop −
+# k·hop). Scale: the 4× row expansion happens map-side inside the
+# aggregate's partial phase — the shuffle carries only (window,
+# event_type) partial counts. Exact distinct users per window via the
+# count-distinct shuffle (the approximate tier is a2b_approx_stats).
+# ---------------------------------------------------------------------------
+@register(
+    "events_hopping_rollup",
+    """
+    WITH hop AS (
+      SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+                - off * 900) * 1000000) AS window_start,
+             event_type, user_id
+      FROM events, unnest([0, 1, 2, 3]) AS t(off)
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_cnt,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
+    FROM hop GROUP BY window_start, event_type
+    """,
+)
+def events_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.events.groupBy(
+        F.window("ts", "1 hour", "15 minutes").start.alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("event_cnt"),
+        F.countDistinct("user_id").cast("long").alias("unique_users"),
+    )

@@ -233,3 +233,39 @@ def test_cdc_last_state_hand_case(spark):
         for r in _with_tables(spark, {"events": ev}, "cdc_last_state")
     }
     assert out == {1: ("U", 3.0), 3: ("I", 7.0)}
+
+
+def test_hopping_rollup_hand_case(spark):
+    # one event at 10:05 lands in exactly the 4 hour-windows starting
+    # 09:15, 09:30, 09:45, 10:00
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", 7, "view")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = _with_tables(spark, {"events": ev}, "events_hopping_rollup")
+    starts = sorted(str(r["window_start"]) for r in out)
+    assert starts == [
+        "2024-01-01 09:15:00",
+        "2024-01-01 09:30:00",
+        "2024-01-01 09:45:00",
+        "2024-01-01 10:00:00",
+    ]
+    assert all(r["event_cnt"] == 1 and r["unique_users"] == 1 for r in out)
+
+
+def test_pair_lift_plan_has_no_join_on_fact(spark):
+    from healthcare_research_data_pipeline_project_spark.plans import explain as X
+
+    p = X.plan(QUERIES["mb_pair_lift"](spark, SF_SMOKE))
+    # basket-array expansion: no sort-merge join anywhere; the only
+    # joins are broadcasts of the part-frequency / total frames
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_ks_and_gini_plans_use_range_partitioning(spark):
+    from healthcare_research_data_pipeline_project_spark.plans import explain as X
+
+    for name in ("t_ks_two_sample", "a24_gini_concentration"):
+        p = X.plan(QUERIES[name](spark, SF_SMOKE)).lower()
+        assert "rangepartitioning" in p, name
