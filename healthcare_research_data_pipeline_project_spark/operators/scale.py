@@ -255,3 +255,41 @@ def prefix_sum(
     return res.drop(
         "__pid", *[f"__loc_{o}" for o in sums], *[f"__off_{o}" for o in sums]
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe big-big equi-join via salting
+# ---------------------------------------------------------------------------
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    entropy: str | Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where the LEFT side has hot keys: salt left rows into
+    `n_salts` lanes (deterministic hash of `entropy`, never rand() —
+    replay-safe under task retry) and replicate each RIGHT row into all
+    lanes, then join on (key, salt). A key holding 40% of the left
+    rows spreads over n_salts reducers instead of one straggler task.
+
+    Cost model: right side inflates n_salts× through the shuffle, so
+    use it when right is too big to broadcast but much smaller than
+    the skewed left (else AQE's skew-join split of SMJ partitions is
+    the better tool — this operator exists for the cases AQE can't
+    see: skew created mid-query by a previous stage, or a salted frame
+    that feeds a later aggregation on the same lanes). Inner/left
+    joins only: every left row keeps exactly its one lane, and each
+    right row appears once per lane, so match multiplicity is
+    preserved; `how="right"/"full"` would duplicate right-side
+    non-matches across lanes and is rejected.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join preserves semantics only for inner/left")
+    ent = entropy if entropy is not None else F.monotonically_increasing_id()
+    l_s = left.withColumn("__salt", salt_col(n_salts, ent))
+    r_s = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l_s.join(r_s, [key, "__salt"], how).drop("__salt")

@@ -34,6 +34,7 @@ def load_all() -> None:
         datapipe2,
         datapipe3,
         datapipe4,
+        datapipe5,
         extended,
         scale,
     )

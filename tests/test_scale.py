@@ -201,3 +201,56 @@ def test_prefix_sum_avoids_single_partition_exchange(spark):
     for line in p.splitlines():
         if "singlepartition" in line.lower():
             assert "__pid" in p.lower()
+
+
+# ---------------------------------------------------------------------------
+# Salted join ≡ plain join; right side really replicates
+# ---------------------------------------------------------------------------
+def test_salted_join_matches_plain(spark):
+    li = load_tables(spark, SF_SMOKE).lineitem.select(
+        F.col("l_orderkey").alias("okey"), "l_linenumber", "l_quantity"
+    )
+    orders = load_tables(spark, SF_SMOKE).orders.select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    salted = SC.salted_join(
+        li, orders, "okey", n_salts=4, entropy=F.col("l_linenumber")
+    )
+    plain = li.join(orders, "okey")
+    assert salted.count() == plain.count()
+    s = {
+        (r["o_orderpriority"], r["cnt"])
+        for r in salted.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    p = {
+        (r["o_orderpriority"], r["cnt"])
+        for r in plain.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert s == p
+
+
+def test_salted_join_replicates_right_and_rejects_outer(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10), (1, 11), (2, 12)], "k int, v int")
+    right = spark.createDataFrame([(1, "a"), (3, "c")], "k int, s string")
+    out = SC.salted_join(left, right, "k", n_salts=4, entropy=F.col("v"))
+    # inner semantics: every left row with a right match appears once
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == [(1, 10), (1, 11)]
+    # the physical plan replicates the right side via explode
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan
+    with pytest.raises(ValueError):
+        SC.salted_join(left, right, "k", how="full")
+
+
+def test_left_salted_join_keeps_unmatched_left(spark):
+    left = spark.createDataFrame([(1, 10), (9, 90)], "k int, v int")
+    right = spark.createDataFrame([(1, "a")], "k int, s string")
+    out = SC.salted_join(left, right, "k", n_salts=3, entropy="v", how="left")
+    rows = {(r["k"], r["s"]) for r in out.collect()}
+    assert rows == {(1, "a"), (9, None)}
