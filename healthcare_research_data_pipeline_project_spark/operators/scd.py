@@ -48,12 +48,25 @@ def scd2_apply(
     counts as a change (eqNullSafe, not `=`).
     """
     eff = F.lit(effective_ts).cast("timestamp")
-    upd = updates.select(key, *[F.col(c).alias(f"__u_{c}") for c in tracked])
+    # constant presence marker: detects "this key had an update row" even
+    # when every tracked attribute of the update is NULL (a value→NULL
+    # change must count as a change, per the docstring's eqNullSafe
+    # contract — keying presence off the first tracked attribute would
+    # silently drop such updates)
+    upd = updates.select(
+        key,
+        F.lit(1).alias("__u_present"),
+        *[F.col(c).alias(f"__u_{c}") for c in tracked],
+    )
 
     history = dim.filter(~F.col(is_current))
     current = dim.filter(F.col(is_current))
 
-    joined = current.join(F.broadcast(upd), key, "full_outer")
+    # LEFT join so the broadcast hint actually takes effect —
+    # BroadcastHashJoin does not support full outer (Spark would fall
+    # back to sort-merge silently); brand-new keys come from a separate
+    # left_anti pass below, which broadcasts the same small side.
+    joined = current.join(F.broadcast(upd), key, "left")
 
     def changed() -> Column:
         c: Column = F.lit(False)
@@ -61,14 +74,12 @@ def scd2_apply(
             c = c | ~F.col(t).eqNullSafe(F.col(f"__u_{t}"))
         return c
 
-    has_update = F.col(f"__u_{tracked[0]}").isNotNull() | F.lit(False)
-    # a key present in updates but absent from current dim
-    is_new_key = F.col(valid_from).isNull()
-    is_changed = ~is_new_key & has_update & changed()
+    has_update = F.col("__u_present").isNotNull()
+    is_changed = has_update & changed()
 
     out_cols = [key, *tracked, valid_from, valid_to, is_current]
 
-    untouched = joined.filter(~is_new_key & ~is_changed).select(*out_cols)
+    untouched = joined.filter(~is_changed).select(*out_cols)
     closed = joined.filter(is_changed).select(
         key,
         *tracked,
@@ -76,9 +87,19 @@ def scd2_apply(
         eff.alias(valid_to),
         F.lit(False).alias(is_current),
     )
-    reopened = joined.filter(is_changed | is_new_key).select(
+    reopened = joined.filter(is_changed).select(
         key,
         *[F.col(f"__u_{t}").alias(t) for t in tracked],
+        eff.alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+        F.lit(True).alias(is_current),
+    )
+    # keys present in updates but absent from the current slice open
+    # their first version; left_anti against the (small, broadcastable)
+    # key set of `current` keeps both passes broadcast-joinable
+    new_keys = updates.join(current.select(key), key, "left_anti").select(
+        key,
+        *tracked,
         eff.alias(valid_from),
         F.lit(None).cast("timestamp").alias(valid_to),
         F.lit(True).alias(is_current),
@@ -88,6 +109,7 @@ def scd2_apply(
         .unionByName(untouched)
         .unionByName(closed)
         .unionByName(reopened)
+        .unionByName(new_keys)
     )
 
 
