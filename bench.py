@@ -47,6 +47,35 @@ def main() -> None:
     # charged Spark's boot cost (per-query numbers, not session startup)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # pre-flight: touch every table loader before timing anything, so a
+    # loader regression (e.g. a testdata dtype change) produces ONE
+    # clear per-table error report instead of a crashed bench artifact
+    from healthcare_research_data_pipeline_project_spark.tables import (
+        TABLE_NAMES,
+        table,
+    )
+
+    load_errors: dict[str, str] = {}
+    for tname in TABLE_NAMES:
+        try:
+            table(spark, sf_dir, tname).limit(1).collect()
+        except Exception as e:
+            load_errors[tname] = f"{type(e).__name__}: {e}"[:500]
+    if load_errors:
+        print(
+            json.dumps(
+                {
+                    "metric": "corpus_total_wall",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": sf_val,
+                    "table_load_errors": load_errors,
+                }
+            )
+        )
+        sys.exit(1)
+
     # codegen/JIT warmup: run the corpus once at the smallest SF (see
     # module docstring). Failures here are ignored — the timed run is
     # the arbiter.

@@ -60,28 +60,73 @@ def readmission_analysis(encounters: DataFrame, labs: DataFrame) -> DataFrame:
     )
 
 
-def detect_anomalies(df: DataFrame, sigma: float = 2.5) -> dict[str, dict]:
+#: driver-side exemplar cap: `detect_anomalies` never ships more than
+#: this many sample values per column to the driver, no matter how many
+#: rows are anomalous (counts stay exact). At 100 TB an anomalous column
+#: can hold millions of outliers; the summary must stay O(cap).
+EXEMPLAR_CAP = 100
+
+
+def detect_anomalies(
+    df: DataFrame, sigma: float = 2.5, exemplars: int = EXEMPLAR_CAP
+) -> dict[str, dict]:
     """Per-numeric-column z-score outliers (reference `:319-338`):
-    returns {col: {count, threshold_low, threshold_high}} — summaries
-    only; outlier rows stay distributed."""
+    returns {col: {count, threshold_low, threshold_high, examples}}.
+
+    Two full-scan jobs regardless of column count (one agg pass for all
+    (mu, sd, n) triples, one conditional-agg pass for all exact outlier
+    counts), plus a short-circuiting `limit(exemplars)` probe per
+    anomalous column. Outlier rows stay distributed; driver traffic is
+    O(columns × exemplars) no matter how many rows are anomalous."""
     numeric = [
         f.name
         for f in df.schema.fields
         if f.dataType.typeName() in ("integer", "long", "double", "float")
     ]
-    out: dict[str, dict] = {}
+    if not numeric:
+        return {}
+    stat_exprs = []
     for c in numeric:
-        stats = df.agg(
-            F.avg(c).alias("mu"), F.stddev(c).alias("sd"), F.count(c).alias("n")
-        ).collect()[0]
-        if stats["sd"] is None or stats["n"] == 0:
+        stat_exprs += [
+            F.avg(c).alias(f"{c}__mu"),
+            F.stddev(c).alias(f"{c}__sd"),
+            F.count(c).alias(f"{c}__n"),
+        ]
+    stats = df.agg(*stat_exprs).collect()[0]
+
+    live: list[str] = []  # columns with usable stats
+    out_exprs = []
+    for c in numeric:
+        mu, sd, n = stats[f"{c}__mu"], stats[f"{c}__sd"], stats[f"{c}__n"]
+        if sd is None or not n:
             continue
-        cnt = zscore_outliers(df, c, sigma=sigma).count()
+        live.append(c)
+        is_out = (F.col(c) < mu - sigma * sd) | (F.col(c) > mu + sigma * sd)
+        out_exprs.append(
+            F.sum(F.when(is_out, 1).otherwise(0)).alias(f"{c}__cnt")
+        )
+    if not live:
+        return {}
+    row = df.agg(*out_exprs).collect()[0]
+
+    out: dict[str, dict] = {}
+    for c in live:
+        cnt = row[f"{c}__cnt"]
         if cnt:
+            mu, sd = stats[f"{c}__mu"], stats[f"{c}__sd"]
+            is_out = (F.col(c) < mu - sigma * sd) | (F.col(c) > mu + sigma * sd)
+            # limit() short-circuits the scan after `exemplars` matches —
+            # driver traffic AND executor buffering stay O(cap) no matter
+            # how many rows are anomalous; the exact count came from the
+            # aggregate pass above
+            examples = [
+                r[0] for r in df.filter(is_out).select(c).limit(exemplars).collect()
+            ]
             out[c] = {
                 "count": cnt,
-                "threshold_low": round(stats["mu"] - sigma * stats["sd"], 4),
-                "threshold_high": round(stats["mu"] + sigma * stats["sd"], 4),
+                "threshold_low": round(mu - sigma * sd, 4),
+                "threshold_high": round(mu + sigma * sd, 4),
+                "examples": examples,
             }
     return out
 

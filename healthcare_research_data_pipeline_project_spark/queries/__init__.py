@@ -26,8 +26,71 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+#: The driver's correctness gate records only the FIRST 50 registered
+#: queries, so registration order decides which operators get an oracle
+#: row. This list pins the 50 highest-value rows up front: the flagship
+#: executive summary, the 10 reference analytics queries
+#: (healthcare-sql-analytics.sql:146-779), every SURVEY §2 core-operator
+#: row, and the named LLM-data-pipeline operators (dedup/ANN/multimodal/
+#: text). Everything else still registers (pytest + bench cover it) —
+#: it just sorts after the gate window.
+GATE_PRIORITY = [
+    "exec_summary",
+    "hc_q1_readmission_risk",
+    "hc_q2_sepsis_bundle",
+    "hc_q3_provider_performance",
+    "hc_q4_chronic_disease",
+    "hc_q5_hai_surveillance",
+    "hc_q6_drg_outliers",
+    "hc_q7_trial_cohort",
+    "hc_q8_ed_throughput",
+    "hc_q9_access_audit",
+    "hc_q10_data_quality",
+    "p_filter_predicates",
+    "p_like_predicates",
+    "j1_star_join",
+    "j2_band_self_join",
+    "j3_left_join_pred",
+    "j4_semi_exists",
+    "j5_anti_not_exists",
+    "j6_in_subquery",
+    "j7_role_playing_dim",
+    "j9_cte_join",
+    "a1_agg_battery",
+    "a8_percentiles",
+    "a9_iqr_outliers",
+    "a10_zscore_outliers",
+    "a11_correlation",
+    "a12_distribution_pct",
+    "a13_histogram",
+    "a14_quality_metrics",
+    "w1_w2_group_outliers",
+    "w3_topn_per_group",
+    "w4_latest_per_entity",
+    "f_date_functions",
+    "f_case_mask_hash",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "u2_set_ops",
+    "t_gap_fill",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_lsh_pairs",
+    "dedup_embedding_cosine",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "mm_media_features",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+]
+
+
 def load_all() -> None:
-    """Import every corpus module so the registry is fully populated."""
+    """Import every corpus module, then sort the registry so the gate
+    window (first 50) covers `GATE_PRIORITY`."""
     from . import (  # noqa: F401
         corpus,
         datapipe,
@@ -39,3 +102,13 @@ def load_all() -> None:
         scale,
     )
     from ..healthcare import queries10  # noqa: F401
+
+    missing = [n for n in GATE_PRIORITY if n not in QUERIES]
+    if missing:  # fail loudly: a renamed query silently losing its gate
+        raise RuntimeError(f"GATE_PRIORITY names unknown queries: {missing}")
+    rank = {n: i for i, n in enumerate(GATE_PRIORITY)}
+    ordered = sorted(QUERIES, key=lambda n: (rank.get(n, len(rank)),))
+    for registry in (QUERIES, ORACLE):
+        snapshot = {n: registry[n] for n in ordered if n in registry}
+        registry.clear()
+        registry.update(snapshot)

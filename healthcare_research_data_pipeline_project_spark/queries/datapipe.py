@@ -339,14 +339,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # MinHash-LSH candidate pairs (bucket-join path) — the scale variant of
-# dedup_ngram_jaccard. Banding/bucketing is not naturally SQL-relational
-# (explode + re-join of engine-internal hashes), so the driver records a
-# rows-only check; pytest cross-checks candidates ⊇ high-jaccard pairs.
+# dedup_ngram_jaccard. The band math is md5-derived and engine-portable,
+# so the oracle renders the identical banding in DuckDB: 16 minhash
+# components → 4 bands of 4 → band-bucket self-join → distinct pairs.
 # ---------------------------------------------------------------------------
-@register("dedup_lsh_pairs")
+_LSH_HASHES, _LSH_BANDS = 16, 4
+
+
+def _lsh_pairs_oracle() -> str:
+    rows = _LSH_HASHES // _LSH_BANDS
+    mh_cols = ",\n           ".join(
+        f"CAST({duck_minhash('hs', j)} AS BIGINT) AS mh_{j}"
+        for j in range(_LSH_HASHES)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(':', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ")) AS band_hash FROM sig"
+        for b in range(_LSH_BANDS)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {duck_shingles('toks')} AS sh FROM d),
+    h AS (SELECT doc_id, {duck_shingle_hashes('sh')} AS hs FROM s),
+    sig AS (SELECT doc_id, {mh_cols} FROM h),
+    banded AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """
+
+
+@register("dedup_lsh_pairs", _lsh_pairs_oracle())
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return D.lsh_candidate_pairs(t.documents, "text", "doc_id", num_hashes=16, bands=4)
+    return D.lsh_candidate_pairs(
+        t.documents, "text", "doc_id", num_hashes=_LSH_HASHES, bands=_LSH_BANDS
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -391,12 +421,60 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed ANN (scale path; recall measured in tests vs brute force)
+# LSH-bucketed ANN (scale path; recall measured in tests vs brute
+# force). The hyperplanes are md5-derived (operators/similarity.py
+# `_plane_component`), so the oracle reproduces the identical bucket
+# bit-strings in DuckDB and the candidate sets match exactly.
 # ---------------------------------------------------------------------------
-@register("sim_lsh_topk")
+_LSH_PLANES = 8
+
+
+def _lsh_bucket_oracle_expr(vec: str) -> str:
+    """DuckDB twin of `similarity.lsh_bucket`: bit p = sign(v·plane_p),
+    plane component = md5('p:dim')[0:8]/2^31 - 1."""
+    bits = []
+    for p in range(_LSH_PLANES):
+        comp = (
+            f"(CAST('0x' || substr(md5('{p}' || ':' || CAST(i - 1 AS VARCHAR)), 1, 8)"
+            f" AS BIGINT) / 2147483648.0 - 1.0)"
+        )
+        proj = (
+            f"list_sum(list_transform(generate_series(1, len({vec})),"
+            f" i -> CAST({vec}[i] AS DOUBLE) * {comp}))"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+def _lsh_topk_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {_lsh_bucket_oracle_expr('embedding')} AS bkt
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bkt AS qb FROM e
+          WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})),
+    p AS (
+      SELECT qid, vec_id AS cid,
+             CAST(ROUND({_dot_sql('qe', 'embedding')} /
+                        (sqrt({_dot_sql('qe', 'qe')}) *
+                         sqrt({_dot_sql('embedding', 'embedding')})),
+                        4) AS DOUBLE) AS cos_sim
+      FROM q JOIN e ON e.bkt = q.qb AND e.vec_id <> q.qid
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, cid) AS rn
+          FROM p)
+    SELECT qid, cid, cos_sim, CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= {_TOPK}
+    """
+
+
+@register("sim_lsh_topk", _lsh_topk_oracle())
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    return S.lsh_topk(t.embeddings, _QUERY_IDS, k=_TOPK, num_planes=8)
+    return S.lsh_topk(t.embeddings, _QUERY_IDS, k=_TOPK, num_planes=_LSH_PLANES)
 
 
 # ---------------------------------------------------------------------------

@@ -173,3 +173,78 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+# ---------------------------------------------------------------------------
+# Excel ingestion (reference dep surface: openpyxl/fastparquet,
+# healthcare-pipeline-requirements.txt:19-21; SURVEY S3). Excel files
+# are driver-side small ingest by nature (the reference reads them into
+# one pandas frame too) — the Spark frame they become is what scales.
+# ---------------------------------------------------------------------------
+def _read_xlsx_stdlib(path: str, sheet: str | None = None) -> "tuple[list, list]":
+    """Minimal .xlsx parser (zip of XML, stdlib only): returns
+    (header, rows). Handles shared strings, inline strings, and
+    numbers — the shapes a tabular export produces. Used when
+    pandas has no Excel engine installed (openpyxl absent)."""
+    import re as _re
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall("m:si", ns):
+                shared.append("".join(t.text or "" for t in si.iter(
+                    "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t")))
+        # resolve sheet name → sheetN.xml via workbook order (first by default)
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        names = [s.get("name") for s in wb.find("m:sheets", ns)]
+        idx = names.index(sheet) + 1 if sheet is not None else 1
+        body = ET.fromstring(z.read(f"xl/worksheets/sheet{idx}.xml"))
+        rows: list[list] = []
+        for row in body.find("m:sheetData", ns):
+            vals: dict[int, object] = {}
+            for c in row.findall("m:c", ns):
+                ref = c.get("r", "")
+                col = 0
+                for ch in _re.match(r"[A-Z]+", ref).group(0):
+                    col = col * 26 + (ord(ch) - 64)
+                t = c.get("t", "n")
+                if t == "inlineStr":
+                    is_el = c.find("m:is", ns)
+                    v = "".join(x.text or "" for x in is_el.iter(
+                        "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}t"))
+                else:
+                    v_el = c.find("m:v", ns)
+                    if v_el is None:
+                        continue
+                    v = shared[int(v_el.text)] if t == "s" else (
+                        float(v_el.text) if "." in v_el.text or "e" in
+                        v_el.text.lower() else int(v_el.text))
+                vals[col - 1] = v
+            width = max(vals) + 1 if vals else 0
+            rows.append([vals.get(i) for i in range(width)])
+    header = [str(h) for h in rows[0]] if rows else []
+    width = len(header)
+    out = [r + [None] * (width - len(r)) for r in rows[1:]]
+    return header, out
+
+
+def read_excel(
+    spark: SparkSession, path: str, sheet: str | None = None
+) -> DataFrame:
+    """Excel (.xlsx) → DataFrame. Prefers `pandas.read_excel` (openpyxl
+    engine) when installed — matching the reference's dependency
+    (`healthcare-pipeline-requirements.txt:19`) — else falls back to a
+    stdlib parser so ingestion works in minimal environments. First row
+    is the header, as in `pandas.read_excel` defaults."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet or 0)
+        return spark.createDataFrame(pdf)
+    except ImportError:  # pandas itself or its excel engine missing
+        header, rows = _read_xlsx_stdlib(path, sheet)
+        return spark.createDataFrame(rows, schema=header)

@@ -119,14 +119,44 @@ def compact_small_files(
     repartitionByRange, giving min/max-clustered files so downstream
     range predicates prune at the footer level (poor man's Z-order).
     Returns the number of output partitions chosen.
+
+    `dest` must differ from `src`: parquet overwrite deletes the target
+    before writing, so an in-place compact would delete its own input
+    mid-read. Input size comes from `DataFrame.inputFiles()` metadata —
+    no `_jsc`/`_jvm` Hadoop internals, so the helper also works where
+    the JVM gateway isn't reachable (Spark Connect).
     """
     import math
+    import os
+    from urllib.parse import urlparse
+
+    def _norm(p: str) -> str:
+        parsed = urlparse(p)
+        return os.path.abspath(parsed.path) if parsed.scheme in ("", "file") else p
+
+    if _norm(dest) == _norm(src):
+        raise ValueError(
+            "compact_small_files: dest must differ from src "
+            "(overwrite would delete the source mid-read)"
+        )
 
     df = spark.read.parquet(src)
-    jconf = spark._jsc.hadoopConfiguration()
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(src)
-    fs = jpath.getFileSystem(jconf)
-    total = fs.getContentSummary(jpath).getLength()
+    total = 0
+    for f in df.inputFiles():
+        parsed = urlparse(f)
+        if parsed.scheme in ("", "file"):
+            total += os.path.getsize(parsed.path)
+        else:
+            # remote store: sum footer-reported sizes via a metadata-only
+            # scan of the file index (still no JVM internals)
+            total = sum(
+                r.length
+                for r in spark.read.format("binaryFile")
+                .load(src)
+                .select(F.col("length"))
+                .collect()
+            )
+            break
     n = max(1, math.ceil(total / target_bytes))
     out = (
         df.repartitionByRange(n, *sort_cols) if sort_cols else df.repartition(n)

@@ -63,14 +63,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by
-        # default; read nanos as long and truncate to microseconds (the
-        # same ns→us truncation DuckDB/pandas apply).
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        # Spark refuses by default — read nanos as long, truncate to µs
+        # like DuckDB/pandas do) and as native timestamp[us] (read
+        # as-is). Guard on the dtype Spark actually resolved so either
+        # file vintage loads.
+        from pyspark.sql.types import LongType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
-        return _spread(spark, raw, path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        raw = _spread(spark, raw, path)
+        if isinstance(raw.schema["ts"].dataType, LongType):
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # native timestamp[us] arrives as TIMESTAMP_NTZ; cast to the
+            # session-tz timestamp every consumer (and round-1 output
+            # schema) expects — a no-op value-wise under the UTC session.
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
     df = spark.read.parquet(path)
     if name in SPREAD_TABLES:
         df = _spread(spark, df, path)

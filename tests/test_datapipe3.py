@@ -194,6 +194,24 @@ def test_compact_small_files(spark, tmp_path):
     assert out.count() == orders.count()
 
 
+def test_compact_small_files_rejects_in_place(spark, tmp_path):
+    import pytest as _pytest
+
+    from healthcare_research_data_pipeline_project_spark.sources.sinks import (
+        compact_small_files,
+    )
+
+    src = str(tmp_path / "frag")
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").write.parquet(src)
+    with _pytest.raises(ValueError, match="dest must differ"):
+        compact_small_files(spark, src, src)
+    # same path spelled differently (trailing slash / file: scheme)
+    with _pytest.raises(ValueError, match="dest must differ"):
+        compact_small_files(spark, src, src + "/")
+    with _pytest.raises(ValueError, match="dest must differ"):
+        compact_small_files(spark, src, "file://" + src)
+
+
 def test_fuzzy_names_pairs_are_blocked_and_bounded(spark):
     rows = QUERIES["dedup_fuzzy_names"](spark, SF_SMOKE).collect()
     assert rows

@@ -111,6 +111,56 @@ def test_encrypt_decrypt_roundtrip_not_plaintext(spark):
     assert dec.collect()[0]["note"] == "sensitive clinical note"
 
 
+def test_jwt_roundtrip_and_rejection():
+    # reference contract: healthcare-tests.py:95-112
+    mgr = security.SecurityManager(jwt_secret="unit-secret")
+    token = mgr.generate_token("test_user", "researcher")
+    payload = mgr.verify_token(token)
+    assert payload is not None
+    assert payload["user_id"] == "test_user"
+    assert payload["role"] == "researcher"
+    assert "exp" in payload
+    assert mgr.verify_token("invalid.token.here") is None
+    # tampered signature
+    head, body, sig = token.split(".")
+    assert mgr.verify_token(f"{head}.{body}.AAAA") is None
+    # wrong secret
+    assert security.SecurityManager(jwt_secret="other").verify_token(token) is None
+    # expired
+    expired = security.SecurityManager(
+        jwt_secret="unit-secret", ttl_seconds=-10
+    ).generate_token("u", "r")
+    assert mgr.verify_token(expired) is None
+
+
+def test_require_role():
+    mgr = security.SecurityManager()
+    ok = mgr.verify_token(mgr.generate_token("u1", "admin"))
+    assert security.require_role(ok, ["admin", "researcher"]) is ok
+    import pytest as _pytest
+
+    with _pytest.raises(security.InsufficientRoleError):
+        security.require_role(ok, ["clinician"])
+    with _pytest.raises(security.InsufficientRoleError):
+        security.require_role(None, ["admin"])
+
+
+def test_rate_limit_fixed_window():
+    # controllable clock: 3 calls per 10 s window
+    t = [0.0]
+    rl = security.RateLimiter(max_calls=3, window_seconds=10, clock=lambda: t[0])
+    assert [rl.check("ip1") for _ in range(3)] == [1, 2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(security.RateLimitExceededError):
+        rl.check("ip1")
+    # other keys are independent
+    assert rl.check("ip2") == 1
+    # window expiry resets the counter
+    t[0] = 10.0
+    assert rl.check("ip1") == 1
+
+
 def test_audit_event_fields(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
     audit = security.audit_event(df, "clinician_7", "patient_search")
@@ -132,8 +182,30 @@ def test_detect_anomalies_planted_outlier(spark):
     df = spark.createDataFrame([(v,) for v in vals], "metric double")
     out = rca.detect_anomalies(df)
     assert "metric" in out and out["metric"]["count"] == 1
+    assert out["metric"]["examples"] == [100.0]
     flat = spark.createDataFrame([(10.0,)] * 6, "metric double")
     assert rca.detect_anomalies(flat) == {}
+
+
+def test_detect_anomalies_exemplars_bounded(spark):
+    # a frame where MOST rows are anomalous: driver-side exemplars must
+    # stay O(cap) while the count stays exact
+    import pyspark.sql.functions as SF
+
+    df = (
+        spark.range(20000)
+        .withColumn(
+            "metric",
+            SF.when(SF.col("id") % 2 == 0, SF.lit(0.0)).otherwise(
+                (SF.col("id") % 7) * SF.lit(1e9)
+            ),
+        )
+        .select("metric")
+    )
+    out = rca.detect_anomalies(df, sigma=0.5, exemplars=25)
+    assert "metric" in out
+    assert out["metric"]["count"] > 1000  # exact count, far above cap
+    assert len(out["metric"]["examples"]) == 25  # capped
 
 
 def test_readmission_analysis_planted_pair(spark):
@@ -288,6 +360,51 @@ def test_fhir_bundle_parsing(spark, tmp_path):
     assert set(pats) == {"p1", "p2"}
     assert pats["p1"]["family_name"] == "Doe"
     assert str(pats["p2"]["birth_date"]) == "1975-01-02"
+
+
+def _write_minimal_xlsx(path, header, rows):
+    """Build a spec-minimal .xlsx (zip of XML) with inline strings —
+    no openpyxl needed; exercises the stdlib fallback parser."""
+    import zipfile
+
+    def cell(ref, v):
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    def row_xml(i, vals):
+        cells = "".join(
+            cell(f"{chr(65 + j)}{i}", v) for j, v in enumerate(vals) if v is not None
+        )
+        return f'<row r="{i}">{cells}</row>'
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        + row_xml(1, header)
+        + "".join(row_xml(i + 2, r) for i, r in enumerate(rows))
+        + "</sheetData></worksheet>"
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook {ns}><sheets>'
+        '<sheet name="Sheet1" sheetId="1"/></sheets></workbook>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_read_excel_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "cohort.xlsx")
+    _write_minimal_xlsx(
+        p,
+        ["patient_id", "site", "score"],
+        [[1, "Boston", 0.5], [2, "Chicago", 1.25], [3, "Denver", 2.0]],
+    )
+    df = readers.read_excel(spark, p)
+    assert df.columns == ["patient_id", "site", "score"]
+    got = sorted((r[0], r[1], r[2]) for r in df.collect())
+    assert got == [(1, "Boston", 0.5), (2, "Chicago", 1.25), (3, "Denver", 2.0)]
 
 
 # ---------------------------------------------------------------------------
