@@ -277,10 +277,47 @@ def _warehouse_cache_dir(sf_dir: str) -> str:
     spec = sf_dir + "\x00".join(
         name + "\x01" + sql for name, sql in mapping_ctes(_SPARK_DIALECT)
     )
+    # physical layout is part of the contract: a layout change must
+    # invalidate the cache (bucketed files read as unbucketed — or the
+    # reverse — would silently mis-plan joins)
+    spec += f"\x02buckets={N_BUCKETS}:" + ",".join(
+        f"{t}->{k}" for t, k in sorted(BUCKETED_FACTS.items())
+    )
     key = hashlib.md5(spec.encode()).hexdigest()[:12]
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), ".warehouse_cache")
     return os.path.join(root, key)
+
+
+#: facts bucketed on their hot join/group key: every hc_q* CTE
+#: aggregates a fact per encounter and joins it back to encounters on
+#: encounter_id, so co-bucketing makes those groupBys and join-backs
+#: exchange-free (the same co-location a 100 TB warehouse gets from
+#: bucketed fact tables). One spec per table — encounter_id wins over
+#: patient_id because it keys ~all per-encounter aggregation.
+BUCKETED_FACTS = {
+    "fact_encounters": "encounter_id",
+    "fact_lab_results": "encounter_id",
+    "fact_medication_orders": "encounter_id",
+}
+N_BUCKETS = 32
+
+
+def _register_bucketed(spark, name: str, location: str, key: str) -> None:
+    """(Re-)register existing bucketed parquet files as a catalog table
+    (the in-memory catalog forgets them between sessions; the files and
+    their bucket layout persist)."""
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in spark.read.parquet(location).schema.fields
+    )
+    spark.catalog.dropTempView(name)  # temp views would shadow the table
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS "
+        f"LOCATION '{location}'"
+    )
 
 
 def ensure_warehouse(spark, sf_dir: str) -> None:
@@ -291,10 +328,13 @@ def ensure_warehouse(spark, sf_dir: str) -> None:
     load, healthcare-data-pipeline-main.py:606-670): each dim/fact is
     computed from the base tables and written to a parquet warehouse
     (content-keyed, built exactly once per mapping version × sf_dir,
-    shared across sessions), then registered as a persisted temp view
-    so the 10 analytics queries read cached columnar tables. At 100 TB
-    the write becomes `sources.sinks.write_warehouse` partitioned by
-    date — the query texts are unchanged either way.
+    shared across sessions). Dims register as temp views (they
+    broadcast); facts are written BUCKETED by their join key and
+    register as catalog tables, so per-encounter aggregation and
+    join-back — the shape of every hc_q* query — plans with no
+    exchange. At 100 TB the write becomes
+    `sources.sinks.write_warehouse` partitioned by date AND bucketed
+    the same way — the query texts are unchanged either way.
     """
     import os
     import shutil
@@ -320,18 +360,40 @@ def ensure_warehouse(spark, sf_dir: str) -> None:
         register_views(spark, sf_dir)
         for name, sql in mapping_ctes(_SPARK_DIALECT):
             # each CTE references only base views and earlier warehouse
-            # views, both registered by the time it is built
+            # views/tables, both registered by the time it is built
             df = spark.sql(sql)
-            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
-            spark.read.parquet(os.path.join(tmp, name)).createOrReplaceTempView(name)
+            loc = os.path.join(tmp, name)
+            if name in BUCKETED_FACTS:
+                key = BUCKETED_FACTS[name]
+                # pre-repartition on the bucket key (same hash family as
+                # the bucketizer) so each task writes one bucket file —
+                # without it every task emits one file PER bucket
+                spark.sql(f"DROP TABLE IF EXISTS __bld_{name}")
+                (
+                    df.repartition(N_BUCKETS, key)
+                    .write.mode("overwrite")
+                    .bucketBy(N_BUCKETS, key)
+                    .sortBy(key)
+                    .option("path", loc)
+                    .saveAsTable(f"__bld_{name}")
+                )
+                spark.sql(f"DROP TABLE IF EXISTS __bld_{name}")
+                _register_bucketed(spark, name, loc, key)
+            else:
+                df.write.mode("overwrite").parquet(loc)
+                spark.read.parquet(loc).createOrReplaceTempView(name)
         open(os.path.join(tmp, "_DONE"), "w").close()
         shutil.rmtree(cache, ignore_errors=True)
         os.rename(tmp, cache)
 
-    # plain parquet views, no memory cache: a pruned columnar scan of
-    # the materialized warehouse is already ~scan-speed, and skipping
-    # persist() avoids charging the first query a full cache build
+    # serve: dims as plain parquet views (no memory cache — a pruned
+    # columnar scan is already ~scan-speed); facts as bucketed catalog
+    # tables pointing at the shared cache location
     dfs = []
     for name, _sql in mapping_ctes(_SPARK_DIALECT):
-        spark.read.parquet(os.path.join(cache, name)).createOrReplaceTempView(name)
+        loc = os.path.join(cache, name)
+        if name in BUCKETED_FACTS:
+            _register_bucketed(spark, name, loc, BUCKETED_FACTS[name])
+        else:
+            spark.read.parquet(loc).createOrReplaceTempView(name)
     _WAREHOUSE_STATE[app_id] = (sf_dir, dfs)

@@ -123,18 +123,6 @@ def q2_sepsis(d: Dialect) -> str:
     # the cohort, and the flags become NULL-safe column comparisons.
     ctes = [
         (
-            "lab_mins",
-            """
-            SELECT encounter_id,
-                   MIN(CASE WHEN lab_test_code = 'LACT'
-                            THEN lab_time_id END) AS min_lact_time,
-                   MIN(CASE WHEN lab_test_code LIKE 'BLOOD_CX%'
-                            THEN lab_time_id END) AS min_bcx_time
-            FROM fact_lab_results
-            GROUP BY encounter_id
-            """,
-        ),
-        (
             "med_mins",
             """
             SELECT mo.encounter_id,
@@ -150,34 +138,48 @@ def q2_sepsis(d: Dialect) -> str:
             """,
         ),
         (
+            # one encounter-grain pass over fact_lab_results computes the
+            # cohort filter AND the bundle's lab mins: the reference's
+            # standalone lab_mins CTE (mins over ALL of an encounter's
+            # lab rows) equals the unconditioned MINs here because the
+            # join brings every lab row of the encounter; the original
+            # WHERE-then-MIN equals MIN(CASE WHEN qualifies ...) with a
+            # HAVING on qualifying-row count. One fewer fact scan + join.
             "SepsisPatients",
             """
             SELECT e.encounter_id, e.patient_id, e.admission_time_id,
-                   MIN(lr.lab_time_id) AS first_abnormal_lab_time
+                   MIN(CASE WHEN d.icd10_code LIKE 'A41%'
+                             OR (lr.lab_test_code IN ('WBC', 'TEMP', 'HR', 'RR')
+                                 AND lr.critical_flag = TRUE)
+                            THEN lr.lab_time_id END) AS first_abnormal_lab_time,
+                   MIN(CASE WHEN lr.lab_test_code = 'LACT'
+                            THEN lr.lab_time_id END) AS min_lact_time,
+                   MIN(CASE WHEN lr.lab_test_code LIKE 'BLOOD_CX%'
+                            THEN lr.lab_time_id END) AS min_bcx_time
             FROM fact_encounters e
             JOIN dim_diagnosis d ON e.primary_diagnosis_id = d.diagnosis_id
             JOIN fact_lab_results lr ON e.encounter_id = lr.encounter_id
-            WHERE d.icd10_code LIKE 'A41%'
-               OR (lr.lab_test_code IN ('WBC', 'TEMP', 'HR', 'RR')
-                   AND lr.critical_flag = TRUE)
             GROUP BY e.encounter_id, e.patient_id, e.admission_time_id
+            HAVING SUM(CASE WHEN d.icd10_code LIKE 'A41%'
+                             OR (lr.lab_test_code IN ('WBC', 'TEMP', 'HR', 'RR')
+                                 AND lr.critical_flag = TRUE)
+                            THEN 1 ELSE 0 END) > 0
             """,
         ),
         (
             "BundleCompliance",
             """
             SELECT sp.encounter_id,
-                   CASE WHEN lm.min_lact_time
+                   CASE WHEN sp.min_lact_time
                              <= sp.first_abnormal_lab_time + 3
                         THEN 1 ELSE 0 END AS lactate_measured,
-                   CASE WHEN lm.min_bcx_time < mm.first_abx_time
+                   CASE WHEN sp.min_bcx_time < mm.first_abx_time
                         THEN 1 ELSE 0 END AS blood_culture_before_abx,
                    CASE WHEN mm.first_abx_time
                              <= sp.first_abnormal_lab_time + 1
                         THEN 1 ELSE 0 END AS antibiotics_within_hour,
                    COALESCE(mm.fluid_resuscitation, 0) AS fluid_resuscitation
             FROM SepsisPatients sp
-            LEFT JOIN lab_mins lm ON sp.encounter_id = lm.encounter_id
             LEFT JOIN med_mins mm ON sp.encounter_id = mm.encounter_id
             """,
         ),

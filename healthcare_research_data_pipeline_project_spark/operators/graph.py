@@ -30,7 +30,15 @@ def _persistent_rdd_ids(spark) -> set:
     """Ids of RDD blocks currently pinned in the block manager —
     localCheckpoint stores its materialization here, and this is the
     only handle PySpark gives us to release a *checkpoint's* storage
-    (DataFrame.unpersist only touches cacheManager entries)."""
+    (DataFrame.unpersist only touches cacheManager entries).
+
+    Assumption: the driver is single-threaded between the before/after
+    snapshots that bracket each localCheckpoint. Anything persisted
+    concurrently on the shared session in that window would be
+    attributed to the loop and unpersisted with it. The snapshots are
+    taken immediately around each checkpoint call to keep that window
+    minimal; run the components loop on a dedicated session if other
+    threads cache concurrently."""
     return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
 
@@ -42,11 +50,36 @@ def _unpersist_rdd_ids(spark, ids: set) -> None:
             rdd.unpersist(False)
 
 
+def _driver_union_find(spark, edge_rows) -> DataFrame:
+    """Exact union-find on a collected edge list — the small-graph fast
+    path. Returns the same (node, component=min reachable id) frame the
+    distributed loop produces."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            # union by min id so the root IS the component label
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, "node long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Label each node of the undirected graph `edges` with the
     smallest node id reachable from it. Returns (node, component).
@@ -67,6 +100,18 @@ def connected_components(
     checkpoint backs the returned DataFrame and stays alive.
     """
     spark = edges.sparkSession
+    # adaptive small-graph path: near-dup pair graphs are usually tiny
+    # relative to the corpus (edges ∝ real duplication, not data size).
+    # Below the threshold an exact driver-side union-find beats N
+    # distributed rounds of joins; above it the O(log d) loop below is
+    # the only shape that scales. limit(threshold+1) bounds the probe —
+    # it short-circuits without scanning the full edge list.
+    probe = edges.select(
+        F.col(src).cast("long"), F.col(dst).cast("long")
+    ).limit(small_graph_threshold + 1).collect()
+    if len(probe) <= small_graph_threshold:
+        return _driver_union_find(spark, [(r[0], r[1]) for r in probe])
+
     before = _persistent_rdd_ids(spark)
     sym = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -132,6 +177,9 @@ def connected_components(
             break
     _unpersist_rdd_ids(spark, sym_ids)
     if not converged:
+        # release the final round's label checkpoint too — without this
+        # the raise leaks its blocks in long-lived sessions
+        _unpersist_rdd_ids(spark, label_ids)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "labels are still moving — raise max_iter (graph diameter is "

@@ -95,8 +95,12 @@ def scd2_apply(
         F.lit(True).alias(is_current),
     )
     # keys present in updates but absent from the current slice open
-    # their first version; left_anti against the (small, broadcastable)
-    # key set of `current` keeps both passes broadcast-joinable
+    # their first version. The anti-join's build side is the key-only
+    # projection of `current` — for a large dimension this is one
+    # shuffle (acceptable: it is the narrowest possible build side, and
+    # AQE switches to broadcast at runtime when the projected key set
+    # measures under the threshold; we don't hint broadcast because the
+    # dimension's cardinality isn't known-small here)
     new_keys = updates.join(current.select(key), key, "left_anti").select(
         key,
         *tracked,

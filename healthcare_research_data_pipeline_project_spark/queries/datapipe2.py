@@ -839,16 +839,31 @@ def _cm_bucket_duck(j: int, key: str = "l_partkey") -> str:
 def a21_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     li = t.lineitem
+    # materialize the digest as its OWN projection so the d bucket
+    # columns are substrings of one computed md5 — structurally one
+    # digest per row instead of relying on codegen subexpression
+    # elimination across an exploded array constructor
+    digested = li.select(
+        F.md5(F.concat(F.col("l_partkey").cast("string"), F.lit("#cm"))).alias(
+            "dig"
+        )
+    )
     fan = F.array(
         *[
             F.struct(
-                F.lit(j).alias("j"), F.expr(_cm_bucket_spark(j)).alias("col")
+                F.lit(j).alias("j"),
+                (
+                    F.conv(F.substring("dig", 1 + 8 * j, 8), 16, 10).cast(
+                        "bigint"
+                    )
+                    % _CM_W
+                ).alias("col"),
             )
             for j in range(_CM_D)
         ]
     )
     sketch = (
-        li.select(F.explode(fan).alias("e"))
+        digested.select(F.explode(fan).alias("e"))
         .select("e.j", "e.col")
         .groupBy("j", "col")
         .agg(F.count(F.lit(1)).alias("cnt"))

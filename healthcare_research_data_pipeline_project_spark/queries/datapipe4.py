@@ -83,7 +83,10 @@ def t_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hi").alias("a"), F.sum(F.lit(1) - F.col("hi")).alias("b")
     )
     cum = prefix_sum(c, ["cents"], {"ca": "a", "cb": "b"})
-    tot = c.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    # totals from the ungrouped frame, not from `c`: the totals branch
+    # then shares no lineage with the per-cents groupBy, so that shuffle
+    # runs once for the prefix sums instead of being recomputed here
+    tot = tagged.agg(F.sum("hi").alias("na"), F.sum(F.lit(1) - F.col("hi")).alias("nb"))
     d = cum.crossJoin(F.broadcast(tot)).select(
         F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias("d"),
         "na",
@@ -204,9 +207,20 @@ def a24_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
 )
-def mb_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mb_pair_lift(
+    spark: SparkSession, sf_dir: str, min_support: int = 2
+) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    baskets = t.lineitem.groupBy("l_orderkey").agg(
+    # raw scan (no _spread): the first op is a groupBy shuffle, which
+    # redistributes anyway — the fan-out exchange would be a dead stage.
+    # The three consumers of `baskets` (n_orders, part frequencies,
+    # pair expansion) are left UNPERSISTED on purpose: they are
+    # independent stage DAGs the scheduler runs concurrently, and the
+    # measured wall-clock beats both persist() and a shared-aggregation
+    # rewrite (persisting serializes the branches behind the cache
+    # build; on a cluster the 3x scan trade-off is the same call).
+    li = t.raw("lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
     n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
@@ -215,6 +229,21 @@ def mb_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if min_support > 2:
+        # a-priori pre-prune for real min-support thresholds: pair_cnt
+        # <= min(cnt_a, cnt_b), so parts below min_support can never
+        # appear in a qualifying pair — pruning them BEFORE expansion
+        # is what keeps sum(basket^2) tractable at 100 TB. At the
+        # default threshold (2, the oracle's HAVING) the prune removes
+        # nothing, so we skip the extra join rather than serialize the
+        # parallel branches behind it.
+        freq = pf.filter(F.col("cnt") >= min_support).select(
+            F.col("pk").alias("l_partkey")
+        )
+        pruned = li.join(freq, "l_partkey")
+        baskets = pruned.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
     # map-side pair expansion: for each i, pair ps[i] with every later
     # element — the ordered pairs (a < b) without a self-join
     pairs = baskets.select(
@@ -229,7 +258,7 @@ def mb_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
-        .filter(F.col("pair_cnt") >= 2)
+        .filter(F.col("pair_cnt") >= max(2, min_support))
     )
     fa = pf.select(F.col("pk").alias("part_a"), F.col("cnt").alias("cnt_a"))
     fb = pf.select(F.col("pk").alias("part_b"), F.col("cnt").alias("cnt_b"))

@@ -53,17 +53,22 @@ def read_jdbc(
     `:141-166`) → Spark JDBC source. The reference pulls the full
     result set into one pandas frame; here the read itself is
     partitioned (predicate-ranged parallel scans) when a numeric
-    partition column is supplied — the 100 TB-safe shape."""
-    reader = (
-        spark.read.format("jdbc").option("url", url).option("query", query)
-    )
+    partition column is supplied — the 100 TB-safe shape.
+
+    Spark's JDBC source rejects `query` together with
+    `partitionColumn`, so the partitioned path wraps the query as a
+    derived table under `dbtable` (the documented equivalent)."""
+    reader = spark.read.format("jdbc").option("url", url)
     if partition_column is not None:
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) spark_q")
+            .option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
             .option("numPartitions", str(num_partitions))
         )
+    else:
+        reader = reader.option("query", query)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()

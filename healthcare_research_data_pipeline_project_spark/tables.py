@@ -58,7 +58,13 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
+    """Load one table. `spread=False` skips the `_spread` fan-out
+    exchange — right for queries whose FIRST operation is itself a
+    shuffle (groupBy/repartition): the shuffle redistributes anyway, so
+    the extra round-robin exchange is a dead stage."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -72,7 +78,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
-        raw = _spread(spark, raw, path)
+        if spread:
+            raw = _spread(spark, raw, path)
         if isinstance(raw.schema["ts"].dataType, LongType):
             raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         else:
@@ -82,7 +89,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
         return raw
     df = spark.read.parquet(path)
-    if name in SPREAD_TABLES:
+    if spread and name in SPREAD_TABLES:
         df = _spread(spark, df, path)
     return df
 
@@ -102,6 +109,14 @@ class Tables:
         if name not in self._cache:
             self._cache[name] = table(self._spark, self._sf_dir, name)
         return self._cache[name]
+
+    def raw(self, name: str) -> DataFrame:
+        """Scan without the `_spread` fan-out — for plans whose first
+        op is a shuffle (the shuffle repartitions anyway)."""
+        key = f"raw:{name}"
+        if key not in self._cache:
+            self._cache[key] = table(self._spark, self._sf_dir, name, spread=False)
+        return self._cache[key]
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> Tables:

@@ -167,11 +167,22 @@ def test_connected_components_hand_graph(spark):
     edges = spark.createDataFrame(
         [(2, 1), (3, 2), (7, 3), (5, 6), (9, 9)], "id_a long, id_b long"
     )
+    expected = {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9}
+    # default: small-graph driver union-find fast path
     comp = {
         r["node"]: r["component"]
         for r in connected_components(edges, "id_a", "id_b").collect()
     }
-    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9}
+    assert comp == expected
+    # threshold 0 forces the distributed label-propagation loop — both
+    # paths must agree
+    loop = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges, "id_a", "id_b", small_graph_threshold=0
+        ).collect()
+    }
+    assert loop == expected
 
 
 def test_dedup_clusters_match_union_find(spark):

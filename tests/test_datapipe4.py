@@ -15,7 +15,9 @@ import healthcare_research_data_pipeline_project_spark.queries.datapipe4 as d4
 
 def _stub(monkey_tables):
     class _T:
-        pass
+        def raw(self, name):
+            # Tables.raw parity: same frame, no fan-out repartition
+            return monkey_tables[name]
 
     for k, v in monkey_tables.items():
         setattr(_T, k, v)

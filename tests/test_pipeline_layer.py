@@ -362,6 +362,46 @@ def test_fhir_bundle_parsing(spark, tmp_path):
     assert str(pats["p2"]["birth_date"]) == "1975-01-02"
 
 
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    # live JDBC round-trip against embedded Derby (ships in Spark's
+    # jars for the Hive metastore) — exercises the reference's primary
+    # ingestion path (healthcare-data-pipeline-main.py:141-166) against
+    # a real RDBMS: write, then partitioned parallel read-back
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("grp"), (F.col("id") * 2.5).alias("val")
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "encounters_src")
+        .option("driver", drv)
+        .save()
+    )
+    # Spark's JDBC writer creates quoted (case-exact) columns; Derby
+    # case-folds unquoted identifiers, so the pushdown query must quote
+    back = readers.read_jdbc(
+        spark,
+        url,
+        'SELECT "id", "grp", "val" FROM encounters_src WHERE "grp" < 4',
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+        driver=drv,
+    )
+    assert back.rdd.getNumPartitions() == 4  # predicate-ranged parallel scan
+    assert back.count() == 80
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(
+        i for i in range(100) if i % 5 < 4
+    )
+    # unpartitioned query path
+    one = readers.read_jdbc(spark, url, 'SELECT COUNT(*) AS "n" FROM encounters_src',
+                            driver=drv)
+    assert one.collect()[0]["n"] == 100
+
+
 def _write_minimal_xlsx(path, header, rows):
     """Build a spec-minimal .xlsx (zip of XML) with inline strings —
     no openpyxl needed; exercises the stdlib fallback parser."""

@@ -103,6 +103,22 @@ def test_warehouse_queries_read_materialized_tables(spark):
     assert "md5(" not in p, "mapping must not be re-derived per query"
 
 
+def test_warehouse_fact_aggregation_uses_bucketing(spark):
+    # facts are bucketed by encounter_id: per-encounter aggregation and
+    # join-back — the shape of every hc_q* CTE — must plan with NO
+    # exchange on the fact side (Bucketed scan feeds the aggregate
+    # directly). Broadcast exchanges for dims and the final
+    # single-partition gather are the only allowed exchanges.
+    df = Q.QUERIES["hc_q2_sepsis_bundle"](spark, SF_ORACLE)
+    assert "Bucketed: true" in X.plan(df), "facts must scan as bucketed tables"
+    # simple mode inlines exchange arguments on one line
+    for line in X.plan(df, "simple").splitlines():
+        if "Exchange" in line:
+            assert (
+                "BroadcastExchange" in line or "SinglePartition" in line
+            ), f"unexpected shuffle over bucketed facts: {line.strip()}"
+
+
 def test_decontaminate_broadcasts_eval_vocabulary(spark):
     df = Q.QUERIES["text_decontaminate"](spark, SF_ORACLE)
     assert X.uses_broadcast_join(df), (
