@@ -521,6 +521,21 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real multimodal decode: synthesized PPM/WAV payloads → numpy/stdlib
+# decode stats with per-row quarantine (video has no in-container
+# codec). Payloads are generated executor-side (not SQL-expressible),
+# so rows-only; pytest pins decoded dims/RMS against independent
+# driver-side decodes.
+# ---------------------------------------------------------------------------
+@register("mm_decode_stats")
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import binary_ops as mm
+
+    media = mm.synthesize_media(spark, n=64)
+    return mm.decode_media(media)
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN (trained coarse quantizer: per-cell centroids + nprobe
 # routing). Candidate set depends on engine-internal centroid ranking,
 # so the driver records a rows-only check; pytest measures recall

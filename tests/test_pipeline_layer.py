@@ -457,8 +457,16 @@ def test_media_synthesis_and_features(spark):
     feats = mm.extract_features(media).collect()
     assert len(feats) == 30
     by_id = {r["media_id"]: r for r in feats}
-    h = hashlib.sha256(b"42:0").digest()
-    assert by_id[0]["sha256"] == hashlib.sha256(h * 4).hexdigest()
+    # payloads are real files: pin image 0's sha against an
+    # independently-built PPM (header + sha256-counter-stream raster)
+    w, h = 32, 32  # id 0: 32 + (0 % 16) * 8, 32 + (0 % 12) * 8
+    raster = b""
+    ctr = 0
+    while len(raster) < w * h * 3:
+        raster += hashlib.sha256(f"42:0:{ctr}".encode()).digest()
+        ctr += 1
+    expected = f"P6 {w} {h} 255\n".encode() + raster[: w * h * 3]
+    assert by_id[0]["sha256"] == hashlib.sha256(expected).hexdigest()
     assert all(r["byte_len"] > 0 for r in feats)
 
 
@@ -472,13 +480,53 @@ def test_sample_frames_stride(spark):
     assert len({r["media_id"] for r in rows}) == kinds
 
 
-def test_decode_media_is_explicit_stub(spark):
-    media = mm.synthesize_media(spark, 3)
-    with pytest.raises(Exception) as exc_info:
-        mm.decode_media(media).collect()
-    assert "NotImplementedError" in str(exc_info.value) or "codec" in str(
-        exc_info.value
-    )
+def test_decode_media_real_formats_and_quarantine(spark):
+    import numpy as np
+
+    media = mm.synthesize_media(spark, 12)
+    decoded = {r["media_id"]: r for r in mm.decode_media(media).collect()}
+    assert len(decoded) == 12
+    src = {r["media_id"]: r for r in media.collect()}
+    for i, r in decoded.items():
+        if r["kind"] == "image":  # real PPM decode
+            assert r["decode_error"] is None
+            assert (r["width"], r["height"]) == (src[i]["width"], src[i]["height"])
+            # mean over a sha256 byte stream ≈ 127.5
+            assert 100 < r["mean_pixel"] < 155
+        elif r["kind"] == "audio":  # real WAV decode
+            assert r["decode_error"] is None
+            assert r["sample_rate"] == 8000
+            assert r["n_samples"] * 1000 // 8000 == src[i]["duration_ms"]
+            assert r["rms"] > 0
+        else:  # mp4: no codec → quarantined, not crashed
+            assert r["decode_error"] is not None and "codec" in r["decode_error"]
+    # cross-check one audio RMS against a driver-side decode
+    aud = next(i for i, r in decoded.items() if r["kind"] == "audio")
+    import io as _io
+    import wave as _wave
+
+    with _wave.open(_io.BytesIO(bytes(src[aud]["payload"])), "rb") as wf:
+        samples = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+    assert abs(decoded[aud]["rms"] - float(np.sqrt((samples.astype(float) ** 2).mean()))) < 1e-6
+
+
+def test_resize_images_nearest_neighbor(spark):
+    media = mm.synthesize_media(spark, 9)
+    small = mm.resize_images(media, out_w=8, out_h=8)
+    rows = {r["media_id"]: r for r in mm.decode_media(small).collect()}
+    imgs = [r for r in rows.values() if r["kind"] == "image"]
+    assert imgs and all((r["width"], r["height"]) == (8, 8) for r in imgs)
+    assert all(r["decode_error"] is None for r in imgs)
+    # non-image payloads pass through untouched
+    orig_audio = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter(F.col("kind") == "audio").collect()
+    }
+    new_audio = {
+        r["media_id"]: bytes(r["payload"])
+        for r in small.filter(F.col("kind") == "audio").collect()
+    }
+    assert orig_audio == new_audio
 
 
 # ---------------------------------------------------------------------------
