@@ -194,3 +194,151 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("line_cnt"),
         F.round(F.sum(rev), 2).cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4/Gopher-style filter cascade: the keep/drop decision of a
+# training-corpus cleanup pass, with machine-readable failure reasons.
+# Every rule is an integer-exact predicate (cross-multiplied ratios, no
+# float compares), so Spark and DuckDB produce the identical keep set
+# and reason strings. Plan shape: one map-side projection over the
+# corpus — no shuffle at all until the final ORDER BY; at 100 TB this
+# is a pure scan+filter stage that fuses into whole-stage codegen.
+# Rules (integer forms):
+#   len_ok:   50 <= token_cnt <= 100000
+#   punct_ok: punct_cnt * 10 <= char_cnt * 3        (punct ratio <= 0.3)
+#   stop_ok:  stop_cnt * 20 >= token_cnt            (stopword ratio >= 0.05)
+#   ttr_ok:   uniq_cnt * 5 >= token_cnt             (type-token ratio >= 0.2)
+# ---------------------------------------------------------------------------
+from ..functions.text import DUCK_TOKENS, STOPWORDS, tokens  # noqa: E402
+
+_STOP_SQL5 = ", ".join(f"'{w}'" for w in STOPWORDS)
+_TOKS5 = DUCK_TOKENS.format(text="text")
+
+
+@register(
+    "text_filter_cascade",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, {_TOKS5} AS toks,
+             length(text) AS char_cnt,
+             length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+               AS punct_cnt
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, char_cnt, punct_cnt,
+             len(toks) AS token_cnt,
+             len(list_distinct(toks)) AS uniq_cnt,
+             len(list_filter(toks, t -> list_contains([{_STOP_SQL5}], t)))
+               AS stop_cnt
+      FROM d
+    ),
+    r AS (
+      SELECT doc_id, lang, CAST(token_cnt AS BIGINT) AS token_cnt,
+             (token_cnt BETWEEN 50 AND 100000) AS len_ok,
+             (punct_cnt * 10 <= char_cnt * 3) AS punct_ok,
+             (stop_cnt * 20 >= token_cnt) AS stop_ok,
+             (uniq_cnt * 5 >= token_cnt) AS ttr_ok
+      FROM m
+    )
+    SELECT doc_id, lang, token_cnt,
+           CAST(CASE WHEN len_ok AND punct_ok AND stop_ok AND ttr_ok
+                     THEN 1 ELSE 0 END AS INT) AS keep,
+           concat_ws(',',
+             CASE WHEN NOT len_ok THEN 'length' END,
+             CASE WHEN NOT punct_ok THEN 'punctuation' END,
+             CASE WHEN NOT stop_ok THEN 'stopwords' END,
+             CASE WHEN NOT ttr_ok THEN 'repetition' END) AS fail_reasons
+    FROM r
+    """,
+)
+def text_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    d = (
+        t.documents.withColumn("toks", tokens(F.col("text")))
+        .withColumn("char_cnt", F.length("text"))
+        .withColumn(
+            "punct_cnt",
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", "")),
+        )
+        .withColumn("token_cnt", F.size("toks"))
+        .withColumn("uniq_cnt", F.size(F.array_distinct("toks")))
+        .withColumn(
+            "stop_cnt",
+            F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x))),
+        )
+    )
+    len_ok = F.col("token_cnt").between(50, 100000)
+    punct_ok = F.col("punct_cnt") * 10 <= F.col("char_cnt") * 3
+    stop_ok = F.col("stop_cnt") * 20 >= F.col("token_cnt")
+    ttr_ok = F.col("uniq_cnt") * 5 >= F.col("token_cnt")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.col("token_cnt").cast("long").alias("token_cnt"),
+        (len_ok & punct_ok & stop_ok & ttr_ok).cast("int").alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(~len_ok, "length"),
+            F.when(~punct_ok, "punctuation"),
+            F.when(~stop_ok, "stopwords"),
+            F.when(~ttr_ok, "repetition"),
+        ).alias("fail_reasons"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Free-text PII scrubbing: regex redaction of emails / SSNs / phone
+# numbers inside the document corpus — the curation step every
+# training pipeline runs before release, and the free-text twin of the
+# reference's column-level masking (healthcare-data-pipeline-main.py:
+# 182-197). Patterns use only portable regex constructs (character
+# classes + bounded repetition — no lookaround), so Java regex (Spark)
+# and RE2 (DuckDB) agree byte-for-byte; the oracle pins redacted-text
+# md5 AND per-kind match counts. Map-side only — no shuffle.
+# ---------------------------------------------------------------------------
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}"),
+    ("phone", r"\(\d{3}\) ?\d{3}-\d{4}"),
+]
+
+
+def redact_pii_text(col: F.Column) -> F.Column:
+    """Chained regexp_replace over the portable PII patterns."""
+    out = col
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
+def _pii_oracle() -> str:
+    red = "text"
+    for kind, pat in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '[{kind.upper()}]', 'g')"
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat in PII_PATTERNS
+    )
+    return f"""
+    SELECT doc_id,
+           md5({red}) AS redacted_md5,
+           {counts}
+    FROM documents
+    """
+
+
+@register("text_pii_redact", _pii_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.md5(redact_pii_text(F.col("text"))).alias("redacted_md5"),
+        *[
+            F.regexp_count("text", F.lit(pat)).cast("long").alias(f"n_{kind}")
+            for kind, pat in PII_PATTERNS
+        ],
+    )

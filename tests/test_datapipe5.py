@@ -84,3 +84,42 @@ def test_mad_outliers_flat_series_has_none(spark):
     )
     [r] = _with_tables(spark, {"events": events}, "t_mad_outliers")
     assert (r["mad"], r["n_outliers"]) == (0.0, 0)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+
+
+def test_filter_cascade_hand_cases(spark):
+    natural = "the " + " ".join(f"word{i} of the thing and" for i in range(20))
+    rows = [
+        (1, "en", "s", natural),                      # passes all rules
+        (2, "en", "s", "short text"),                 # fails length
+        (3, "en", "s", "the " * 60 + "!?#$% " * 40),  # heavy punctuation
+        (4, "en", "s", " ".join(["zzz"] * 80)),       # no stopwords, repetitive
+    ]
+    got = {r["doc_id"]: r for r in _with_tables(spark, {"documents": _docs(spark, rows)}, "text_filter_cascade")}
+    assert got[1]["keep"] == 1 and got[1]["fail_reasons"] == ""
+    assert got[2]["keep"] == 0 and "length" in got[2]["fail_reasons"]
+    assert got[3]["keep"] == 0 and "punctuation" in got[3]["fail_reasons"]
+    assert got[4]["keep"] == 0
+    assert {"stopwords", "repetition"} <= set(got[4]["fail_reasons"].split(","))
+
+
+def test_pii_redact_planted(spark):
+    import hashlib
+
+    rows = [
+        (1, "en", "s", "contact jane.doe@example.org or (555) 123-4567 now"),
+        (2, "en", "s", "ssn 123-45-6789 and backup 987-65-4321 on file"),
+        (3, "en", "s", "no pii here at all"),
+    ]
+    got = {r["doc_id"]: r for r in _with_tables(spark, {"documents": _docs(spark, rows)}, "text_pii_redact")}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ssn"]) == (1, 1, 0)
+    assert (got[2]["n_email"], got[2]["n_phone"], got[2]["n_ssn"]) == (0, 0, 2)
+    assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ssn"]) == (0, 0, 0)
+    red1 = "contact [EMAIL] or [PHONE] now"
+    assert got[1]["redacted_md5"] == hashlib.md5(red1.encode()).hexdigest()
+    assert got[3]["redacted_md5"] == hashlib.md5(b"no pii here at all").hexdigest()
