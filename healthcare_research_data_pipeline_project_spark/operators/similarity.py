@@ -182,6 +182,102 @@ def lsh_topk(
     )
 
 
+def _proj_expr(vec_col: str, plane: int) -> str:
+    comp = _plane_component(plane, "i - 1")
+    return (
+        f"aggregate(zip_with({vec_col}, sequence(1, size({vec_col})),"
+        f" (x, i) -> cast(x as double) * {comp}),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def lsh_multiprobe_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_planes: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN: score the query's own bucket PLUS the
+    `nprobe-1` Hamming-1 neighbor buckets flipped on its lowest-margin
+    bits (smallest |projection| — the bits most likely to differ for a
+    true near neighbor). Standard recall booster: probing L buckets
+    recovers most of the recall of L independent hash tables at 1/L of
+    the index storage. Candidate generation stays an equi-join on
+    bucket id — the 100 TB shape is unchanged, only the probe side
+    fans out by a factor of `nprobe`.
+    """
+    projs = "array(" + ", ".join(
+        _proj_expr(vec_col, p) for p in range(num_planes)
+    ) + ")"
+    bucket = (
+        "concat(" + ", ".join(
+            f"CASE WHEN pr[{p}] >= 0 THEN '1' ELSE '0' END"
+            for p in range(num_planes)
+        ) + ")"
+    )
+    base = emb.withColumn("pr", F.expr(projs)).withColumn(
+        "bkt", F.expr(bucket)
+    )
+    c = base.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ce"),
+        F.col("bkt").alias("cb"),
+    )
+    # rank each plane by (|proj|, idx); flip the m lowest-margin bits.
+    # The rank form avoids an argsort: rank_p = #{q : (|pr[q]|, q) <
+    # (|pr[p]|, p)} — deterministic and identical in the DuckDB oracle
+    # because both engines fold the projection sum in array order.
+    m = nprobe - 1
+    flips = []
+    for p in range(num_planes):
+        rank = (
+            f"size(filter(sequence(0, {num_planes - 1}), q -> "
+            f"abs(element_at(pr, q + 1)) < abs(element_at(pr, {p + 1})) "
+            f"or (abs(element_at(pr, q + 1)) = abs(element_at(pr, {p + 1}))"
+            f" and q < {p})))"
+        )
+        flipped = (
+            f"concat(substring(bkt, 1, {p}),"
+            f" CASE WHEN substring(bkt, {p + 1}, 1) = '1' THEN '0' ELSE '1' END,"
+            f" substring(bkt, {p + 2}, {num_planes - p - 1}))"
+        )
+        flips.append(f"CASE WHEN {rank} < {m} THEN {flipped} END")
+    probes = (
+        "filter(concat(array(bkt), array(" + ", ".join(flips) + ")),"
+        " x -> x is not null)"
+    )
+    q = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .withColumn("probe", F.explode(F.expr(probes)))
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qe"),
+            "probe",
+        )
+    )
+    pairs = F.broadcast(q).join(
+        c, (F.col("probe") == F.col("cb")) & (F.col("cid") != F.col("qid"))
+    )
+    scored = pairs.select(
+        "qid",
+        "cid",
+        F.round(
+            _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))), 4
+        )
+        .cast("double")
+        .alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: trained coarse quantizer + nprobe cell search
 # ---------------------------------------------------------------------------

@@ -478,6 +478,77 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-probe LSH ANN: also score the nprobe-1 Hamming-1 buckets on the
+# query's lowest-margin bits — the standard recall booster (one index,
+# L probes ≈ L hash tables). All math is md5-derived and fold-order
+# deterministic, so the oracle reproduces the identical probe sets.
+# ---------------------------------------------------------------------------
+_MP_PROBES = 3
+
+
+def _mp_oracle() -> str:
+    P = _LSH_PLANES
+    m = _MP_PROBES - 1
+    proj_list = "[" + ", ".join(
+        f"list_sum(list_transform(generate_series(1, len(embedding)),"
+        f" i -> CAST(embedding[i] AS DOUBLE) *"
+        f" (CAST('0x' || substr(md5('{p}' || ':' || CAST(i - 1 AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) / 2147483648.0 - 1.0)))"
+        for p in range(P)
+    ) + "]"
+    bucket = " || ".join(
+        f"CASE WHEN pr[{p + 1}] >= 0 THEN '1' ELSE '0' END" for p in range(P)
+    )
+    flips = []
+    for p in range(P):
+        rank = (
+            f"len(list_filter(generate_series(0, {P - 1}), q -> "
+            f"abs(pr[q + 1]) < abs(pr[{p + 1}]) OR"
+            f" (abs(pr[q + 1]) = abs(pr[{p + 1}]) AND q < {p})))"
+        )
+        flipped = (
+            f"substr(bkt, 1, {p}) ||"
+            f" (CASE WHEN substr(bkt, {p + 1}, 1) = '1' THEN '0' ELSE '1' END) ||"
+            f" substr(bkt, {p + 2}, {P - p - 1})"
+        )
+        flips.append(f"CASE WHEN {rank} < {m} THEN {flipped} END")
+    probes = (
+        "list_filter([bkt" + "".join(", " + f for f in flips) + "],"
+        " x -> x IS NOT NULL)"
+    )
+    return f"""
+    WITH e0 AS (SELECT vec_id, embedding, {proj_list} AS pr FROM embeddings),
+    e AS (SELECT vec_id, embedding, pr, {bucket} AS bkt FROM e0),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qe, unnest({probes}) AS probe
+      FROM e WHERE vec_id IN ({", ".join(map(str, _QUERY_IDS))})
+    ),
+    p AS (
+      SELECT qid, vec_id AS cid,
+             CAST(ROUND({_dot_sql('qe', 'embedding')} /
+                        (sqrt({_dot_sql('qe', 'qe')}) *
+                         sqrt({_dot_sql('embedding', 'embedding')})),
+                        4) AS DOUBLE) AS cos_sim
+      FROM q JOIN e ON e.bkt = q.probe AND e.vec_id <> q.qid
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, cid) AS rn
+          FROM p)
+    SELECT qid, cid, cos_sim, CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= {_TOPK}
+    """
+
+
+@register("sim_lsh_multiprobe_topk", _mp_oracle())
+def sim_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return S.lsh_multiprobe_topk(
+        t.embeddings, _QUERY_IDS, k=_TOPK, num_planes=_LSH_PLANES,
+        nprobe=_MP_PROBES,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs, blocked by the corpus's coarse
 # cluster label (the IVF cell layout: pairs form only inside a cell).
 # Exact within blocks, so fully oracle-checkable.

@@ -69,6 +69,52 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.2, recall
 
 
+def test_lsh_multiprobe_improves_recall(spark):
+    emb = load_tables(spark, SF_SMOKE).embeddings
+    qids = list(range(8))
+    exact = {
+        (r["qid"], r["cid"]) for r in S.brute_force_topk(emb, qids, k=5).collect()
+    }
+    single = {
+        (r["qid"], r["cid"])
+        for r in S.lsh_topk(emb, qids, k=5, num_planes=8).collect()
+    }
+    multi = {
+        (r["qid"], r["cid"])
+        for r in S.lsh_multiprobe_topk(
+            emb, qids, k=5, num_planes=8, nprobe=3
+        ).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    # probing the query's bucket + its 2 lowest-margin Hamming-1
+    # neighbors can only widen the candidate set → recall must not drop.
+    # (Strict improvement is data-dependent: this synthetic corpus has
+    # near-random neighbor structure, so the widened probes may add
+    # candidates without adding true top-5 neighbors.)
+    assert r_multi >= r_single, (r_multi, r_single)
+
+
+def test_lsh_multiprobe_probes_superset_of_single(spark):
+    # every single-probe candidate pair must also be a multi-probe
+    # candidate (the probe list contains the original bucket)
+    emb = load_tables(spark, SF_SMOKE).embeddings
+    qids = list(range(8))
+    single = {
+        (r["qid"], r["cid"])
+        for r in S.lsh_topk(emb, qids, k=100, num_planes=8).collect()
+    }
+    multi = {
+        (r["qid"], r["cid"])
+        for r in S.lsh_multiprobe_topk(
+            emb, qids, k=100, num_planes=8, nprobe=3
+        ).collect()
+    }
+    assert single <= multi
+    # the 2 extra probes per query must surface additional candidates
+    assert len(multi) > len(single), (len(multi), len(single))
+
+
 def test_lsh_bucket_deterministic(spark):
     emb = load_tables(spark, SF_SMOKE).embeddings.limit(50)
     b1 = {r["vec_id"]: r["lsh_bucket"] for r in S.lsh_bucket(emb, "embedding", 8).collect()}
