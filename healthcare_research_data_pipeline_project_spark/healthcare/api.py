@@ -146,3 +146,85 @@ def quality_metrics(
         "average_length_of_stay": row["avg_los"],
         "abnormal_lab_rate_pct": lab_row["abnormal_rate"],
     }
+
+
+# ---------------------------------------------------------------------------
+# Endpoint-equivalent compositions (reference healthcare-api-main.py
+# :391-431 RCA, :470-498 health, :500-545 status): the auth / rate /
+# cache / audit decorator stack as explicit function plumbing over the
+# same engine-side primitives.
+# ---------------------------------------------------------------------------
+def run_rca_cached(
+    encounters: DataFrame,
+    labs: DataFrame,
+    token_payload: dict,
+    limiter,
+    cache,
+    analysis_type: str = "readmissions",
+    time_period_days: int = 365,
+    client_key: str = "default",
+) -> list[dict]:
+    """The /analytics/rca endpoint flow (reference `:391-431`):
+    role check → rate limit → cache probe → analysis → cache store.
+    Returns the readmission-factor records; raises
+    `InsufficientRoleError` / `RateLimitExceededError` /
+    `NotImplementedError` exactly where the endpoint returns
+    403 / 429 / 501."""
+    from ..sources.sinks import to_records
+    from . import rca
+    from .security import require_role
+
+    require_role(token_payload, ["researcher", "analyst"])
+    limiter.check(f"rate_limit:{client_key}:run_root_cause_analysis")
+    key = f"rca:{analysis_type}:{time_period_days}"
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    if analysis_type != "readmissions":
+        raise NotImplementedError(
+            f"Analysis type '{analysis_type}' not yet implemented"
+        )
+    result = to_records(
+        rca.readmission_analysis(encounters, labs).orderBy(
+            F.desc("readmission_count"), "diagnosis_code"
+        ),
+        limit=SEARCH_LIMIT,
+    )
+    cache.put(key, result)
+    return result
+
+
+def health_check(spark) -> dict:
+    """The /health probe (reference `:470-498`): execute a trivial
+    engine statement; degraded — not raised — on failure."""
+    out = {"status": "healthy", "services": {}}
+    try:
+        spark.sql("SELECT 1").collect()
+        out["services"]["engine"] = "healthy"
+    except Exception:
+        out["services"]["engine"] = "unhealthy"
+        out["status"] = "degraded"
+    return out
+
+
+def system_status(
+    patients: DataFrame,
+    encounters: DataFrame,
+    labs: DataFrame,
+    token_payload: dict,
+    cache=None,
+) -> dict:
+    """The admin-only /status endpoint (reference `:500-545`): table
+    row counts + cache stats. Counts are three count-star aggregates —
+    metadata-cheap on columnar sources at any scale."""
+    from .security import require_role
+
+    require_role(token_payload, ["admin"])
+    return {
+        "database": {
+            "total_patients": patients.count(),
+            "total_encounters": encounters.count(),
+            "total_lab_results": labs.count(),
+        },
+        "cache": {"keys": len(cache._store) if cache is not None else 0},
+    }

@@ -728,3 +728,57 @@ def test_binary_files_reader(spark, tmp_path):
     assert len(jpg) == 1
     assert bytes(jpg[0]["content"]) == b"JPEGDATA"
     assert jpg[0]["length"] == 8
+
+
+# ---------------------------------------------------------------------------
+# Endpoint-equivalent compositions (reference healthcare-api-main.py
+# :391-431, :470-545)
+# ---------------------------------------------------------------------------
+def test_run_rca_cached_full_flow(spark):
+    from healthcare_research_data_pipeline_project_spark.healthcare import api
+
+    encs = generator.generate_encounters(spark, 200, n_patients=50)
+    labs = generator.generate_labs(spark, 300, n_encounters=200)
+    mgr = security.SecurityManager()
+    ok = mgr.verify_token(mgr.generate_token("r1", "researcher"))
+    limiter = security.RateLimiter(max_calls=3, window_seconds=60)
+    cache = sinks.ResultCache(ttl_seconds=60)
+
+    first = api.run_rca_cached(encs, labs, ok, limiter, cache)
+    assert isinstance(first, list)
+    # cache hit: same object list back, no extra rate consumption beyond check
+    again = api.run_rca_cached(encs, labs, ok, limiter, cache)
+    assert again == first
+
+    # 403 for wrong role
+    clin = mgr.verify_token(mgr.generate_token("c1", "clinician"))
+    with pytest.raises(security.InsufficientRoleError):
+        api.run_rca_cached(encs, labs, clin, limiter, cache)
+
+    # 501 for unknown analysis type
+    with pytest.raises(NotImplementedError):
+        api.run_rca_cached(encs, labs, ok, limiter, cache, analysis_type="mortality")
+
+    # 429 once the window is exhausted (3 calls used above by researcher)
+    with pytest.raises(security.RateLimitExceededError):
+        api.run_rca_cached(encs, labs, ok, limiter, cache)
+
+
+def test_health_and_status(spark):
+    from healthcare_research_data_pipeline_project_spark.healthcare import api
+
+    assert api.health_check(spark)["status"] == "healthy"
+    pats = generator.generate_patients(spark, 40)
+    encs = generator.generate_encounters(spark, 60, n_patients=40)
+    labs = generator.generate_labs(spark, 80, n_encounters=60)
+    mgr = security.SecurityManager()
+    admin = mgr.verify_token(mgr.generate_token("a1", "admin"))
+    st = api.system_status(pats, encs, labs, admin, cache=sinks.ResultCache())
+    assert st["database"] == {
+        "total_patients": 40,
+        "total_encounters": 60,
+        "total_lab_results": 80,
+    }
+    rsr = mgr.verify_token(mgr.generate_token("r1", "researcher"))
+    with pytest.raises(security.InsufficientRoleError):
+        api.system_status(pats, encs, labs, rsr)
