@@ -73,3 +73,72 @@ def daily_volume_stats(encounters: DataFrame) -> DataFrame:
         rnd(F.stddev("daily_encounters"), "std_daily_volume"),
         F.max("daily_encounters").alias("peak_daily_volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite report (reference ReportingService.generate_research_report,
+# healthcare-data-pipeline-main.py:371-389; type validation from the
+# endpoint, healthcare-api-main.py:442-448). Each section is one of the
+# plan-builders above; the dict assembly collects only final small
+# aggregates.
+# ---------------------------------------------------------------------------
+VALID_REPORT_TYPES = ("monthly", "quarterly", "annual", "executive")
+
+#: reporting window per type, in days (reference hardcodes 1 month for
+#: the summary; the window scales with the report horizon here)
+_REPORT_WINDOW_DAYS = {
+    "monthly": 30,
+    "quarterly": 90,
+    "annual": 365,
+    "executive": 30,
+}
+
+
+def generate_research_report(
+    patients: DataFrame,
+    encounters: DataFrame,
+    report_type: str = "monthly",
+) -> dict:
+    """Assemble the full research report: executive summary over the
+    report window, demographic metrics (gender × race with average
+    age), utilization by encounter type, and daily-volume operational
+    stats. Unknown types raise ValueError (the endpoint's 400). The
+    window anchors on the data's max encounter_date rather than
+    wall-clock GETDATE() so the report is deterministic and
+    backfill-safe."""
+    if report_type not in VALID_REPORT_TYPES:
+        raise ValueError(
+            f"Invalid report type. Must be one of: {list(VALID_REPORT_TYPES)}"
+        )
+    days = _REPORT_WINDOW_DAYS[report_type]
+    anchor = encounters.agg(
+        F.max(F.to_date("encounter_date")).alias("d")
+    ).collect()[0]["d"]
+    window = encounters.filter(
+        F.to_date("encounter_date") >= F.date_sub(F.lit(anchor), days)
+    )
+    patient_metrics = [
+        r.asDict()
+        for r in (
+            patients.groupBy("gender", "race")
+            .agg(
+                F.countDistinct("patient_id").alias("patient_count"),
+                rnd(
+                    F.avg(F.lit(2025) - F.year("birth_date")), "avg_age"
+                ),
+            )
+            .orderBy(F.desc("patient_count"), "gender", "race")
+            .collect()
+        )
+    ]
+    return {
+        "report_type": report_type,
+        "window_days": days,
+        "executive_summary": executive_summary(window).collect()[0].asDict(),
+        "patient_metrics": patient_metrics,
+        "utilization": [
+            r.asDict()
+            for r in encounters_by_type(window).orderBy("encounter_type").collect()
+        ],
+        "operational_metrics": daily_volume_stats(window).collect()[0].asDict(),
+    }

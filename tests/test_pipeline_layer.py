@@ -782,3 +782,23 @@ def test_health_and_status(spark):
     rsr = mgr.verify_token(mgr.generate_token("r1", "researcher"))
     with pytest.raises(security.InsufficientRoleError):
         api.system_status(pats, encs, labs, rsr)
+
+
+def test_generate_research_report_sections_and_validation(spark):
+    pats = generator.generate_patients(spark, 80)
+    encs = generator.generate_encounters(spark, 150, n_patients=80)
+    rep = reporting.generate_research_report(pats, encs, "quarterly")
+    assert rep["report_type"] == "quarterly" and rep["window_days"] == 90
+    es = rep["executive_summary"]
+    assert 0 < es["total_encounters"] <= 150
+    assert es["total_patients"] <= 80
+    assert sum(m["patient_count"] for m in rep["patient_metrics"]) == 80
+    assert all(0 <= m["avg_age"] <= 90 for m in rep["patient_metrics"])
+    assert {u["encounter_type"] for u in rep["utilization"]} <= {
+        "Inpatient", "Outpatient", "Emergency",
+    }
+    assert rep["operational_metrics"]["days_observed"] > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Invalid report type"):
+        reporting.generate_research_report(pats, encs, "weekly")
