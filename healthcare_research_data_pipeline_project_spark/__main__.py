@@ -52,8 +52,9 @@ def run_pipeline(spark, out_dir: str, n_patients: int = 1000) -> dict:
     anomalies = rca.detect_anomalies(analysis)
     insights = rca.generate_insights(analysis, metric_cols)
 
-    # Phase 5: reporting
-    summary = reporting.executive_summary(encounters).collect()[0].asDict()
+    # Phase 5: reporting — the full composite report (reference
+    # reporting.generate_research_report, :532)
+    report = reporting.generate_research_report(patients, encounters, "monthly")
 
     # Phase 6: audit
     log.info("pipeline complete: %s patients, out=%s", n_patients, out_dir)
@@ -62,7 +63,7 @@ def run_pipeline(spark, out_dir: str, n_patients: int = 1000) -> dict:
         "quality": quality,
         "anomaly_columns": sorted(anomalies),
         "insights": insights,
-        "executive_summary": summary,
+        "report": report,
         "elapsed_sec": round(time.time() - t0, 2),
     }
 

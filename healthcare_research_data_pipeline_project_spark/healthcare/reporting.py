@@ -117,15 +117,20 @@ def generate_research_report(
     window = encounters.filter(
         F.to_date("encounter_date") >= F.date_sub(F.lit(anchor), days)
     )
+    # accept both patient shapes: raw (birth_date) and post-ETL
+    # (birth_year — the reference's dim_patient, :417-424)
+    birth_year = (
+        F.col("birth_year")
+        if "birth_year" in patients.columns
+        else F.year("birth_date")
+    )
     patient_metrics = [
         r.asDict()
         for r in (
             patients.groupBy("gender", "race")
             .agg(
                 F.countDistinct("patient_id").alias("patient_count"),
-                rnd(
-                    F.avg(F.lit(2025) - F.year("birth_date")), "avg_age"
-                ),
+                rnd(F.avg(F.lit(2025) - birth_year), "avg_age"),
             )
             .orderBy(F.desc("patient_count"), "gender", "race")
             .collect()

@@ -74,6 +74,10 @@ def test_cli_run_pipeline(spark, tmp_path, capsys):
     assert set(out["quality"]) == {"completeness", "validity", "overall"}
     assert (tmp_path / "wh" / "dim_patient").exists()
     assert (tmp_path / "wh" / "fact_encounters").exists()
+    # phase 5 emits the full composite report
+    assert out["report"]["report_type"] == "monthly"
+    assert {"executive_summary", "patient_metrics", "utilization",
+            "operational_metrics"} <= set(out["report"])
 
 
 def test_cli_run_query(spark, capsys):
