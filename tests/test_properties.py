@@ -108,3 +108,73 @@ def test_band_self_join_matches_python_bruteforce(spark, rows):
             if 0 <= d <= 30:
                 want.add((i, j))
     assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=1, max_size=20))
+@settings(max_examples=8, deadline=None)
+def test_connected_components_paths_agree(spark, edges):
+    """The driver union-find fast path and the distributed
+    label-propagation loop must produce identical components for any
+    edge list."""
+    from healthcare_research_data_pipeline_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(df, "a", "b").collect()
+    }
+    loop = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            df, "a", "b", small_graph_threshold=0
+        ).collect()
+    }
+    assert fast == loop
+
+
+@given(st.text(min_size=1, max_size=40), st.text(min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_jwt_roundtrip_arbitrary_identity(user, role):
+    from healthcare_research_data_pipeline_project_spark.healthcare.security import (
+        SecurityManager,
+    )
+
+    mgr = SecurityManager(jwt_secret="prop-secret")
+    payload = mgr.verify_token(mgr.generate_token(user, role))
+    assert payload is not None
+    assert payload["user_id"] == user and payload["role"] == role
+
+
+@given(st.lists(st.tuples(st.integers(0, 2), st.floats(0, 100)),
+                min_size=1, max_size=60))
+@settings(max_examples=50, deadline=None)
+def test_rate_limiter_matches_reference_model(calls):
+    """RateLimiter must agree with a direct INCR+EXPIRE model for any
+    interleaving of keys and monotonic timestamps."""
+    from healthcare_research_data_pipeline_project_spark.healthcare.security import (
+        RateLimiter,
+        RateLimitExceededError,
+    )
+
+    seq = sorted(calls, key=lambda kv: kv[1])  # monotonic clock
+    now = [0.0]
+    rl = RateLimiter(max_calls=3, window_seconds=10, clock=lambda: now[0])
+    model: dict[int, tuple[float, int]] = {}
+    for key, t in seq:
+        now[0] = t
+        start, count = model.get(key, (t, 0))
+        if t - start >= 10:
+            start, count = t, 0
+        count += 1
+        model[key] = (start, count)
+        if count > 3:
+            try:
+                rl.check(str(key))
+                raise AssertionError(f"expected 429 at {key}@{t}")
+            except RateLimitExceededError:
+                pass
+        else:
+            assert rl.check(str(key)) == count
