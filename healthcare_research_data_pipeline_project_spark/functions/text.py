@@ -149,3 +149,48 @@ def duck_simhash_bits(toks: str, nbits: int = 16) -> str:
         f"CASE WHEN (({tok_hash} >> j) & 1) = 1 THEN 1 ELSE -1 END)) >= 0 "
         f"THEN '1' ELSE '0' END), '')"
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality cascade (C4/Gopher-style keep/drop): shared projection used
+# by the batch corpus query (queries/datapipe5.py text_filter_cascade,
+# which carries the DuckDB oracle twin) AND the streaming curation
+# path (streaming/surveillance.py curate_stream) — stateless, so the
+# identical expression graph runs under both engines' schedulers.
+# ---------------------------------------------------------------------------
+def quality_cascade(df, text_col: str = "text", id_cols=("doc_id", "lang")):
+    """keep/fail_reasons projection. Integer-exact rules:
+    len_ok 50<=tokens<=100000; punct_ok punct*10<=chars*3;
+    stop_ok stops*20>=tokens; ttr_ok uniq*5>=tokens."""
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    d = (
+        df.withColumn("toks", tokens(F.col(text_col)))
+        .withColumn("char_cnt", F.length(text_col))
+        .withColumn(
+            "punct_cnt",
+            F.length(text_col)
+            - F.length(F.regexp_replace(text_col, "[^A-Za-z0-9 ]", "")),
+        )
+        .withColumn("token_cnt", F.size("toks"))
+        .withColumn("uniq_cnt", F.size(F.array_distinct("toks")))
+        .withColumn(
+            "stop_cnt",
+            F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x))),
+        )
+    )
+    len_ok = F.col("token_cnt").between(50, 100000)
+    punct_ok = F.col("punct_cnt") * 10 <= F.col("char_cnt") * 3
+    stop_ok = F.col("stop_cnt") * 20 >= F.col("token_cnt")
+    ttr_ok = F.col("uniq_cnt") * 5 >= F.col("token_cnt")
+    return d.select(
+        *id_cols,
+        F.col("token_cnt").cast("long").alias("token_cnt"),
+        (len_ok & punct_ok & stop_ok & ttr_ok).cast("int").alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(~len_ok, "length"),
+            F.when(~punct_ok, "punctuation"),
+            F.when(~stop_ok, "stopwords"),
+            F.when(~ttr_ok, "repetition"),
+        ).alias("fail_reasons"),
+    )

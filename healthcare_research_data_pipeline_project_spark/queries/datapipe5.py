@@ -210,7 +210,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   stop_ok:  stop_cnt * 20 >= token_cnt            (stopword ratio >= 0.05)
 #   ttr_ok:   uniq_cnt * 5 >= token_cnt             (type-token ratio >= 0.2)
 # ---------------------------------------------------------------------------
-from ..functions.text import DUCK_TOKENS, STOPWORDS, tokens  # noqa: E402
+from ..functions.text import DUCK_TOKENS, STOPWORDS  # noqa: E402
 
 _STOP_SQL5 = ", ".join(f"'{w}'" for w in STOPWORDS)
 _TOKS5 = DUCK_TOKENS.format(text="text")
@@ -254,40 +254,10 @@ _TOKS5 = DUCK_TOKENS.format(text="text")
     """,
 )
 def text_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_cascade
+
     t = load_tables(spark, sf_dir)
-    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    d = (
-        t.documents.withColumn("toks", tokens(F.col("text")))
-        .withColumn("char_cnt", F.length("text"))
-        .withColumn(
-            "punct_cnt",
-            F.length("text")
-            - F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", "")),
-        )
-        .withColumn("token_cnt", F.size("toks"))
-        .withColumn("uniq_cnt", F.size(F.array_distinct("toks")))
-        .withColumn(
-            "stop_cnt",
-            F.size(F.filter(F.col("toks"), lambda x: F.array_contains(stop_arr, x))),
-        )
-    )
-    len_ok = F.col("token_cnt").between(50, 100000)
-    punct_ok = F.col("punct_cnt") * 10 <= F.col("char_cnt") * 3
-    stop_ok = F.col("stop_cnt") * 20 >= F.col("token_cnt")
-    ttr_ok = F.col("uniq_cnt") * 5 >= F.col("token_cnt")
-    return d.select(
-        "doc_id",
-        "lang",
-        F.col("token_cnt").cast("long").alias("token_cnt"),
-        (len_ok & punct_ok & stop_ok & ttr_ok).cast("int").alias("keep"),
-        F.concat_ws(
-            ",",
-            F.when(~len_ok, "length"),
-            F.when(~punct_ok, "punctuation"),
-            F.when(~stop_ok, "stopwords"),
-            F.when(~ttr_ok, "repetition"),
-        ).alias("fail_reasons"),
-    )
+    return quality_cascade(t.documents)
 
 
 # ---------------------------------------------------------------------------

@@ -173,3 +173,40 @@ def dedup_stream(events: DataFrame, within: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus curation: the C4/Gopher quality cascade applied to a
+# document stream. The projection is stateless (no watermark, no
+# aggregation state), so the SAME expression graph as the batch corpus
+# query (queries/datapipe5.py text_filter_cascade) runs incrementally —
+# batch/stream unification for the curation front of a training-data
+# pipeline: new document drops are scored on arrival instead of by
+# periodic full rescans.
+# ---------------------------------------------------------------------------
+DOCUMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over document parquet drops (Kafka-swappable,
+    like `stream_events`)."""
+    return (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+
+def curate_stream(docs: DataFrame) -> DataFrame:
+    """keep/drop + fail_reasons per arriving document (append-mode
+    row stream; no state)."""
+    from ..functions.text import quality_cascade
+
+    return quality_cascade(docs)

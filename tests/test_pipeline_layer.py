@@ -802,3 +802,37 @@ def test_generate_research_report_sections_and_validation(spark):
 
     with _pytest.raises(ValueError, match="Invalid report type"):
         reporting.generate_research_report(pats, encs, "weekly")
+
+
+def test_curate_stream_matches_batch(spark, tmp_path):
+    from healthcare_research_data_pipeline_project_spark.functions.text import (
+        quality_cascade,
+    )
+
+    src = str(tmp_path / "docs")
+    natural = "the " + " ".join(f"word{i} of the thing and" for i in range(20))
+    rows = [
+        (1, "en", "s", natural),
+        (2, "en", "s", "short text"),
+        (3, "en", "s", "the " * 60 + "!?#$% " * 40),
+        (4, "de", "s", " ".join(["zzz"] * 80)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    docs.coalesce(2).write.parquet(src)
+
+    stream = sv.stream_documents(spark, src)
+    assert stream.isStreaming
+    got = {
+        r["doc_id"]: (r["keep"], r["fail_reasons"])
+        for r in sv.run_available_now(
+            sv.curate_stream(stream), "t_curate", output_mode="append"
+        )
+    }
+    want = {
+        r["doc_id"]: (r["keep"], r["fail_reasons"])
+        for r in quality_cascade(spark.read.parquet(src)).collect()
+    }
+    assert got == want
+    assert got[1][0] == 1 and got[2][0] == 0
