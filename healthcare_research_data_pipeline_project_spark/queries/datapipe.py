@@ -380,6 +380,105 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+# ESTIMATE of Jaccard (fraction of agreeing signature components) next
+# to the EXACT distinct-shingle Jaccard — the standard calibration
+# check before trusting a sketch threshold at scale. Work is
+# candidate-bounded (signatures and shingle sets join back to the tiny
+# pair set), and every output is an integer rational → hash-exact in
+# both engines.
+# ---------------------------------------------------------------------------
+def _sketch_audit_oracle() -> str:
+    rows = _LSH_HASHES // _LSH_BANDS
+    mh_cols = ",\n           ".join(
+        f"CAST({duck_minhash('hs', j)} AS BIGINT) AS mh_{j}"
+        for j in range(_LSH_HASHES)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(':', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ")) AS band_hash FROM sig"
+        for b in range(_LSH_BANDS)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END"
+        for j in range(_LSH_HASHES)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {duck_shingles('toks')} AS sh FROM d),
+    h AS (SELECT doc_id, {duck_shingle_hashes('sh')} AS hs FROM s),
+    sig AS (SELECT doc_id, {mh_cols} FROM h),
+    banded AS ({band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    shd AS (SELECT doc_id, list_distinct(sh) AS shs FROM s),
+    m AS (
+      SELECT p.id_a, p.id_b,
+             ({match_sum}) AS mtch,
+             len(list_intersect(da.shs, db.shs)) AS inter,
+             len(da.shs) + len(db.shs)
+               - len(list_intersect(da.shs, db.shs)) AS union_sz
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+      JOIN shd da ON da.doc_id = p.id_a
+      JOIN shd db ON db.doc_id = p.id_b
+    )
+    SELECT id_a, id_b,
+           CAST(mtch AS BIGINT) AS est_matches,
+           {duck_round_div('mtch', str(_LSH_HASHES), 4)} AS est_jaccard,
+           CAST(inter AS BIGINT) AS shingle_inter,
+           CAST(union_sz AS BIGINT) AS shingle_union,
+           {duck_round_div('inter', 'union_sz', 4)} AS exact_jaccard
+    FROM m
+    """
+
+
+@register("dedup_sketch_audit", _sketch_audit_oracle())
+def dedup_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    pairs = D.lsh_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=_LSH_HASHES, bands=_LSH_BANDS
+    )
+    sig = D.minhash_signatures(docs, "text", "doc_id", _LSH_HASHES)
+    shd = D.with_shingles(docs, "text").select(
+        "doc_id", F.array_distinct("shingles").alias("shs")
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{j}").alias(f"a_mh_{j}") for j in range(_LSH_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{j}").alias(f"b_mh_{j}") for j in range(_LSH_HASHES)],
+    )
+    da = shd.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("sh_a"))
+    db = shd.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("sh_b"))
+    j = pairs.join(sa, "id_a").join(sb, "id_b").join(da, "id_a").join(db, "id_b")
+    mtch = sum(
+        (F.col(f"a_mh_{k}") == F.col(f"b_mh_{k}")).cast("int")
+        for k in range(_LSH_HASHES)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_sz = F.size("sh_a") + F.size("sh_b") - inter
+    return j.select(
+        "id_a",
+        "id_b",
+        mtch.cast("long").alias("est_matches"),
+        round_div(mtch, F.lit(_LSH_HASHES), "est_jaccard", 4),
+        inter.cast("long").alias("shingle_inter"),
+        union_sz.cast("long").alias("shingle_union"),
+        round_div(inter, union_sz, "exact_jaccard", 4),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Brute-force cosine top-k (exact ANN baseline)
 # ---------------------------------------------------------------------------
 _QUERY_IDS = list(range(8))

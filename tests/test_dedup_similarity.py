@@ -182,3 +182,43 @@ def test_grouped_agg_geomean(spark):
     got = {r["g"]: r["gm"] for r in df.groupBy("g").agg(V.geomean("v").alias("gm")).collect()}
     assert math.isclose(got[1], 4.0)   # sqrt(2*8)
     assert math.isclose(got[2], 5.0)   # zero excluded
+
+
+def test_sketch_audit_identical_docs_and_bounds(spark):
+    from healthcare_research_data_pipeline_project_spark import queries as Q
+
+    Q.load_all()
+    QUERIES = Q.QUERIES
+
+    # corpus-level: every audited pair has sane integer rationals
+    rows = QUERIES["dedup_sketch_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["est_matches"] <= 16
+        assert abs(r["est_jaccard"] - r["est_matches"] / 16) < 1e-9
+        assert 0 <= r["shingle_inter"] <= r["shingle_union"]
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+
+    # identical documents: the sketch must agree on every component and
+    # the exact jaccard must be 1
+    import healthcare_research_data_pipeline_project_spark.queries.datapipe as dp
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, "en", "s", text), (2, "en", "s", text),
+         (3, "en", "s", "totally different words entirely here now ok fine")],
+        "doc_id long, lang string, source string, text string",
+    )
+    orig = dp.load_tables
+    dp.load_tables = lambda s, d: type("T", (), {"documents": docs})()
+    try:
+        audit = {
+            (r["id_a"], r["id_b"]): r
+            for r in QUERIES["dedup_sketch_audit"](spark, SF_SMOKE).collect()
+        }
+    finally:
+        dp.load_tables = orig
+    assert (1, 2) in audit
+    assert audit[(1, 2)]["est_matches"] == 16
+    assert audit[(1, 2)]["est_jaccard"] == 1.0
+    assert audit[(1, 2)]["exact_jaccard"] == 1.0
