@@ -80,7 +80,7 @@ GATE_PRIORITY = [
     "dedup_embedding_cosine",
     "sim_bruteforce_topk",
     "sim_lsh_topk",
-    "mm_media_features",
+    "mm_media_manifest",
     "text_token_stats",
     "text_quality_score",
     "text_langid",

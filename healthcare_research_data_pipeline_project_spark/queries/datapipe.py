@@ -691,6 +691,59 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal manifest with a FULL DuckDB oracle: the synthesized
+# payloads are closed-form functions of media_id (PPM = 9-byte-ish
+# header + w*h*3 raster, WAV = 44-byte header + 2 bytes/sample, mp4
+# stub = 32-byte digest repeated), so per-kind counts and exact byte
+# totals are SQL-computable from `range(64)` without touching the
+# binary. This proves the mapInPandas plumbing (row fan-out, payload
+# construction, Arrow transfer, feature extraction) end-to-end against
+# an independent engine; per-row sha256 values stay pinned by pytest.
+# ---------------------------------------------------------------------------
+@register(
+    "mm_media_manifest",
+    """
+    WITH m AS (
+      SELECT range AS i,
+             CASE range % 3 WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+             CASE range % 3
+               WHEN 0 THEN 9
+                    + length(CAST(32 + (range % 16) * 8 AS VARCHAR))
+                    + length(CAST(32 + (range % 12) * 8 AS VARCHAR))
+                    + (32 + (range % 16) * 8) * (32 + (range % 12) * 8) * 3
+               WHEN 1 THEN 44 + (2000 + (range % 8) * 250) * 2
+               ELSE 32 * (4 + range % 8)
+             END AS byte_len
+      FROM range(0, 64))
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(COUNT(*) AS BIGINT) AS distinct_payloads,
+           CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+           CAST(MIN(byte_len) AS BIGINT) AS min_bytes,
+           CAST(MAX(byte_len) AS BIGINT) AS max_bytes
+    FROM m GROUP BY kind ORDER BY kind
+    """,
+)
+def mm_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import binary_ops as mm
+
+    feats = mm.extract_features(mm.synthesize_media(spark, n=64))
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.countDistinct("sha256").alias("distinct_payloads"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.min("byte_len").alias("min_bytes"),
+            F.max("byte_len").alias("max_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real multimodal decode: synthesized PPM/WAV payloads → numpy/stdlib
 # decode stats with per-row quarantine (video has no in-container
 # codec). Payloads are generated executor-side (not SQL-expressible),
