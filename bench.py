@@ -2,8 +2,16 @@
 
 Runs the full query corpus at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+line: {"metric": "corpus_total_best2", "value": total_sec, "unit":
+"sec", "queries": {name: sec}, "sf": ..., "wall_sec": ...,
+"median_sec": ..., "headline": {...}}.
+
+`value` is the SUM of per-query best-of-two minima — a steady-state
+estimator, deliberately distinct from `wall_sec` (true elapsed time of
+the timed loop, both runs included, roughly 2x the estimator). Compare
+rounds on the same field. The trailing `headline` dict repeats the
+flagship + reference-analytics timings at the END of the line so they
+survive artifact tail-truncation.
 
 Each query is timed to completion of a `noop`-sink write, which forces
 full materialization of every output column (a bare count() would let
@@ -67,7 +75,7 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "metric": "corpus_total_wall",
+                    "metric": "corpus_total_best2",
                     "value": None,
                     "unit": "sec",
                     "queries": {},
@@ -105,6 +113,7 @@ def main() -> None:
     # scans parquet each run (nothing is memory-cached between them)
     timings: dict[str, float] = {}
     total = 0.0
+    loop_t0 = time.time()
     for name, fn in Q.QUERIES.items():
         best = None
         for _ in range(2):
@@ -115,15 +124,29 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.2f}s", file=sys.stderr)
+    wall = time.time() - loop_t0
 
+    # the driver's bench artifact preserves only the TAIL of stdout, so
+    # the headline rows (flagship + the 10 reference analytics queries
+    # + the budget-watched mb_pair_lift) are repeated in a compact dict
+    # placed LAST in the JSON object — key order is insertion order, so
+    # these survive front-truncation of the line.
+    headline_names = [n for n in Q.GATE_PRIORITY[:11] if n in timings]
+    headline_names += [n for n in ("mb_pair_lift",) if n in timings]
+    ordered = sorted(timings.values())
+    median = ordered[len(ordered) // 2] if ordered else None
     print(
         json.dumps(
             {
-                "metric": "corpus_total_wall",
+                "metric": "corpus_total_best2",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "n_queries": len(timings),
+                "wall_sec": round(wall, 3),
+                "median_sec": median,
+                "headline": {n: timings[n] for n in headline_names},
             }
         )
     )

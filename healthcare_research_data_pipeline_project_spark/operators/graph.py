@@ -11,10 +11,22 @@ starts labeled with itself; each round every node takes the min label
 in its neighborhood; converged when no label changes. Rounds =
 O(diameter) — near-dup graphs are unions of small cliques, so 2-4
 rounds in practice. Each round is one join + one aggregation (all
-key-partitioned shuffles Catalyst can plan as sort-merge); the
-`localCheckpoint` after each round truncates the lineage so the plan
-doesn't grow exponentially with iterations — required at ANY scale,
-not just 100 TB.
+key-partitioned shuffles Catalyst can plan as sort-merge); each
+round's output is spilled to parquet so the next round's plan starts
+from a flat scan — without that cut the label frame appears twice per
+round and the logical plan grows EXPONENTIALLY with iterations.
+Required at ANY scale, not just 100 TB.
+
+Checkpoint mechanics are public-API only (`write.parquet` +
+`read.parquet` ping-pong between two alternating directories, plain
+`persist`/`unpersist` for the edge list): no `_jsc`/`_jvm` JVM
+internals, so the loop also runs where the JVM gateway isn't
+reachable (Spark Connect). `localCheckpoint` was rejected: its blocks
+ignore `DataFrame.unpersist` (cacheManager only tracks `persist`
+entries) and PySpark exposes no public handle to free them, so a
+long-lived session accretes one label copy per round. The alternating
+overwrite bounds peak checkpoint storage at 2 label copies by
+construction.
 
 The driver-side loop is control flow only (a convergence counter);
 all data stays distributed.
@@ -22,32 +34,22 @@ all data stays distributed.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _persistent_rdd_ids(spark) -> set:
-    """Ids of RDD blocks currently pinned in the block manager —
-    localCheckpoint stores its materialization here, and this is the
-    only handle PySpark gives us to release a *checkpoint's* storage
-    (DataFrame.unpersist only touches cacheManager entries).
-
-    Assumption: the driver is single-threaded between the before/after
-    snapshots that bracket each localCheckpoint. Anything persisted
-    concurrently on the shared session in that window would be
-    attributed to the loop and unpersisted with it. The snapshots are
-    taken immediately around each checkpoint call to keep that window
-    minimal; run the components loop on a dedicated session if other
-    threads cache concurrently."""
-    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
-
-
-def _unpersist_rdd_ids(spark, ids: set) -> None:
-    m = spark.sparkContext._jsc.getPersistentRDDs()
-    for rid in ids:
-        rdd = m.get(rid)
-        if rdd is not None:
-            rdd.unpersist(False)
+def _rm_local(path: str) -> None:
+    """Best-effort removal of a LOCAL checkpoint dir (tempdir default).
+    Caller-supplied remote paths (hdfs://, s3a://) are left for the
+    caller's retention policy — the client may have no FS access."""
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        shutil.rmtree(parsed.path or path, ignore_errors=True)
 
 
 def _driver_union_find(spark, edge_rows) -> DataFrame:
@@ -80,6 +82,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     small_graph_threshold: int = 100_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label each node of the undirected graph `edges` with the
     smallest node id reachable from it. Returns (node, component).
@@ -93,11 +96,17 @@ def connected_components(
     rounds are exhausted with labels still moving we RAISE rather than
     return silently-wrong cluster ids.
 
-    Storage hygiene: every round's `localCheckpoint` (needed to stop
-    the plan growing with iterations) is explicitly unpersisted once
-    the next round's labels are materialized — peak extra storage is 2
-    copies of the label table, not `max_iter` copies. The final round's
-    checkpoint backs the returned DataFrame and stays alive.
+    Storage hygiene: each round's labels are spilled to parquet (the
+    lineage cut) into one of TWO alternating subdirectories of
+    `checkpoint_dir` — round i reads dir[i%2] and overwrites
+    dir[(i+1)%2], so peak checkpoint storage is 2 copies of the label
+    table no matter how many rounds run, with no unpersist API needed.
+    `checkpoint_dir` defaults to a driver-local tempdir (right for
+    local mode and removed on the non-convergence raise); on a real
+    cluster pass a shared-FS path (hdfs://...) that executors can
+    reach — the converged result stays backed by it, so retention is
+    the caller's. The edge list is `persist()`-ed for cross-round
+    reuse and released via the matching public `unpersist()`.
     """
     spark = edges.sparkSession
     # adaptive small-graph path: near-dup pair graphs are usually tiny
@@ -112,7 +121,10 @@ def connected_components(
     if len(probe) <= small_graph_threshold:
         return _driver_union_find(spark, [(r[0], r[1]) for r in probe])
 
-    before = _persistent_rdd_ids(spark)
+    own_dir = checkpoint_dir is None
+    base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_cc_")
+    ping = [os.path.join(base, "labels_a"), os.path.join(base, "labels_b")]
+
     sym = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -120,66 +132,72 @@ def connected_components(
     # materialize the edge list ONCE — without this every round's join
     # re-executes the whole upstream pipeline that produced the pairs
     # (for LSH dedup that is the minhash + banding computation)
-    sym = sym.localCheckpoint(eager=True)
-    sym_ids = _persistent_rdd_ids(spark) - before
-    nodes = sym.select(F.col("u").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
-    label_ids = _persistent_rdd_ids(spark) - before - sym_ids
-
+    sym = sym.persist()
     converged = False
-    for _ in range(max_iter):
-        nbr_min = (
-            labels.join(sym, labels["node"] == sym["u"])
-            .groupBy(F.col("v").alias("node"))
-            .agg(F.min("component").alias("nbr"))
-        )
-        stepped = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(F.col("component"), F.coalesce("nbr", "component")).alias(
-                "component"
-            ),
-            F.col("component").alias("old_component"),
-        )
-        # pointer jumping: follow my (new) label to ITS label and take
-        # the min — labels always point at reachable nodes, so the
-        # shortcut preserves correctness while halving remaining
-        # distance-to-root every round
-        hop = labels.select(
-            F.col("node").alias("component"), F.col("component").alias("hop")
-        )
-        # carry the changed-flag through the checkpoint so convergence
-        # is a cheap aggregate over materialized rows, not an extra
-        # old-vs-new join job per round
-        new_labels = (
-            stepped.join(hop, "component", "left")
-            .select(
+    try:
+        # round-0 labels spilled up front: the loop body reads `labels`
+        # twice (neighborhood min + pointer hop), so every round must
+        # start from a flat parquet scan or the plan doubles per round
+        nodes = sym.select(F.col("u").alias("node")).distinct()
+        nodes.withColumn("component", F.col("node")).write.mode(
+            "overwrite"
+        ).parquet(ping[0])
+        labels = spark.read.parquet(ping[0])
+
+        for i in range(max_iter):
+            nbr_min = (
+                labels.join(sym, labels["node"] == sym["u"])
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.min("component").alias("nbr"))
+            )
+            stepped = labels.join(nbr_min, "node", "left").select(
                 "node",
-                F.least(F.col("component"), F.coalesce("hop", "component")).alias(
+                F.least(F.col("component"), F.coalesce("nbr", "component")).alias(
                     "component"
                 ),
-                (
-                    F.least(F.col("component"), F.coalesce("hop", "component"))
-                    < F.col("old_component")
-                )
-                .cast("int")
-                .alias("chg"),
+                F.col("component").alias("old_component"),
             )
-            .localCheckpoint(eager=True)
-        )
-        new_ids = _persistent_rdd_ids(spark) - before - sym_ids - label_ids
-        changed = new_labels.agg(F.sum("chg")).collect()[0][0]
-        # previous round's checkpointed label blocks are dead now
-        _unpersist_rdd_ids(spark, label_ids)
-        label_ids = new_ids
-        labels = new_labels.drop("chg")
-        if not changed:
-            converged = True
-            break
-    _unpersist_rdd_ids(spark, sym_ids)
+            # pointer jumping: follow my (new) label to ITS label and
+            # take the min — labels always point at reachable nodes, so
+            # the shortcut preserves correctness while halving remaining
+            # distance-to-root every round
+            hop = labels.select(
+                F.col("node").alias("component"), F.col("component").alias("hop")
+            )
+            # carry the changed-flag through the spill so convergence is
+            # a cheap scan-aggregate over the just-written parquet, not
+            # an extra old-vs-new join job per round
+            out = (
+                stepped.join(hop, "component", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce("hop", "component")
+                    ).alias("component"),
+                    (
+                        F.least(F.col("component"), F.coalesce("hop", "component"))
+                        < F.col("old_component")
+                    )
+                    .cast("int")
+                    .alias("chg"),
+                )
+            )
+            # round i reads ping[i%2], overwrites ping[(i+1)%2] — never
+            # the dir it is reading, and the round-before-last's copy is
+            # reclaimed by the overwrite itself
+            dest = ping[(i + 1) % 2]
+            out.write.mode("overwrite").parquet(dest)
+            materialized = spark.read.parquet(dest)
+            changed = materialized.agg(F.sum("chg")).collect()[0][0]
+            labels = materialized.drop("chg")
+            if not changed:
+                converged = True
+                break
+    finally:
+        sym.unpersist()
     if not converged:
-        # release the final round's label checkpoint too — without this
-        # the raise leaks its blocks in long-lived sessions
-        _unpersist_rdd_ids(spark, label_ids)
+        if own_dir:
+            _rm_local(base)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "labels are still moving — raise max_iter (graph diameter is "

@@ -76,8 +76,21 @@ def table(
         # file vintage loads.
         from pyspark.sql.types import LongType
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(path)
+        # set-and-restore: the flag's effect is captured in the schema
+        # resolved at read.parquet() time (verified: a later action on
+        # the returned frame succeeds with the conf restored), so the
+        # shared session's conf is left exactly as found — no global
+        # side effect on the driver's vanilla session.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            raw = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         if spread:
             raw = _spread(spark, raw, path)
         if isinstance(raw.schema["ts"].dataType, LongType):

@@ -81,3 +81,51 @@ def test_column_quality_nulls(spark):
         for r in R.column_quality(df, "t", ["a", "b"]).collect()
     }
     assert rows == {"a": (1, 66.67), "b": (1, 66.67)}
+
+
+# ---------------------------------------------------------------------------
+# events loader: dtype guard across testdata vintages + conf hygiene
+# (the driver's testdata has shipped ts as BOTH parquet TIMESTAMP(NANOS)
+# and native timestamp[us]; the loader must read either and must leave
+# the shared session's conf exactly as it found it — tables.py)
+# ---------------------------------------------------------------------------
+def test_events_loader_reads_nanos_vintage_and_restores_conf(spark, tmp_path):
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from healthcare_research_data_pipeline_project_spark.tables import table
+
+    sf_dir = tmp_path / "sfnanos"
+    sf_dir.mkdir()
+    ts = pd.date_range("2024-03-01 12:00:00", periods=6, freq="h")
+    t = pa.table(
+        {
+            "event_id": pa.array(range(6), type=pa.int64()),
+            "user_id": pa.array([1, 1, 2, 2, 3, 3], type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(t, str(sf_dir / "events.parquet"), version="2.6")
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    df = table(spark, str(sf_dir), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = [r["ts"] for r in df.orderBy("event_id").collect()]
+    assert got[0] == ts[0].to_pydatetime()
+    assert got[-1] == ts[-1].to_pydatetime()
+    assert spark.conf.get(key, None) == before  # conf left as found
+
+    # µs vintage loads through the same guard
+    sf_dir2 = tmp_path / "sfmicros"
+    sf_dir2.mkdir()
+    t2 = t.set_column(2, "ts", pa.array(ts, type=pa.timestamp("us")))
+    pq.write_table(t2, str(sf_dir2 / "events.parquet"), version="2.6")
+    df2 = table(spark, str(sf_dir2), "events")
+    assert dict(df2.dtypes)["ts"] == "timestamp"
+    assert df2.count() == 6
+    assert spark.conf.get(key, None) == before
+    shutil.rmtree(str(sf_dir), ignore_errors=True)
