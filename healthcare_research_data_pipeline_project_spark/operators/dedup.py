@@ -18,6 +18,8 @@ All operators are pure Catalyst expression pipelines (split/HOF/md5)
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +32,8 @@ from ..functions.text import (
     simhash_bits_col,
     tokens,
 )
+
+_log = logging.getLogger("hrdp.dedup")
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -140,6 +144,7 @@ def shingle_jaccard_pairs(
     block_cols: list[str],
     threshold: float = 0.5,
     k: int = SHINGLE_K,
+    df_max: int | None = None,
 ) -> DataFrame:
     """Exact distinct-shingle Jaccard pairs within blocking groups,
     via an inverted shingle index (explode → equi-join on the shingle →
@@ -150,8 +155,20 @@ def shingle_jaccard_pairs(
     joined back in. Only pairs sharing ≥1 shingle materialize, so work
     is proportional to real overlap, and the shuffles are all on
     (block, shingle) / (id_a, id_b) keys — the layout that survives a
-    100× scale-up (hot shingles are split by AQE; at extreme scale add
-    a document-frequency cap on the exploded index).
+    100× scale-up. Moderately-hot shingles are split by AQE skew
+    handling; truly viral ones need `df_max`:
+
+    `df_max` is the document-frequency cap that keeps the index
+    sub-quadratic at extreme scale: a boilerplate shingle shared by 1M
+    docs ("all rights reserved...") would alone contribute 5·10^11
+    join rows. With `df_max=n`, shingles occurring in more than n docs
+    of a block are dropped from the index AND from the per-doc sizes,
+    so the result is the EXACT Jaccard over the reduced (non-
+    boilerplate) shingle universe — identical to the uncapped result
+    whenever no shingle exceeds the cap, and a principled
+    boilerplate-insensitive similarity when some do. The number of
+    dropped hot shingles is counted and logged (one extra tiny
+    aggregate, only on the opted-in scale path).
     """
     # persist the per-doc shingle sets: the self-join's two sides and
     # the size lookup all branch from this node, and without an explicit
@@ -172,6 +189,28 @@ def shingle_jaccard_pairs(
     inv = d.select(
         F.col(id_col), *block_cols, F.explode_outer("sh_set").alias("sh")
     )
+    if df_max is not None:
+        hot = (
+            inv.groupBy(*block_cols, "sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_max)
+            .select(*block_cols, "sh")
+        )
+        # hot shingles are rare by construction (df > cap), so count
+        # them eagerly for the log, then anti-join them out of the
+        # index; sizes are recomputed from the FILTERED index so the
+        # Jaccard stays exact over the reduced shingle universe
+        n_hot = hot.count()
+        if n_hot:
+            _log.info(
+                "shingle_jaccard_pairs: df_max=%d dropped %d hot shingles",
+                df_max,
+                n_hot,
+            )
+        inv = inv.join(hot, [*block_cols, "sh"], "left_anti")
+        sizes = inv.groupBy(id_col, *block_cols).agg(
+            F.count(F.lit(1)).alias("sh_n")
+        )
     a, b = inv.alias("a"), inv.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
         F.col("a.sh") == F.col("b.sh")

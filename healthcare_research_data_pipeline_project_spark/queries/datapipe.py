@@ -310,9 +310,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N-gram (shingle-set) Jaccard near-dup pairs within (lang, source)
 # blocking groups
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_ngram_jaccard",
-    f"""
+ORACLE_NGRAM_JACCARD = f"""
     WITH d AS (
       SELECT doc_id, lang, source,
              list_distinct({duck_shingles(_TOKS)}) AS sh
@@ -328,12 +326,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh)) * 100 >=
           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 20
-    """,
-)
+    """
+
+
+@register("dedup_ngram_jaccard", ORACLE_NGRAM_JACCARD)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return D.shingle_jaccard_pairs(
         t.documents, "text", "doc_id", ["lang", "source"], threshold=0.2
+    )
+
+
+# Same operator through the extreme-scale document-frequency cap
+# (df_max drops shingles hotter than the cap from index AND sizes).
+# The corpus has no shingle anywhere near df 10k, so capped ≡ uncapped
+# here BY CONTRACT — the oracle is therefore the identical SQL, and a
+# green row pins exactly that no-op equivalence; the hot-shingle
+# behavior itself is pinned by test_df_cap_bounds_hot_shingle_pair_blowup.
+@register("dedup_ngram_jaccard_capped", ORACLE_NGRAM_JACCARD)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return D.shingle_jaccard_pairs(
+        t.documents,
+        "text",
+        "doc_id",
+        ["lang", "source"],
+        threshold=0.2,
+        df_max=10_000,
     )
 
 

@@ -222,3 +222,48 @@ def test_sketch_audit_identical_docs_and_bounds(spark):
     assert audit[(1, 2)]["est_matches"] == 16
     assert audit[(1, 2)]["est_jaccard"] == 1.0
     assert audit[(1, 2)]["exact_jaccard"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# document-frequency cap on the inverted shingle index (the extreme-
+# scale guard against viral/boilerplate shingles going quadratic)
+# ---------------------------------------------------------------------------
+def test_df_cap_noop_when_no_hot_shingles(spark):
+    t = load_tables(spark, SF_SMOKE)
+    docs = t.documents
+    base = D.shingle_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "source"], threshold=0.2
+    )
+    capped = D.shingle_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "source"], threshold=0.2, df_max=10_000
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["jaccard"])
+    assert sorted(map(key, base.collect())) == sorted(map(key, capped.collect()))
+
+
+def test_df_cap_bounds_hot_shingle_pair_blowup(spark):
+    # 40 docs share one 6-token boilerplate phrase (4 hot inner
+    # shingles at k=3) but are otherwise pairwise-disjoint; two extra
+    # docs are genuine duplicates of each other. Uncapped, boilerplate
+    # alone materializes all C(40,2) pairs at a tiny threshold; capped,
+    # ONLY the genuine duplicate pair survives — the quadratic bucket
+    # never forms.
+    boiler = "terms of service all rights reserved"
+    rows = [
+        (i, f"u{i}a u{i}b u{i}c u{i}d {boiler}") for i in range(40)
+    ] + [
+        (100, "identical duplicated content body here entirely"),
+        (101, "identical duplicated content body here entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    )
+    kw = dict(
+        text_col="text", id_col="doc_id", block_cols=["lang"], threshold=0.01
+    )
+    uncapped = D.shingle_jaccard_pairs(docs, **kw).count()
+    capped_rows = D.shingle_jaccard_pairs(docs, df_max=10, **kw).collect()
+    assert uncapped >= 40 * 39 / 2  # boilerplate went quadratic
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in capped_rows] == [
+        (100, 101, 1.0)
+    ]
