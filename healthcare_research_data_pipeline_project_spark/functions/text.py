@@ -161,10 +161,16 @@ def duck_simhash_bits(toks: str, nbits: int = 16) -> str:
 def quality_cascade(df, text_col: str = "text", id_cols=("doc_id", "lang")):
     """keep/fail_reasons projection. Integer-exact rules:
     len_ok 50<=tokens<=100000; punct_ok punct*10<=chars*3;
-    stop_ok stops*20>=tokens; ttr_ok uniq*5>=tokens."""
+    stop_ok stops*20>=tokens; ttr_ok uniq*5>=tokens.
+
+    NULL text is coalesced to '' up front (token_cnt 0, keep 0,
+    fail_reasons includes 'length') so the Spark path agrees with the
+    DuckDB oracle twin on null input — without the coalesce, Spark's
+    size(null)=-1 convention and DuckDB's NULL propagation diverge."""
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     d = (
-        df.withColumn("toks", tokens(F.col(text_col)))
+        df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        .withColumn("toks", tokens(F.col(text_col)))
         .withColumn("char_cnt", F.length(text_col))
         .withColumn(
             "punct_cnt",

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions.helpers import count_if, pct, rnd
 from ..operators.relational import bucketize, distribution_pct
+from .mapping import AGE_ANCHOR
 
 AGE_BUCKETS = ([18, 31, 46, 61, 76], ["0-17", "18-30", "31-45", "46-60", "61-75", "76+"])
 
@@ -130,7 +131,7 @@ def generate_research_report(
             patients.groupBy("gender", "race")
             .agg(
                 F.countDistinct("patient_id").alias("patient_count"),
-                rnd(F.avg(F.lit(2025) - birth_year), "avg_age"),
+                rnd(F.avg(F.lit(AGE_ANCHOR) - birth_year), "avg_age"),
             )
             .orderBy(F.desc("patient_count"), "gender", "race")
             .collect()

@@ -219,12 +219,17 @@ _TOKS5 = DUCK_TOKENS.format(text="text")
 @register(
     "text_filter_cascade",
     f"""
-    WITH d AS (
+    WITH d0 AS (
+      -- coalesce NULL text to '' exactly like the Spark projection, so
+      -- the twins agree on null input (Spark size(null) = -1 otherwise)
+      SELECT doc_id, lang, coalesce(text, '') AS text FROM documents
+    ),
+    d AS (
       SELECT doc_id, lang, {_TOKS5} AS toks,
              length(text) AS char_cnt,
              length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
                AS punct_cnt
-      FROM documents
+      FROM d0
     ),
     m AS (
       SELECT doc_id, lang, char_cnt, punct_cnt,

@@ -211,11 +211,20 @@ def _read_xlsx_stdlib(path: str, sheet: str | None = None) -> "tuple[list, list]
         rows: list[list] = []
         for row in body.find("m:sheetData", ns):
             vals: dict[int, object] = {}
+            # the r= cell reference is OPTIONAL in OOXML: writers that
+            # omit it imply "next column after the previous cell", so
+            # track a positional cursor as the fallback
+            next_col = 1
             for c in row.findall("m:c", ns):
-                ref = c.get("r", "")
-                col = 0
-                for ch in _re.match(r"[A-Z]+", ref).group(0):
-                    col = col * 26 + (ord(ch) - 64)
+                ref = c.get("r") or ""
+                m_ref = _re.match(r"[A-Z]+", ref)
+                if m_ref:
+                    col = 0
+                    for ch in m_ref.group(0):
+                        col = col * 26 + (ord(ch) - 64)
+                else:
+                    col = next_col
+                next_col = col + 1
                 t = c.get("t", "n")
                 if t == "inlineStr":
                     is_el = c.find("m:is", ns)

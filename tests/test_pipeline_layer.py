@@ -836,3 +836,186 @@ def test_curate_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert got[1][0] == 1 and got[2][0] == 0
+
+
+
+def test_xlsx_stdlib_parser_handles_missing_cell_refs(tmp_path):
+    # OOXML makes the r= cell reference optional: writers that omit it
+    # mean "next column". Mix explicit and omitted refs in one sheet —
+    # the parser must fall back to the positional cursor (and resume
+    # correctly after an explicit ref skips a column).
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rows_xml = (
+        "<row>"
+        '<c t="inlineStr"><is><t>id</t></is></c>'
+        '<c t="inlineStr"><is><t>name</t></is></c>'
+        '<c t="inlineStr"><is><t>score</t></is></c>'
+        "</row>"
+        # row 2: no refs at all
+        '<row><c><v>1</v></c><c t="inlineStr"><is><t>ada</t></is></c>'
+        '<c><v>2.5</v></c></row>'
+        # row 3: explicit ref jumps to B, cursor resumes at C
+        '<row><c><v>2</v></c><c r="B3" t="inlineStr"><is><t>grace</t></is></c>'
+        '<c><v>4.0</v></c></row>'
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        + rows_xml
+        + "</sheetData></worksheet>"
+    )
+    wb = (
+        f'<?xml version="1.0"?><workbook {ns}><sheets>'
+        '<sheet name="Sheet1" sheetId="1"/></sheets></workbook>'
+    )
+    p = str(tmp_path / "norefs.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    header, rows = readers._read_xlsx_stdlib(p, None)
+    assert header == ["id", "name", "score"]
+    assert rows == [[1, "ada", 2.5], [2, "grace", 4.0]]
+
+
+def test_quality_cascade_null_text_matches_oracle_semantics(spark):
+    from healthcare_research_data_pipeline_project_spark.functions.text import (
+        quality_cascade,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", None), (2, "en", "")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_cascade(df).collect()}
+    # NULL text behaves exactly like empty text: 0 tokens, dropped for
+    # length — never size(null) = -1 (the Spark/DuckDB divergence)
+    for i in (1, 2):
+        assert rows[i]["token_cnt"] == 0
+        assert rows[i]["keep"] == 0
+        assert "length" in rows[i]["fail_reasons"].split(",")
+
+
+# ---------------------------------------------------------------------------
+# HTTP adapter (http_api.py): the reference's FastAPI surface bound to
+# a real socket — auth flow, request-model validation, and the full
+# 401/403/422/429/501 error taxonomy, end-to-end over localhost.
+# ---------------------------------------------------------------------------
+def test_http_api_end_to_end(spark):
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from healthcare_research_data_pipeline_project_spark.healthcare import http_api
+    from healthcare_research_data_pipeline_project_spark.healthcare.security import (
+        RateLimiter,
+    )
+
+    pats = etl.transform_patient_data(generator.generate_patients(spark, 200))
+    encs = generator.generate_encounters(spark, 400, n_patients=200)
+    labs = generator.generate_labs(spark, 300, n_encounters=400)
+    app = http_api.HealthcareApi(
+        spark, pats, encs, labs,
+        limiter=RateLimiter(max_calls=3, window_seconds=3600),
+        current_year=2025,
+    )
+    server, thread = http_api.serve_background(app)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    def call(method, path, body=None, token=None):
+        req = urllib.request.Request(base + path, method=method)
+        req.add_header("Content-Type", "application/json")
+        if token:
+            req.add_header("Authorization", f"Bearer {token}")
+        data = _json.dumps(body).encode() if body is not None else None
+        try:
+            with urllib.request.urlopen(req, data=data) as resp:
+                return resp.status, _json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        # health: open endpoint
+        status, payload = call("GET", "/health")
+        assert (status, payload["status"]) == (200, "healthy")
+
+        # login: model validation (422) then success (200)
+        status, payload = call(
+            "POST", "/api/v1/auth/token",
+            {"username": "dr", "password": "short", "role": "deity"},
+        )
+        assert status == 422 and len(payload["detail"]) == 3
+        status, payload = call(
+            "POST", "/api/v1/auth/token",
+            {"username": "researcher1", "password": "longenough", "role": "researcher"},
+        )
+        assert status == 200 and payload["token_type"] == "bearer"
+        token = payload["access_token"]
+
+        # search: 401 without token, 422 on cross-field violation, 200 happy
+        assert call("POST", "/api/v1/patients/search", {})[0] == 401
+        status, payload = call(
+            "POST", "/api/v1/patients/search",
+            {"min_age": 60, "max_age": 40}, token,
+        )
+        assert status == 422 and "max_age must be greater than min_age" in payload["detail"]
+        status, payload = call(
+            "POST", "/api/v1/patients/search", {"gender": "Female"}, token
+        )
+        assert status == 200 and payload["count"] > 0
+        assert set(payload["demographics"]) == {"gender_distribution", "race_distribution"}
+
+        # encounter metrics: future end_date rejected, happy path returns periods
+        status, payload = call(
+            "POST", "/api/v1/analytics/encounters",
+            {"start_date": "2024-01-01", "end_date": "2099-01-01"}, token,
+        )
+        assert status == 422
+        status, payload = call(
+            "POST", "/api/v1/analytics/encounters",
+            {"start_date": "2023-01-01", "end_date": "2025-01-01", "group_by": "quarter"},
+            token,
+        )
+        assert status == 200 and len(payload["metrics"]) > 0
+
+        # rca: 501 parity for declared-but-unimplemented analysis types
+        status, payload = call(
+            "POST", "/api/v1/analytics/rca",
+            {"analysis_type": "infections", "time_period_days": 90}, token,
+        )
+        assert status == 501
+        status, payload = call(
+            "POST", "/api/v1/analytics/rca",
+            {"analysis_type": "readmissions", "time_period_days": 90}, token,
+        )
+        assert status == 200 and isinstance(payload["factors"], list)
+
+        # quality metrics: role-gated GET with the benchmark shape
+        status, payload = call("GET", "/api/v1/analytics/quality-metrics", token=token)
+        assert status == 200
+        names = [m["metric_name"] for m in payload["metrics"]]
+        assert names == ["30-Day Readmission Rate", "Average Length of Stay"]
+
+        # report generation: 400 (not 422) on bad type, 200 on valid
+        assert call("GET", "/api/v1/reports/generate/hourly", token=token)[0] == 400
+        status, payload = call("GET", "/api/v1/reports/generate/monthly", token=token)
+        assert status == 200 and payload["data"]["report_type"] == "monthly"
+
+        # admin status: 403 for researcher role, 200 for admin
+        assert call("GET", "/api/v1/status", token=token)[0] == 403
+        status, payload = call(
+            "POST", "/api/v1/auth/token",
+            {"username": "root", "password": "longenough", "role": "admin"},
+        )
+        admin_token = payload["access_token"]
+        status, payload = call("GET", "/api/v1/status", token=admin_token)
+        assert status == 200 and payload["database"]["total_patients"] == 200
+
+        # rate limit: 4th search call in the window → 429
+        call("POST", "/api/v1/patients/search", {}, token)
+        call("POST", "/api/v1/patients/search", {}, token)
+        status, payload = call("POST", "/api/v1/patients/search", {}, token)
+        assert status == 429 and "Rate limit" in payload["detail"]
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)

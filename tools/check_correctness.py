@@ -7,7 +7,12 @@ by name, rows sorted by all columns, exact equality after normalizing
 to strings).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
-"""
+
+A full (unfiltered) run also writes MIRROR.json at the repo root —
+{query: {"status": "pass"|"fail"|"rows_only", "rows": N, "sec": s}} —
+so the complete-corpus verification is a committed artifact each
+round, covering the queries the driver's 50-row gate window never
+samples."""
 
 from __future__ import annotations
 
@@ -48,6 +53,15 @@ def main() -> int:
     con = duck_con(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
+
+    def record(name, status, rows, t0):
+        report[name] = {
+            "status": status,
+            "rows": rows,
+            "sec": round(time.time() - t0, 2),
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -56,28 +70,34 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            record(name, "fail", None, t0)
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
         if name not in oracles:
+            record(name, "rows_only", len(sdf), t0)
             print(f"ok?  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             failures.append(name)
+            record(name, "fail", len(sdf), t0)
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append(name)
+            record(name, "fail", len(sdf), t0)
             print(f"FAIL {name}: columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
             continue
         if len(sdf) != len(odf):
             failures.append(name)
+            record(name, "fail", len(sdf), t0)
             print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
             continue
         cs, co = canon(sdf), canon(odf)
         if not cs.equals(co):
             failures.append(name)
+            record(name, "fail", len(sdf), t0)
             diff_mask = (cs != co).any(axis=1)
             print(f"FAIL {name}: value mismatch in {int(diff_mask.sum())}/{len(cs)} rows")
             bad = diff_mask[diff_mask].index[:3]
@@ -85,8 +105,27 @@ def main() -> int:
                 print(f"  spark : {cs.loc[i].to_dict()}")
                 print(f"  oracle: {co.loc[i].to_dict()}")
             continue
+        record(name, "pass", len(sdf), t0)
         print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    if not only:  # full run: persist the committed artifact
+        import json
+
+        out = {
+            "sf_dir": sf_dir,
+            "n_queries": len(report),
+            "n_pass": sum(1 for v in report.values() if v["status"] == "pass"),
+            "n_rows_only": sum(
+                1 for v in report.values() if v["status"] == "rows_only"
+            ),
+            "n_fail": len(failures),
+            "queries": report,
+        }
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "MIRROR.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {path}")
     return 1 if failures else 0
 
 
