@@ -1019,3 +1019,50 @@ def test_http_api_end_to_end(spark):
     finally:
         server.shutdown()
         thread.join(timeout=5)
+
+
+def test_alert_email_sink_delivers_thresholded_alerts(spark, tmp_path):
+    from healthcare_research_data_pipeline_project_spark.streaming import alerts as al
+
+    sent = []
+
+    class FakeSMTP:
+        def __init__(self):
+            self.logged_in = None
+
+        def login(self, user, pw):
+            self.logged_in = (user, pw)
+
+        def send_message(self, msg):
+            sent.append(msg)
+
+        def quit(self):
+            pass
+
+    src = str(tmp_path / "events3")
+    _write_event_parquet(spark, src)
+    sink = al.AlertEmailSink(
+        {
+            "SMTP_HOST": "smtp.example.com",
+            "SMTP_PORT": "587",
+            "SMTP_USER": "svc@example.com",
+            "SMTP_PASSWORD": "secret",
+            "ALERT_EMAIL": "oncall@example.com",
+        },
+        transport=lambda host, port: FakeSMTP(),
+    )
+    q = al.deliver_alerts(
+        sv.alert_stream(sv.stream_events(spark, src), error_threshold=5), sink
+    )
+    q.awaitTermination()
+    assert sink.sent == len(sent) == 1
+    msg = sent[0]
+    assert msg["To"] == "oncall@example.com"
+    assert "ERROR_SPIKE" in msg["Subject"]
+    assert "alert_type=ERROR_SPIKE" in msg.get_content()
+
+    # config surface is validated eagerly, matching the env contract
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ALERT_EMAIL"):
+        al.AlertEmailSink({"SMTP_HOST": "h"})
