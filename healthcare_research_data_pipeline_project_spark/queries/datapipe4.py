@@ -83,10 +83,13 @@ def t_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hi").alias("a"), F.sum(F.lit(1) - F.col("hi")).alias("b")
     )
     cum = prefix_sum(c, ["cents"], {"ca": "a", "cb": "b"})
-    # totals from the ungrouped frame, not from `c`: the totals branch
-    # then shares no lineage with the per-cents groupBy, so that shuffle
-    # runs once for the prefix sums instead of being recomputed here
-    tot = tagged.agg(F.sum("hi").alias("na"), F.sum(F.lit(1) - F.col("hi")).alias("nb"))
+    # totals from `c`, ON PURPOSE sharing the groupBy lineage: AQE
+    # turns the shared subtree into one exchange with a ReusedExchange
+    # consumer, so the fact is scanned/shuffled ONCE and the totals are
+    # a reduce-side re-aggregation of the already-shuffled per-cents
+    # partials (plan-verified: a single orders FileScan in the AQE
+    # final plan; the old ungrouped-branch form scanned the fact twice)
+    tot = c.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
     d = cum.crossJoin(F.broadcast(tot)).select(
         F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias("d"),
         "na",
