@@ -166,9 +166,12 @@ def shingle_jaccard_pairs(
     so the result is the EXACT Jaccard over the reduced (non-
     boilerplate) shingle universe — identical to the uncapped result
     whenever no shingle exceeds the cap, and a principled
-    boilerplate-insensitive similarity when some do. The number of
-    dropped hot shingles is counted and logged (one extra tiny
-    aggregate, only on the opted-in scale path).
+    boilerplate-insensitive similarity when some do. The capped path
+    switches to posting-list pair expansion (per-shingle sorted doc
+    arrays, map-side i<j combos — no self-join) whose per-shingle
+    work is bounded by df_max² by construction; dropped-shingle counts
+    log at INFO only (the count is an extra pass — observability is
+    opt-in, the operator never pays for it).
     """
     # persist the per-doc shingle sets: the self-join's two sides and
     # the size lookup all branch from this node, and without an explicit
@@ -190,41 +193,76 @@ def shingle_jaccard_pairs(
         F.col(id_col), *block_cols, F.explode_outer("sh_set").alias("sh")
     )
     if df_max is not None:
-        hot = (
+        # posting-list form: ONE aggregation builds per-shingle sorted
+        # doc lists, the cap is a size filter on the list, and pairs
+        # expand MAP-SIDE from each list (every i<j combo — the same
+        # array expansion as the market-basket operator) — no
+        # self-join at all, and the per-shingle pair blowup is
+        # explicitly bounded by df_max² by construction. The hot-list
+        # sizes are logged opt-in (INFO) since that count is an extra
+        # pass over the posting table.
+        posting = (
             inv.groupBy(*block_cols, "sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > df_max)
-            .select(*block_cols, "sh")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         )
-        # hot shingles are rare by construction (df > cap), so count
-        # them eagerly for the log, then anti-join them out of the
-        # index; sizes are recomputed from the FILTERED index so the
-        # Jaccard stays exact over the reduced shingle universe
-        n_hot = hot.count()
-        if n_hot:
+        if _log.isEnabledFor(logging.INFO):
+            n_hot = posting.filter(F.size("ids") > df_max).count()
             _log.info(
-                "shingle_jaccard_pairs: df_max=%d dropped %d hot shingles",
+                "shingle_jaccard_pairs: df_max=%d drops %d hot shingles",
                 df_max,
                 n_hot,
             )
-        inv = inv.join(hot, [*block_cols, "sh"], "left_anti")
-        sizes = inv.groupBy(id_col, *block_cols).agg(
-            F.count(F.lit(1)).alias("sh_n")
+        hot = posting.filter(F.size("ids") > df_max)
+        posting = posting.filter(F.size("ids") <= df_max)
+        overlap = (
+            posting.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                        "y -> struct(x AS id_a, y AS id_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-    a, b = inv.alias("a"), inv.alias("b")
-    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
-        F.col("a.sh") == F.col("b.sh")
-    )
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    overlap = (
-        a.join(b, cond)
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        # per-doc sizes over the REDUCED (capped) universe WITHOUT an
+        # index-sized re-aggregation: subtract each doc's hot-shingle
+        # membership count from its map-side base size. The correction
+        # frame only contains docs that appear in a hot posting list —
+        # empty when nothing exceeds the cap, and doc-bounded (never
+        # index-bounded) when something does; AQE broadcasts it when
+        # small.
+        hot_per_doc = (
+            hot.select(*block_cols, F.explode("ids").alias(id_col))
+            .groupBy(id_col, *block_cols)
+            .agg(F.count(F.lit(1)).alias("__hot_cnt"))
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        sizes = (
+            sizes.join(hot_per_doc, [id_col, *block_cols], "left")
+            .select(
+                F.col(id_col),
+                *block_cols,
+                (F.col("sh_n") - F.coalesce("__hot_cnt", F.lit(0))).alias("sh_n"),
+            )
+        )
+    else:
+        a, b = inv.alias("a"), inv.alias("b")
+        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (
+            F.col("a.sh") == F.col("b.sh")
+        )
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        overlap = (
+            a.join(b, cond)
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sh_n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sh_n").alias("n_b"))
     inter = F.col("inter")
