@@ -152,3 +152,47 @@ def test_gap_fill_spine_broadcasts(spark):
     # must not shuffle the aggregate a second time
     df = Q.QUERIES["t_gap_fill"](spark, SF_ORACLE)
     assert X.uses_broadcast_join(df)
+
+
+def test_mb_pair_lift_scans_fact_once_in_final_plan(spark):
+    # the AQE final plan must share the basket partial-agg exchange
+    # across the frequency and pair-expansion consumers: exactly one
+    # lineitem FileScan survives, the rest are ReusedExchange reads
+    df = Q.QUERIES["mb_pair_lift"](spark, SF_ORACLE)
+    df.collect()  # execute THIS plan: AQE finalizes + stage reuse lands
+    full = df._jdf.queryExecution().executedPlan().toString()
+    assert "Final Plan" in full  # guard: we are reading the adaptive result
+    final = full.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "ReusedExchange" in final
+
+
+def test_ks_two_sample_scans_fact_once_in_final_plan(spark):
+    df = Q.QUERIES["t_ks_two_sample"](spark, SF_ORACLE)
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    assert "Final Plan" in full
+    final = full.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "ReusedExchange" in final
+
+
+def test_df_capped_jaccard_has_no_join_in_pair_path(spark):
+    # the capped path must be posting-list expansion (explode of array
+    # combos), never a self-join of the inverted index: pair blowup is
+    # bounded by df_max^2 per shingle only if no join re-pairs docs
+    from healthcare_research_data_pipeline_project_spark.operators import dedup as D
+
+    t = load_tables(spark, SF_ORACLE)
+    capped = D.shingle_jaccard_pairs(
+        t.documents, "text", "doc_id", ["lang", "source"], threshold=0.2, df_max=10
+    )
+    import re as _re
+
+    p = X.plan(capped, mode="extended")
+    # joins remain only for the size lookups (keyed on the doc id);
+    # no join keyed on the shingle column may appear, and the pair
+    # source must be the array-combination explode
+    join_keys = _re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\s*\[([^\]]*)\]", p)
+    assert not any(_re.search(r"\bsh#", k) for k in join_keys), join_keys
+    assert "explode" in p and "slice(" in p
