@@ -290,8 +290,15 @@ def mb_pair_lift(
         F.col("cnt").alias("cnt_b"),
         F.col("n_orders").alias("n_orders_b"),
     )
+    # top-100 BEFORE the frequency joins: the ordering key (pair_cnt
+    # desc, part_a, part_b) is fully tie-broken and independent of the
+    # joined columns, so the same 100 rows survive — and the broadcast
+    # joins + ratio math then touch 100 rows instead of every
+    # qualifying pair (at 100 TB that's the difference between joining
+    # a screenful and joining millions of pairs)
+    pc_top = pc.orderBy(F.desc("pair_cnt"), "part_a", "part_b").limit(100)
     out = (
-        pc.join(F.broadcast(fa), "part_a")
+        pc_top.join(F.broadcast(fa), "part_a")
         .join(F.broadcast(fb), "part_b")
         .drop("n_orders_b")
     )
