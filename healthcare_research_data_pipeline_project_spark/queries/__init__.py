@@ -98,6 +98,7 @@ def load_all() -> None:
         datapipe3,
         datapipe4,
         datapipe5,
+        datapipe6,
         extended,
         scale,
     )
