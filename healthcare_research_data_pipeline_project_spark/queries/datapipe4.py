@@ -180,10 +180,23 @@ def a24_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two fact-sized sort phases disappear. Pair blowup stays bounded by
 # Σ basket² (baskets are small); part frequencies come off the same
 # basket arrays. Lift is exact: pair_cnt·n_orders / (cnt_a·cnt_b) via
-# round_div. The top-100 is fully tie-broken (cnt desc, part_a,
-# part_b) so LIMIT is deterministic in both engines. The oracle keeps
-# the classic self-join formulation — pinning array-expansion ==
-# relational self-join.
+# the round_div integer formula, inlined. The top-100 is fully
+# tie-broken (cnt desc, part_a, part_b) so LIMIT is deterministic in
+# both engines. The oracle keeps the classic self-join formulation —
+# pinning array-expansion == relational self-join.
+#
+# Implementation is ONE spark.sql statement over a temp view rather
+# than chained DataFrame calls: this query is all small fast stages,
+# so the ~0.45 s of per-call Python→JVM round-trips (each DataFrame
+# method eagerly analyzes its subtree) was a third of its wall time;
+# a single statement parses + analyzes once (~0.2 s, measured). Two
+# further micro-choices, both measured at sf0.1: pairs travel as ONE
+# packed BIGINT (a·2^32 + b — valid while part ids < 2^32; switch to
+# a struct key beyond that) instead of a two-field struct (cheaper
+# shuffle/hash), and the single-row-group local file is fanned out to
+# 16 lanes, not defaultParallelism (the basket partial-agg is CPU-thin
+# — 32 lanes cost more in task overhead than they win; skipped for
+# multi-split inputs, same guard as tables._spread).
 # ---------------------------------------------------------------------------
 @register(
     "mb_pair_lift",
@@ -213,110 +226,85 @@ def a24_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mb_pair_lift(
     spark: SparkSession, sf_dir: str, min_support: int = 2
 ) -> DataFrame:
+    import os
+
     t = load_tables(spark, sf_dir)
-    # raw scan (no _spread): the first op is a groupBy shuffle, which
-    # redistributes anyway — the fan-out exchange would be a dead stage.
-    # The two consumers of `baskets` (frequencies+order-count, pair
-    # expansion) are left UNPERSISTED on purpose: they are independent
-    # stage DAGs the scheduler runs concurrently, AQE reuses the basket
-    # partial-agg exchange between them (the fact is scanned/shuffled
-    # ONCE in the final plan), and the measured wall-clock beats both
-    # persist() and a combined-sentinel single-aggregation rewrite
-    # (persist serializes the branches behind the cache build; the
-    # sentinel rewrite re-runs the reduce-side agg per consumer and
-    # measured 2.4-2.7 s vs 1.9 s here at sf0.1).
-    li = t.raw("lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    # Part frequencies AND the order count from ONE basket pass: each
-    # basket charges its existence to its first element (pos == 0), so
-    # n_orders = Σ first_cnt — recovered by a window over the
-    # part-cardinality aggregate (tiny frame; the single-partition
-    # exchange is over |distinct parts| rows, not the fact). The
-    # window sits BEFORE the fa/fb split so both broadcast sides stay
-    # canonically identical and the physical plan reuses one exchange:
-    # the fact is scanned twice total (this subtree + pair expansion),
-    # down from three.
-    ex = baskets.select(F.posexplode("ps").alias("pos", "pk"))
-    pf = ex.groupBy("pk").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("first_cnt"),
-    )
-    pf = pf.withColumn(
-        "n_orders", F.sum("first_cnt").over(Window.partitionBy())
-    ).drop("first_cnt")
+    # raw scan (no _spread), then a 16-lane fan-out ONLY when the input
+    # is a single small file (local bench artifact); multi-split inputs
+    # — the 100 TB case — go straight to the basket shuffle.
+    li = t.raw("lineitem").select("l_orderkey", "l_partkey")
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.exists(path) and os.path.getsize(path) < 128 * 1024 * 1024:
+        li = li.repartition(16)
+    li.createOrReplaceTempView("__mb_li")
+    ms = max(2, min_support)
+    # a-priori pre-prune for real min-support thresholds: pair_cnt <=
+    # min(cnt_a, cnt_b), so parts below min_support can never appear in
+    # a qualifying pair — pruning them BEFORE expansion is what keeps
+    # sum(basket^2) tractable at 100 TB. At the default threshold (2,
+    # the oracle's HAVING) the prune removes nothing, so the expansion
+    # reads `baskets` directly. pf/n_orders always come from the
+    # UNPRUNED baskets (the lift denominators are corpus frequencies).
     if min_support > 2:
-        # a-priori pre-prune for real min-support thresholds: pair_cnt
-        # <= min(cnt_a, cnt_b), so parts below min_support can never
-        # appear in a qualifying pair — pruning them BEFORE expansion
-        # is what keeps sum(basket^2) tractable at 100 TB. At the
-        # default threshold (2, the oracle's HAVING) the prune removes
-        # nothing, so we skip the extra join rather than serialize the
-        # parallel branches behind it.
-        freq = pf.filter(F.col("cnt") >= min_support).select(
-            F.col("pk").alias("l_partkey")
-        )
-        pruned = li.join(freq, "l_partkey")
-        baskets = pruned.groupBy("l_orderkey").agg(
-            F.sort_array(F.collect_set("l_partkey")).alias("ps")
-        )
-    # map-side pair expansion: for each i, pair ps[i] with every later
-    # element — the ordered pairs (a < b) without a self-join
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> "
-                "transform(slice(ps, i + 2, size(ps) - i - 1), "
-                "y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("p")
-    ).select(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
-    pc = (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("pair_cnt"))
-        .filter(F.col("pair_cnt") >= max(2, min_support))
-    )
-    # identical projections (aliases canonicalize away) ⇒ one broadcast
-    # exchange, reused for both join sides; n_orders rides along on fa
-    # and the redundant fb copy is dropped, so no crossJoin stage.
-    fa = pf.select(
-        F.col("pk").alias("part_a"),
-        F.col("cnt").alias("cnt_a"),
-        F.col("n_orders"),
-    )
-    fb = pf.select(
-        F.col("pk").alias("part_b"),
-        F.col("cnt").alias("cnt_b"),
-        F.col("n_orders").alias("n_orders_b"),
-    )
-    # top-100 BEFORE the frequency joins: the ordering key (pair_cnt
-    # desc, part_a, part_b) is fully tie-broken and independent of the
-    # joined columns, so the same 100 rows survive — and the broadcast
-    # joins + ratio math then touch 100 rows instead of every
-    # qualifying pair (at 100 TB that's the difference between joining
-    # a screenful and joining millions of pairs)
-    pc_top = pc.orderBy(F.desc("pair_cnt"), "part_a", "part_b").limit(100)
-    out = (
-        pc_top.join(F.broadcast(fa), "part_a")
-        .join(F.broadcast(fb), "part_b")
-        .drop("n_orders_b")
-    )
-    return (
-        out.select(
-            "part_a",
-            "part_b",
-            F.col("pair_cnt").cast("long").alias("pair_cnt"),
-            round_div(F.col("pair_cnt"), F.col("n_orders"), "support", 6),
-            round_div(
-                F.col("pair_cnt") * F.col("n_orders"),
-                F.col("cnt_a") * F.col("cnt_b"),
-                "lift",
-                4,
-            ),
-        )
-        .orderBy(F.desc("pair_cnt"), "part_a", "part_b")
-        .limit(100)
+        exp_src = f"""
+  SELECT l_orderkey, sort_array(collect_set(l_partkey)) AS ps
+  FROM __mb_li
+  WHERE l_partkey IN (SELECT pk FROM pf0 WHERE cnt >= {min_support})
+  GROUP BY l_orderkey"""
+    else:
+        exp_src = "  SELECT * FROM baskets"
+    # Single statement, one analysis pass. Both `ex` (frequencies +
+    # order count) and `pairs` consume the identical `baskets` subtree,
+    # so AQE plans ONE basket partial-agg exchange and the fact is
+    # scanned once (plan-asserted by
+    # test_mb_pair_lift_scans_fact_once_in_final_plan). n_orders rides
+    # a window over the part-cardinality aggregate (tiny frame), never
+    # the fact. support/lift are the round_div integer HALF_UP formula
+    # inlined (`div` keeps it in exact BIGINT in both engines).
+    return spark.sql(
+        f"""
+WITH baskets AS (
+  SELECT l_orderkey, sort_array(collect_set(l_partkey)) AS ps
+  FROM __mb_li GROUP BY l_orderkey
+),
+ex AS (SELECT posexplode(ps) AS (pos, pk) FROM baskets),
+pf0 AS (
+  SELECT pk, count(1) AS cnt,
+         sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS first_cnt
+  FROM ex GROUP BY pk
+),
+pf AS (SELECT pk, cnt, sum(first_cnt) OVER () AS n_orders FROM pf0),
+pairs AS (
+  SELECT explode(flatten(transform(ps, (x, i) ->
+           transform(slice(ps, i + 2, size(ps) - i - 1),
+                     y -> cast(x AS bigint) * 4294967296 + y)))) AS pkey
+  FROM ({exp_src})
+),
+pc AS (
+  SELECT pkey, count(1) AS pair_cnt FROM pairs
+  GROUP BY pkey HAVING count(1) >= {ms}
+),
+top AS (
+  -- top-100 BEFORE the frequency joins: the packed key orders
+  -- exactly like (part_a, part_b), so the tie-broken top slice is
+  -- the same 100 rows and the broadcast joins touch 100 rows, not
+  -- every qualifying pair
+  SELECT cast(pkey div 4294967296 AS bigint) AS part_a,
+         cast(pkey % 4294967296 AS bigint) AS part_b, pair_cnt
+  FROM pc ORDER BY pair_cnt DESC, pkey LIMIT 100
+)
+SELECT /*+ BROADCAST(fa), BROADCAST(fb) */
+       t.part_a, t.part_b, cast(t.pair_cnt AS bigint) AS pair_cnt,
+       cast((2 * t.pair_cnt * 1000000 + fa.n_orders)
+              div (2 * fa.n_orders) / 1e6 AS double) AS support,
+       cast((2 * t.pair_cnt * fa.n_orders * 10000 + fa.cnt * fb.cnt)
+              div (2 * fa.cnt * fb.cnt) / 1e4 AS double) AS lift
+FROM top t
+JOIN pf fa ON t.part_a = fa.pk
+JOIN pf fb ON t.part_b = fb.pk
+ORDER BY pair_cnt DESC, part_a, part_b
+LIMIT 100
+"""
     )
 
 
