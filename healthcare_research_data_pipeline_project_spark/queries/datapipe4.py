@@ -82,7 +82,13 @@ def t_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tagged.groupBy("cents").agg(
         F.sum("hi").alias("a"), F.sum(F.lit(1) - F.col("hi")).alias("b")
     )
-    cum = prefix_sum(c, ["cents"], {"ca": "a", "cb": "b"})
+    # 8 lanes, not defaultParallelism: the running-sum frame is the
+    # distinct price grid (domain-bounded — saturates at the cents
+    # resolution of the price range, NOT the fact's row count), so wide
+    # fan-out buys nothing and each extra lane is an extra task +
+    # offset row; 8 vs 32 measured 1.75 s vs 2.10 s at sf0.1. Callers
+    # with genuinely row-scaled frames keep prefix_sum's default.
+    cum = prefix_sum(c, ["cents"], {"ca": "a", "cb": "b"}, num_partitions=8)
     # totals from `c`, ON PURPOSE sharing the groupBy lineage: AQE
     # turns the shared subtree into one exchange with a ReusedExchange
     # consumer, so the fact is scanned/shuffled ONCE and the totals are
