@@ -52,7 +52,12 @@ GATE_PRIORITY = [
     "j2_band_self_join",
     "j3_left_join_pred",
     "j4_semi_exists",
-    "j5_anti_not_exists",
+    # j5_anti_not_exists rotated OUT r4 (its sf0.01 result is 0 rows —
+    # a trivially-true hash check; hc_q9 in this window is itself a
+    # NOT-EXISTS anti-join, and j5 stays green in the committed
+    # MIRROR.json): gate slots go to queries whose oracle rows carry
+    # real signal, newest first (ADVICE r3).
+    "ds_pack_sequences",
     "j6_in_subquery",
     "j7_role_playing_dim",
     "j9_cte_join",
