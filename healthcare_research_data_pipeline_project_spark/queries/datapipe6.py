@@ -346,3 +346,82 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-keep dedup summary: MinHash-LSH candidate pairs →
+# connected components → keep the min-doc_id representative per
+# cluster, reported per source (docs kept/dropped and the char volume
+# retained) — the accounting a curation pipeline emits after a dedup
+# sweep.
+#
+# This is the first ORACLE-CHECKED route through the duplicate-cluster
+# operator: the LSH pair set is already engine-portable
+# (dedup_lsh_pairs), and the component labels are reproduced in DuckDB
+# with a RECURSIVE min-label-propagation CTE over the same pairs — so
+# the driver's gate pins Spark's pointer-jumping/union-find
+# `connected_components` against an independent fixpoint
+# implementation, not just a property test. (The recursive CTE is
+# oracle-side only: fine at sf0.01; the Spark side stays the O(log d)
+# distributed loop.) Scale shape: everything is the dedup_lsh_pairs
+# plan plus a label join and a source-cardinality aggregate.
+# ---------------------------------------------------------------------------
+def _canonical_keep_oracle() -> str:
+    from .datapipe import _lsh_pairs_oracle
+
+    lsh = _lsh_pairs_oracle().strip()
+    assert lsh.startswith("WITH "), "expected a WITH-form LSH oracle"
+    # splice: WITH RECURSIVE <lsh ctes>, pairs AS (<lsh final select>)
+    head, final = lsh[len("WITH "):].rsplit("SELECT DISTINCT", 1)
+    return f"""
+    WITH RECURSIVE {head.rstrip()},
+    pairs AS (SELECT DISTINCT {final}),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    r(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, r.lab FROM r JOIN e ON r.node = e.v
+    ),
+    cc AS (SELECT node, MIN(lab) AS cluster_id FROM r GROUP BY node),
+    lab AS (
+      SELECT doc.doc_id, cc.cluster_id, doc.source, doc.n_chars
+      FROM documents doc JOIN cc ON doc.doc_id = cc.node
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keepers,
+           CAST(SUM(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN doc_id = cluster_id THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM lab GROUP BY source ORDER BY source
+    """
+
+
+@register("dedup_canonical_keep", _canonical_keep_oracle())
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    from ..operators.graph import dedup_clusters
+    from .datapipe import _LSH_BANDS, _LSH_HASHES
+
+    t = load_tables(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(
+        t.documents, "text", "doc_id", num_hashes=_LSH_HASHES, bands=_LSH_BANDS
+    )
+    cl = dedup_clusters(t.documents, pairs)
+    joined = cl.join(t.documents.select("doc_id", "source", "n_chars"), "doc_id")
+    keep = F.col("is_keeper") == 1
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(keep.cast("int")).cast("long").alias("n_keepers"),
+            F.sum((~keep).cast("int")).cast("long").alias("n_dropped"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

@@ -159,6 +159,28 @@ def test_psi_drift_identical_cohorts_near_zero_and_shifted_large(spark):
     assert got["shift"]["n_buckets"] == 2
 
 
+def test_canonical_keep_planted_duplicates(spark):
+    # 3 identical docs (one cluster, keeper=min id) + 2 unique docs in
+    # another source: web keeps 1 of 3, news keeps both
+    dup = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (1, dup, "en", "web", 10),
+        (2, dup, "en", "web", 20),
+        (3, dup, "en", "web", 40),
+        (4, "totally unrelated text about spark engines " * 8, "en", "news", 7),
+        (5, "another completely different news article body " * 8, "en", "news", 9),
+    ]
+    got = {r["source"]: r for r in _with_tables(
+        spark, {"documents": _docs(spark, rows)}, "dedup_canonical_keep"
+    )}
+    w, n = got["web"], got["news"]
+    assert (w["n_docs"], w["n_keepers"], w["n_dropped"], w["kept_chars"]) == (
+        3, 1, 2, 10,
+    )
+    assert (n["n_docs"], n["n_keepers"], n["n_dropped"]) == (2, 2, 0)
+    assert n["kept_chars"] == 16
+
+
 def test_psi_drift_partition_invariant(spark):
     ts = datetime.datetime(2024, 1, 5)
     rows = [
