@@ -104,6 +104,7 @@ def load_all() -> None:
         datapipe4,
         datapipe5,
         datapipe6,
+        datapipe7,
         extended,
         scale,
     )

@@ -1,0 +1,737 @@
+"""Training-data pipeline corpus, part 7: graph analytics, exact
+rank/ACF statistics, Z-order layout auditing, corpus language-model
+scoring, and scalar-quantized ANN.
+
+Graph ops (`g_degree_stats`, `g_triangle_count`): degree distribution
+of the bipartite part–supplier graph and triangle/clustering metrics
+over the thresholded embedding-cosine graph. Triangles are counted by
+the classic two-join edge-ordering method (a<b<c, each triangle found
+exactly once) — every join an equi-join on (label, node), never a
+cross product; at 100 TB the edge list is the already-blocked
+near-dup pair set, so join fan-out is bounded by block size.
+
+`t_autocorr`: lag-1..7 autocorrelation of the daily revenue series.
+The estimator is computed entirely in scaled integers — deviation
+D_t = n·x_t − S (cents) is exact BIGINT, products accumulate in
+DECIMAL(38,0)/HUGEINT — so both engines divide the same two exact
+integers; the only float op is that final division. No
+`SUM() OVER ()` on the fact table: the series is aggregated first
+(one shuffle), and every window/join after that runs on the
+group-cardinality daily frame.
+
+`stat_mannwhitney_u`: Mann–Whitney U via the value-histogram method —
+no global row ranking (the classic rank() implementation is a
+single-partition sort at scale). l_quantity has a small discrete
+domain, so per-value counts + a cumulative window over the tiny
+histogram yield tie-averaged rank sums exactly; everything up to the
+final z-score is integer arithmetic in half-rank units.
+
+`ds_zorder_layout`: Morton (Z-order) interleave of two 8-bit bucketed
+dimensions (customer × order-day) → 256-cell blocks with per-block
+min/max skipping stats, plus the scanned/pruned verdict for a fixed
+16×16-tile query box. This is the layout audit behind
+Delta/Iceberg-style `OPTIMIZE ZORDER`: at 100 TB you write the fact
+`repartitionByRange(zkey)` + sorted, and multi-dimensional predicates
+prune ~(box area / tile area) of the files instead of a full scan.
+
+`text_unigram_logprob`: corpus-unigram language-model scoring — the
+cheap perplexity proxy used to quality-filter pretraining data. Token
+frequencies aggregate from per-(doc,token) counts (one explode, reused
+for both the vocab TF and the doc join-back), per-token logprobs are
+rounded to integer micro-nats (the decimal-contribution doctrine of
+`text_token_entropy`), so per-doc sums are exact. At 100 TB the vocab
+join is a broadcast after a min-df cut.
+
+`sim_sq8_topk`: scalar-quantized (int8) brute-force top-k — FAISS's
+SQ8 baseline: per-dimension min/max → 0..255 codes, integer dot
+products. 4× less memory/IO than float32 and the integer score is
+bit-exact across engines, so unlike float cosine the ranking needs no
+rounding hedge. The quantization bounds are a dim-sized broadcast.
+
+Reference parity: extends the statistics family
+(healthcare-data-pipeline-main.py:319-338 detect_anomalies,
+healthcare-sql-analytics.sql:545-600 outlier analysis) with the
+graph/layout/LM-scoring operators a 100 TB curation pipeline needs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.helpers import (
+    duck_round_div,
+    duck_sum_cents,
+    round_div,
+    sum_cents,
+)
+from ..functions.text import DUCK_TOKENS, tokens
+from ..operators import similarity as S
+from ..tables import load_tables
+from . import register
+
+_TOKS = DUCK_TOKENS.format(text="text")
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the bipartite part–supplier graph.
+# distinct(edge) is one shuffle with map-side partial dedup; the degree
+# aggregate shuffles on node id; the distribution aggregate is tiny.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g_degree_stats",
+    """
+    WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    d AS (
+      SELECT 'supplier' AS side, s AS node_id, COUNT(*) AS degree
+      FROM e GROUP BY s
+      UNION ALL
+      SELECT 'part' AS side, p AS node_id, COUNT(*) AS degree
+      FROM e GROUP BY p
+    )
+    SELECT side, CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d GROUP BY side, degree
+    ORDER BY side, degree
+    """,
+)
+def g_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t.lineitem.select("l_partkey", "l_suppkey").distinct()
+    deg = (
+        e.groupBy(F.col("l_suppkey").alias("node_id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .withColumn("side", F.lit("supplier"))
+        .unionByName(
+            e.groupBy(F.col("l_partkey").alias("node_id"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .withColumn("side", F.lit("part"))
+        )
+    )
+    return (
+        deg.groupBy("side", "degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select("side", F.col("degree").cast("long").alias("degree"), "n_nodes")
+        .orderBy("side", "degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle count + clustering coefficient per label block of the
+# thresholded embedding-cosine graph (edges = the oracled near-dup
+# pair set, a<b). Triangles via the ordered two-join; wedges from the
+# per-node degree so the clustering coefficient is exact rational
+# (round_div). Cosine is rounded to 4 dp before thresholding — the
+# same edge set in both engines (dedup_embedding_cosine doctrine).
+# ---------------------------------------------------------------------------
+_TRI_T = 0.35
+
+
+def _tri_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _tri_edges_sql() -> str:
+    cos = (
+        f"CAST(ROUND({_tri_dot('a.embedding', 'b.embedding')} /"
+        f" (sqrt({_tri_dot('a.embedding', 'a.embedding')}) *"
+        f" sqrt({_tri_dot('b.embedding', 'b.embedding')})), 4) AS DOUBLE)"
+    )
+    return f"""
+    e AS (
+      SELECT a.label, a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {cos} >= {_TRI_T}
+    )"""
+
+
+@register(
+    "g_triangle_count",
+    f"""
+    WITH {_tri_edges_sql()},
+    ends AS (
+      SELECT label, a AS node FROM e
+      UNION ALL SELECT label, b FROM e
+    ),
+    deg AS (SELECT label, node, COUNT(*) AS d FROM ends GROUP BY label, node),
+    base AS (
+      SELECT label,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg GROUP BY label
+    ),
+    tri AS (
+      SELECT x.label, COUNT(*) AS n_tri
+      FROM e x
+      JOIN e y ON y.label = x.label AND y.a = x.b
+      JOIN e z ON z.label = x.label AND z.a = x.a AND z.b = y.b
+      GROUP BY x.label
+    )
+    SELECT base.label, n_nodes, n_edges, n_wedges,
+           CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_triangles,
+           {duck_round_div("3 * COALESCE(n_tri, 0)", "n_wedges", 6)}
+             AS clustering_coef
+    FROM base LEFT JOIN tri ON tri.label = base.label
+    ORDER BY base.label
+    """,
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = S.embedding_near_dup_pairs(t.embeddings, threshold=_TRI_T).select(
+        "label", F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    ends = e.select("label", F.col("a").alias("node")).unionByName(
+        e.select("label", F.col("b").alias("node"))
+    )
+    deg = ends.groupBy("label", "node").agg(F.count(F.lit(1)).alias("d"))
+    base = deg.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
+    tri = (
+        x.join(
+            y,
+            (F.col("y.label") == F.col("x.label"))
+            & (F.col("y.a") == F.col("x.b")),
+        )
+        .join(
+            z,
+            (F.col("z.label") == F.col("x.label"))
+            & (F.col("z.a") == F.col("x.a"))
+            & (F.col("z.b") == F.col("y.b")),
+        )
+        .groupBy(F.col("x.label").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        base.join(tri, "label", "left")
+        .select(
+            "label",
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            round_div(
+                3 * F.coalesce(F.col("n_tri"), F.lit(0)),
+                F.col("n_wedges"),
+                "clustering_coef",
+                6,
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation of the daily revenue series (k = 1..7), exact
+# scaled-integer estimator: D_t = n·x_t − S is BIGINT (cents), products
+# accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), and
+# r_k = Σ D_t·D_{t−k} / Σ D_t² — the n² scaling cancels. One shuffle
+# (the daily aggregate); the index/lag joins run on the daily frame.
+# ---------------------------------------------------------------------------
+_ACF_LAGS = list(range(1, 8))
+
+
+@register(
+    "t_autocorr",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             {duck_sum_cents('o_totalprice')} AS cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(cents) AS s FROM daily),
+    ser AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY d) AS idx,
+             CAST(n AS HUGEINT) * cents - CAST(s AS HUGEINT) AS dev, n
+      FROM daily, tot
+    ),
+    den AS (SELECT SUM(dev * dev) AS dd, MAX(n) AS n FROM ser),
+    pairs AS (
+      SELECT l.lag_k, a.dev * b.dev AS prod
+      FROM ser a
+      CROSS JOIN (SELECT unnest([{", ".join(map(str, _ACF_LAGS))}]) AS lag_k) l
+      JOIN ser b ON b.idx = a.idx - l.lag_k
+    ),
+    num AS (SELECT lag_k, SUM(prod) AS np, COUNT(*) AS n_pairs
+            FROM pairs GROUP BY lag_k)
+    SELECT CAST(lag_k AS INT) AS lag_k,
+           CAST(den.n AS BIGINT) AS n_days,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN dd = 0 THEN NULL ELSE
+             ROUND(CAST(np AS DOUBLE) / CAST(dd AS DOUBLE), 6) END AS DOUBLE)
+             AS acf
+    FROM num, den
+    ORDER BY lag_k
+    """,
+)
+def t_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    daily = t.orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(sum_cents("o_totalprice").alias("cents"))
+    tot = daily.agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    # daily frame is group-cardinality (one row per day): the
+    # row_number window is fine at any data scale
+    ser = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("idx", F.row_number().over(Window.orderBy("d")))
+        .withColumn(
+            "dev",
+            (F.col("n") * F.col("cents") - F.col("s")).cast("decimal(38,0)"),
+        )
+        .select("idx", "dev", "n")
+    )
+    den = ser.agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("dd"), F.max("n").alias("n")
+    )
+    lagged = ser.select("idx", "dev").withColumn(
+        "lag_k", F.explode(F.array([F.lit(k) for k in _ACF_LAGS]))
+    ).withColumn("pidx", F.col("idx") - F.col("lag_k"))
+    prev = ser.select(
+        F.col("idx").alias("pidx"), F.col("dev").alias("pdev")
+    )
+    num = (
+        lagged.join(prev, "pidx")
+        .groupBy("lag_k")
+        .agg(
+            F.sum(F.col("dev") * F.col("pdev")).alias("np"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag_k").cast("int").alias("lag_k"),
+            F.col("n").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.when(
+                F.col("dd") != 0,
+                F.round(
+                    F.col("np").cast("double") / F.col("dd").cast("double"), 6
+                ),
+            )
+            .cast("double")
+            .alias("acf"),
+        )
+        .orderBy("lag_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (returnflag A vs R on l_quantity) via the
+# value-histogram method: per-value counts (one small shuffle), tie-
+# averaged rank sums from a cumulative window over the ~50-row
+# histogram, z-score with tie correction. Half-rank units keep every
+# pre-z quantity integer; U values are emitted in exact halves.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stat_mannwhitney_u",
+    """
+    WITH f AS (
+      SELECT CAST(l_quantity AS INT) AS q, l_returnflag AS g
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    c AS (
+      SELECT q,
+             SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS n2
+      FROM f GROUP BY q
+    ),
+    w AS (
+      SELECT q, n1, n2, n1 + n2 AS t,
+             COALESCE(SUM(n1 + n2) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM c
+    ),
+    s AS (
+      SELECT CAST(SUM(n1) AS BIGINT) AS n1t,
+             CAST(SUM(n2) AS BIGINT) AS n2t,
+             CAST(SUM(n1 * (2 * cum + t + 1)) AS BIGINT) AS r1_half,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+      FROM w
+    )
+    SELECT n1t AS n1, n2t AS n2,
+           CAST((r1_half - n1t * (n1t + 1)) / 2.0 AS DOUBLE) AS u1,
+           CAST((2 * n1t * n2t - (r1_half - n1t * (n1t + 1))) / 2.0 AS DOUBLE)
+             AS u2,
+           CAST(ROUND(
+             ((r1_half - n1t * (n1t + 1)) - CAST(n1t AS DOUBLE) * n2t)
+             / (2.0 * sqrt(
+                 CAST(n1t AS DOUBLE) * n2t / 12.0
+                 * ((n1t + n2t + 1)
+                    - CAST(tie_term AS DOUBLE)
+                      / (CAST(n1t + n2t AS DOUBLE) * (n1t + n2t - 1))))),
+             4) AS DOUBLE) AS z_score,
+           CAST(ROUND(
+             1.0 - (r1_half - n1t * (n1t + 1))
+                   / (CAST(n1t AS DOUBLE) * n2t),
+             6) AS DOUBLE) AS rank_biserial
+    FROM s
+    """,
+)
+def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    f = t.lineitem.filter(F.col("l_returnflag").isin("A", "R")).select(
+        F.col("l_quantity").cast("int").alias("q"), F.col("l_returnflag").alias("g")
+    )
+    c = f.groupBy("q").agg(
+        F.sum(F.when(F.col("g") == "A", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("g") == "R", 1).otherwise(0)).alias("n2"),
+    )
+    # histogram frame: ~50 rows (the l_quantity domain), so the global
+    # cumulative window is a group-cardinality frame, fine at any scale
+    wprev = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    w = c.withColumn("t", F.col("n1") + F.col("n2")).withColumn(
+        "cum", F.coalesce(F.sum(F.col("n1") + F.col("n2")).over(wprev), F.lit(0))
+    )
+    s = w.agg(
+        F.sum("n1").cast("long").alias("n1t"),
+        F.sum("n2").cast("long").alias("n2t"),
+        F.sum(F.col("n1") * (2 * F.col("cum") + F.col("t") + 1))
+        .cast("long")
+        .alias("r1_half"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    u1_half = F.col("r1_half") - F.col("n1t") * (F.col("n1t") + 1)
+    n1d = F.col("n1t").cast("double")
+    n2d = F.col("n2t").cast("double")
+    nd = (F.col("n1t") + F.col("n2t")).cast("double")
+    var = (
+        n1d * n2d / 12.0
+        * (
+            (F.col("n1t") + F.col("n2t") + 1)
+            - F.col("tie_term").cast("double") / (nd * (nd - 1))
+        )
+    )
+    return s.select(
+        F.col("n1t").alias("n1"),
+        F.col("n2t").alias("n2"),
+        (u1_half / 2.0).cast("double").alias("u1"),
+        ((2 * F.col("n1t") * F.col("n2t") - u1_half) / 2.0)
+        .cast("double")
+        .alias("u2"),
+        F.round((u1_half - n1d * n2d) / (2.0 * F.sqrt(var)), 4)
+        .cast("double")
+        .alias("z_score"),
+        F.round(1.0 - u1_half / (n1d * n2d), 6)
+        .cast("double")
+        .alias("rank_biserial"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit: Morton-interleave 8-bit customer/day buckets,
+# group the 16-bit key into 256 blocks (each a 16×16 tile by the
+# Z-curve's recursive-quadrant property), emit per-block min/max
+# skipping stats and the scanned verdict for a fixed quarter-domain
+# box. Bucketing is pure integer floor-division off broadcast bounds.
+# ---------------------------------------------------------------------------
+_ZBOX = (64, 127, 64, 127)  # cust_b lo/hi, day_b lo/hi — one quadrant tile set
+
+
+def _morton16(a, b):
+    """Interleave the low 8 bits of integer columns a (odd positions)
+    and b (even positions) into a 16-bit Morton key. Bits are disjoint,
+    so the OR is a plain sum."""
+    terms = []
+    for i in range(8):
+        terms.append(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return reduce(lambda x, y: x + y, terms)
+
+
+def _duck_morton16(a: str, b: str) -> str:
+    terms = []
+    for i in range(8):
+        terms.append(f"(((({a}) >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((({b}) >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@register(
+    "ds_zorder_layout",
+    f"""
+    WITH bounds AS (
+      SELECT MAX(o_custkey) AS maxc,
+             MIN(CAST(o_orderdate AS DATE)) AS mind,
+             date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                       MAX(CAST(o_orderdate AS DATE))) + 1 AS span
+      FROM orders
+    ),
+    z AS (
+      SELECT (o_custkey * 256) // (maxc + 1) AS cust_b,
+             (date_diff('day', mind, CAST(o_orderdate AS DATE)) * 256) // span
+               AS day_b
+      FROM orders, bounds
+    ),
+    k AS (SELECT cust_b, day_b,
+                 ({_duck_morton16('cust_b', 'day_b')}) // 256 AS block_id
+          FROM z)
+    SELECT CAST(block_id AS INT) AS block_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(cust_b) AS INT) AS cust_min,
+           CAST(MAX(cust_b) AS INT) AS cust_max,
+           CAST(MIN(day_b) AS INT) AS day_min,
+           CAST(MAX(day_b) AS INT) AS day_max,
+           NOT (MAX(cust_b) < {_ZBOX[0]} OR MIN(cust_b) > {_ZBOX[1]}
+                OR MAX(day_b) < {_ZBOX[2]} OR MIN(day_b) > {_ZBOX[3]})
+             AS scanned
+    FROM k GROUP BY block_id
+    ORDER BY block_id
+    """,
+)
+def ds_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    bounds = t.orders.agg(
+        F.max("o_custkey").alias("maxc"),
+        F.min(F.to_date("o_orderdate")).alias("mind"),
+        (
+            F.datediff(
+                F.max(F.to_date("o_orderdate")), F.min(F.to_date("o_orderdate"))
+            )
+            + 1
+        ).alias("span"),
+    )
+    z = t.orders.crossJoin(F.broadcast(bounds)).select(
+        F.floor(F.col("o_custkey") * 256 / (F.col("maxc") + 1))
+        .cast("int")
+        .alias("cust_b"),
+        F.floor(
+            F.datediff(F.to_date("o_orderdate"), F.col("mind"))
+            * 256
+            / F.col("span")
+        )
+        .cast("int")
+        .alias("day_b"),
+    )
+    k = z.withColumn(
+        "block_id",
+        F.floor(_morton16(F.col("cust_b"), F.col("day_b")) / 256).cast("int"),
+    )
+    clo, chi, dlo, dhi = _ZBOX
+    return (
+        k.groupBy("block_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("cust_b").cast("int").alias("cust_min"),
+            F.max("cust_b").cast("int").alias("cust_max"),
+            F.min("day_b").cast("int").alias("day_min"),
+            F.max("day_b").cast("int").alias("day_max"),
+        )
+        .withColumn(
+            "scanned",
+            ~(
+                (F.col("cust_max") < clo)
+                | (F.col("cust_min") > chi)
+                | (F.col("day_max") < dlo)
+                | (F.col("day_min") > dhi)
+            ),
+        )
+        .orderBy("block_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-unigram LM scoring: avg negative log-likelihood per token and
+# a perplexity proxy per document. Per-(doc,token) counts are computed
+# once and reused for the vocab TF (second-level aggregate) and the
+# per-doc join-back, so the corpus is exploded exactly once. Logprobs
+# are rounded to integer micro-nats before the per-doc sum (exact,
+# order-independent); the avg is an exact integer division.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id, source, unnest({_TOKS}) AS token
+                 FROM documents),
+    tc AS (SELECT doc_id, source, token, COUNT(*) AS c
+           FROM tok GROUP BY doc_id, source, token),
+    tf AS (SELECT token, SUM(c) AS cnt FROM tc GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS tt FROM tf),
+    wv AS (SELECT token,
+                  CAST(ROUND((ln(CAST(tt AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+                             * 1000000, 0) AS BIGINT) AS nll
+           FROM tf, tot),
+    d AS (SELECT doc_id, source,
+                 CAST(SUM(c) AS BIGINT) AS n_tok,
+                 CAST(SUM(c * nll) AS BIGINT) AS snll
+          FROM tc JOIN wv USING (token) GROUP BY doc_id, source),
+    r AS (SELECT doc_id, source, n_tok,
+                 {duck_round_div('snll', 'n_tok * 1000000', 4)}
+                   AS avg_nll_nats
+          FROM d)
+    SELECT doc_id, source, n_tok,
+           avg_nll_nats,
+           CAST(ROUND(exp(avg_nll_nats), 2) AS DOUBLE) AS ppl_proxy
+    FROM r
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tc = tok.groupBy("doc_id", "source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tf = tc.groupBy("token").agg(F.sum("c").alias("cnt"))
+    tot = tf.agg(F.sum("cnt").alias("tt"))
+    wv = tf.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(
+            (F.log(F.col("tt").cast("double")) - F.log(F.col("cnt").cast("double")))
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("nll"),
+    )
+    d = (
+        tc.join(wv, "token")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tok"),
+            F.sum(F.col("c") * F.col("nll")).cast("long").alias("snll"),
+        )
+    )
+    r = d.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        round_div(
+            F.col("snll"), F.col("n_tok") * 1000000, "avg_nll_nats", 4
+        ),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "avg_nll_nats",
+        F.round(F.exp("avg_nll_nats"), 2).cast("double").alias("ppl_proxy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8) brute-force top-k: per-dim min/max bounds
+# (dim-sized broadcast) → 0..255 codes → exact integer dot-product
+# ranking. The quantization expression is structurally identical in
+# both engines (same float ops, same order), so codes — and therefore
+# scores and ranks — are bit-identical with no rounding hedge.
+# ---------------------------------------------------------------------------
+_SQ_QUERY_IDS = list(range(8))
+_SQ_TOPK = 5
+
+
+@register(
+    "sim_sq8_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, len(embedding))) AS i, embedding
+             FROM e),
+    mm AS (SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+                  MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+           FROM dims GROUP BY i),
+    bl AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+           FROM mm),
+    qz AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(embedding)),
+               i -> CAST(CASE WHEN mxs[i] > mns[i]
+                      THEN ROUND(((CAST(embedding[i] AS DOUBLE) - mns[i])
+                                  * 255.0) / (mxs[i] - mns[i]), 0)
+                      ELSE 0 END AS INT)) AS q
+      FROM e, bl
+    ),
+    p AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+             CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+                    i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT)
+               AS score_q8
+      FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id IN ({", ".join(map(str, _SQ_QUERY_IDS))})
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY score_q8 DESC, cid) AS rn
+          FROM p)
+    SELECT qid, cid, score_q8, CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= {_SQ_TOPK}
+    """,
+)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "embedding")
+    per = e.select(F.posexplode("embedding").alias("pos", "x")).groupBy(
+        "pos"
+    ).agg(
+        F.min(F.col("x").cast("double")).alias("mn"),
+        F.max(F.col("x").cast("double")).alias("mx"),
+    )
+    bl = per.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+            lambda s: s["mn"],
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+            lambda s: s["mx"],
+        ).alias("mxs"),
+    )
+    quant = F.transform(
+        "embedding",
+        lambda x, i: F.when(
+            F.get("mxs", i) > F.get("mns", i),
+            F.round(
+                ((x.cast("double") - F.get("mns", i)) * 255.0)
+                / (F.get("mxs", i) - F.get("mns", i)),
+                0,
+            ),
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    qz = e.crossJoin(F.broadcast(bl)).select("vec_id", quant.alias("q"))
+    q = qz.filter(F.col("vec_id").isin(_SQ_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qa")
+    )
+    c = qz.select(F.col("vec_id").alias("cid"), F.col("q").alias("qc"))
+    score = F.aggregate(
+        F.zip_with("qa", "qc", lambda a, b: (a.cast("long") * b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    p = (
+        F.broadcast(q)
+        .join(c, F.col("cid") != F.col("qid"))
+        .select("qid", "cid", score.alias("score_q8"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q8"), "cid")
+    return (
+        p.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _SQ_TOPK)
+        .select("qid", "cid", "score_q8", "rank")
+    )
