@@ -239,3 +239,116 @@ def dedup_clusters(
             (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_keeper"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Power-iteration PageRank over the directed graph `edges`.
+    Returns (node, rank) with the Σrank = N convention (uniform graph
+    ⇒ rank 1.0 everywhere).
+
+    Per round: contributions rank/out_deg flow along edges (one
+    equi-join + one dst-keyed aggregation — both plain shuffles on the
+    edge key); dangling mass (nodes with no out-edges) and the teleport
+    term are scalar broadcasts. Same storage discipline as
+    `connected_components`: each round's ranks spill to one of two
+    alternating parquet dirs (lineage cut, peak 2 copies), the edge
+    list is `persist()`-ed once, and the driver touches only scalar
+    aggregates (dangling mass, L1 delta). Public API only — Spark
+    Connect safe.
+
+    Unlike components (where a truncated loop is silently WRONG), an
+    unconverged PageRank is a bounded approximation — so `max_iter`
+    exhaustion returns the current ranks rather than raising; callers
+    needing certification check the returned `converged` flag column
+    is true (constant per run).
+    """
+    spark = edges.sparkSession
+    base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_pr_")
+    ping = [os.path.join(base, "ranks_a"), os.path.join(base, "ranks_b")]
+
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).persist()
+    try:
+        nodes = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .distinct()
+        )
+        out_deg = e.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
+        # static per-node frame: node, out_deg (0 for dangling)
+        base_nodes = nodes.join(out_deg, "node", "left").select(
+            "node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+        ).persist()
+        n = base_nodes.count()  # scalar; also materializes the persist
+        if n == 0:
+            return spark.createDataFrame(
+                [], "node long, rank double, converged boolean"
+            )
+
+        base_nodes.withColumn("rank", F.lit(1.0)).write.mode(
+            "overwrite"
+        ).parquet(ping[0])
+        ranks = spark.read.parquet(ping[0])
+
+        converged = False
+        for i in range(max_iter):
+            # dangling nodes donate their whole mass to the teleport pool
+            dangling = (
+                ranks.filter(F.col("out_deg") == 0)
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+            contrib = (
+                ranks.filter(F.col("out_deg") > 0)
+                .join(e, ranks["node"] == e["u"])
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("flow"))
+            )
+            teleport = (1.0 - damping) + damping * dangling / n
+            new_ranks = base_nodes.join(contrib, "node", "left").select(
+                "node",
+                "out_deg",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("flow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            dest = ping[(i + 1) % 2]
+            # carry |new - old| through the spill so the convergence
+            # check is a scan-aggregate over the just-written parquet
+            new_ranks.join(
+                ranks.select("node", F.col("rank").alias("old_rank")), "node"
+            ).select(
+                "node", "out_deg", "rank",
+                F.abs(F.col("rank") - F.col("old_rank")).alias("delta"),
+            ).write.mode("overwrite").parquet(dest)
+            materialized = spark.read.parquet(dest)
+            l1 = materialized.agg(F.sum("delta")).collect()[0][0]
+            ranks = materialized.drop("delta")
+            if l1 <= tol * n:
+                converged = True
+                break
+        # the returned frame stays backed by the checkpoint parquet, so
+        # the dir must outlive this call (own_dir tempdirs fall to the
+        # OS tempdir policy; caller-supplied paths follow the caller's
+        # retention, exactly like connected_components)
+        return ranks.select(
+            "node", "rank", F.lit(converged).alias("converged")
+        )
+    finally:
+        e.unpersist()
+        try:
+            base_nodes.unpersist()
+        except NameError:  # failed before the persist
+            pass

@@ -735,3 +735,46 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _SQ_TOPK)
         .select("qid", "cid", "score_q8", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the near-dup similarity graph: the "best
+# keeper" selector — within a duplicate neighborhood the most central
+# copy (highest similarity-graph PageRank) is the representative to
+# retain. Iterative power method (operators/graph.py::pagerank) with
+# the same parquet ping-pong lineage cut as connected_components; not
+# SQL-expressible (per-round aggregation fixpoint), so the driver
+# records a rows-only check and tests/test_graph_pagerank.py pins the
+# semantics (uniform-on-cliques, sum conservation, in-link ordering).
+# ---------------------------------------------------------------------------
+
+
+@register("g_pagerank_centrality")
+def g_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    e = S.embedding_near_dup_pairs(t.embeddings, threshold=_TRI_T).select(
+        "label", F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    # undirected similarity graph → symmetric directed edges
+    sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = pagerank(sym, max_iter=12, tol=1e-3)
+    lab = t.embeddings.select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("rank"), "node")
+    return (
+        pr.join(lab, "node")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 3)
+        .select(
+            "label",
+            F.col("node").alias("vec_id"),
+            F.round("rank", 4).cast("double").alias("rank"),
+            F.col("pos").cast("int").alias("pos"),
+        )
+        .orderBy("label", "pos")
+    )

@@ -1,0 +1,82 @@
+"""Property pins for operators.graph.pagerank: fixed points, mass
+conservation, ordering, dangling handling, and the rows-only corpus
+query that consumes it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_research_data_pipeline_project_spark.operators.graph import (
+    pagerank,
+)
+from healthcare_research_data_pipeline_project_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+import healthcare_research_data_pipeline_project_spark.queries.datapipe7  # noqa: F401  (registers g_pagerank_centrality)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_cycle_is_uniform_fixed_point(spark):
+    # directed 4-cycle: out_deg 1 everywhere, no dangling → rank 1.0
+    # is the exact fixed point, hit at round 1
+    r = pagerank(_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])).collect()
+    assert len(r) == 4
+    for row in r:
+        assert row["rank"] == pytest.approx(1.0, abs=1e-9)
+        assert row["converged"]
+
+
+def test_mass_conservation_with_dangling(spark):
+    # a -> b, b dangling: total mass must stay 2 (dangling mass
+    # teleports back), and b (with an in-link) outranks a
+    r = {row["node"]: row["rank"] for row in
+         pagerank(_edges(spark, [(0, 1)]), tol=1e-8, max_iter=60).collect()}
+    assert sum(r.values()) == pytest.approx(2.0, abs=1e-6)
+    assert r[1] > r[0]
+
+
+def test_in_links_raise_rank(spark):
+    # leaves 1..4 all point at hub 0; hub points back at leaf 1:
+    # hub must dominate, and leaf 1 (the only leaf with an in-link)
+    # must outrank leaves 2..4
+    e = [(i, 0) for i in range(1, 5)] + [(0, 1)]
+    r = {row["node"]: row["rank"] for row in
+         pagerank(_edges(spark, e), tol=1e-8, max_iter=80).collect()}
+    assert r[0] == max(r.values())
+    assert r[1] > r[2] == pytest.approx(r[3], abs=1e-9)
+    assert sum(r.values()) == pytest.approx(5.0, abs=1e-5)
+
+
+def test_unconverged_returns_flag_false(spark):
+    # 1 iteration on a graph whose fixed point needs several rounds:
+    # ranks come back (approximation) with converged=false
+    e = [(i, 0) for i in range(1, 5)] + [(0, 1)]
+    rows = pagerank(_edges(spark, e), max_iter=1, tol=1e-12).collect()
+    assert rows and all(not row["converged"] for row in rows)
+
+
+def test_symmetric_clique_components_uniform(spark):
+    # two disjoint symmetric triangles: every node out_deg 2, uniform
+    # flow → rank exactly 1.0 per node, independent of component
+    tri = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    sym = tri + [(b, a) for a, b in tri]
+    r = pagerank(_edges(spark, sym)).collect()
+    assert len(r) == 6
+    for row in r:
+        assert row["rank"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_centrality_query_runs(spark):
+    rows = QUERIES["g_pagerank_centrality"](spark, SF_SMOKE).collect()
+    assert rows
+    # ≤3 representatives per label, positions well-formed
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["pos"])
+    for poss in by_label.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+        assert len(poss) <= 3
