@@ -241,6 +241,48 @@ def dedup_clusters(
     )
 
 
+def _driver_pagerank(
+    spark, edge_rows, damping: float, max_iter: int, tol: float
+) -> DataFrame:
+    """Exact driver-side power iteration on a collected edge list —
+    the small-graph fast path (same round semantics as the distributed
+    loop below: dangling mass teleports, Σrank = N, L1 convergence)."""
+    out_deg: dict[int, int] = {}
+    nodes: set[int] = set()
+    adj: dict[int, list[int]] = {}
+    for u, v in edge_rows:
+        u, v = int(u), int(v)
+        nodes.add(u)
+        nodes.add(v)
+        out_deg[u] = out_deg.get(u, 0) + 1
+        adj.setdefault(u, []).append(v)
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "node long, rank double, converged boolean"
+        )
+    rank = {x: 1.0 for x in nodes}
+    converged = False
+    for _ in range(max_iter):
+        dangling = sum(r for x, r in rank.items() if x not in out_deg)
+        teleport = (1.0 - damping) + damping * dangling / n
+        flow: dict[int, float] = {}
+        for u, targets in adj.items():
+            share = rank[u] / out_deg[u]
+            for v in targets:
+                flow[v] = flow.get(v, 0.0) + share
+        new = {x: teleport + damping * flow.get(x, 0.0) for x in nodes}
+        l1 = sum(abs(new[x] - rank[x]) for x in nodes)
+        rank = new
+        if l1 <= tol * n:
+            converged = True
+            break
+    return spark.createDataFrame(
+        [(x, rank[x], converged) for x in sorted(nodes)],
+        "node long, rank double, converged boolean",
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -248,6 +290,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1e-4,
+    small_graph_threshold: int = 100_000,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over the directed graph `edges`.
@@ -271,6 +314,17 @@ def pagerank(
     is true (constant per run).
     """
     spark = edges.sparkSession
+    # adaptive small-graph path (same doctrine as connected_components:
+    # similarity graphs are duplication-sized, not corpus-sized): below
+    # the threshold, N distributed rounds of join+spill lose to one
+    # exact driver iteration. limit() bounds the probe.
+    probe = edges.select(
+        F.col(src).cast("long"), F.col(dst).cast("long")
+    ).limit(small_graph_threshold + 1).collect()
+    if len(probe) <= small_graph_threshold:
+        return _driver_pagerank(
+            spark, [(r[0], r[1]) for r in probe], damping, max_iter, tol
+        )
     base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_pr_")
     ping = [os.path.join(base, "ranks_a"), os.path.join(base, "ranks_b")]
 

@@ -86,23 +86,30 @@ def embedding_near_dup_pairs(
 
     Cosine is computed dot/(|a|·|b|) in strict array order and rounded
     to 4 dp before thresholding so both engines produce the identical
-    pair set.
+    pair set. |a| and |b| are precomputed once per VECTOR (not per
+    pair) — sqrt(Σx²) is the same IEEE value either way, so the pair
+    set is unchanged while per-pair cost drops from 3 dot products
+    to 1.
     """
     d = emb.select(
-        F.col(id_col), F.col(block_col).alias("block"), F.col(vec_col).alias("v")
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_dot(vec_col, vec_col)).alias("nrm"),
     ).persist()  # both self-join sides branch from this node
     a = d.select(
-        F.col(id_col).alias("id_a"), "block", F.col("v").alias("va")
+        F.col(id_col).alias("id_a"), "block", F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = d.select(
         F.col(id_col).alias("id_b"), F.col("block").alias("block_b"),
-        F.col("v").alias("vb"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     pairs = a.join(
         b, (F.col("block") == F.col("block_b")) & (F.col("id_a") < F.col("id_b"))
     )
     cos = F.round(
-        _dot("va", "vb") / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb"))), 4
+        _dot("va", "vb") / (F.col("na") * F.col("nb")), 4
     ).cast("double")
     return (
         pairs.select(

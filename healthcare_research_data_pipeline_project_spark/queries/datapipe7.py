@@ -185,9 +185,12 @@ def _tri_edges_sql() -> str:
 )
 def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    # the pair-cosine frame feeds FOUR consumers (x/y/z triangle sides
+    # + the degree pass): persist so the in-block cosine self-join runs
+    # once, not four times
     e = S.embedding_near_dup_pairs(t.embeddings, threshold=_TRI_T).select(
         "label", F.col("id_a").alias("a"), F.col("id_b").alias("b")
-    )
+    ).persist()
     ends = e.select("label", F.col("a").alias("node")).unionByName(
         e.select("label", F.col("b").alias("node"))
     )

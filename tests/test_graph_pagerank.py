@@ -70,6 +70,26 @@ def test_symmetric_clique_components_uniform(spark):
         assert row["rank"] == pytest.approx(1.0, abs=1e-9)
 
 
+def test_distributed_loop_matches_driver_path(spark):
+    # force the distributed rounds (threshold 0) and pin them against
+    # the driver-side fast path on an asymmetric multi-component graph
+    e = [(0, 1), (1, 2), (2, 0), (2, 1), (5, 6), (6, 5), (7, 5)]
+    edges = _edges(spark, e)
+    fast = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, tol=1e-10, max_iter=100).collect()
+    }
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, tol=1e-10, max_iter=100, small_graph_threshold=0
+        ).collect()
+    }
+    assert set(fast) == set(dist)
+    for node in fast:
+        assert dist[node] == pytest.approx(fast[node], abs=1e-8)
+
+
 def test_pagerank_centrality_query_runs(spark):
     rows = QUERIES["g_pagerank_centrality"](spark, SF_SMOKE).collect()
     assert rows
