@@ -781,3 +781,38 @@ def g_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained coarse quantizer: distributed Lloyd's k-means over the
+# embedding corpus (operators/clustering.py) — the real version of the
+# label stand-in the IVF/near-dup blocks use. Per-cluster population
+# and dispersion summary. Iterative float fixpoint (not
+# SQL-expressible): rows-only check; tests/test_clustering.py pins
+# blob recovery, inertia monotonicity, nearest-centroid consistency,
+# and partition invariance.
+# ---------------------------------------------------------------------------
+
+
+@register("ml_kmeans_summary")
+def ml_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import assign, kmeans
+    from ..operators.scale import hash_sample
+
+    t = load_tables(spark, sf_dir)
+    # FAISS-style quantizer training: Lloyd's on a ~25% content-hash
+    # sample (deterministic, replay-safe), then ONE full-corpus
+    # assignment pass — iteration cost is sample-sized at any SF
+    sample = hash_sample(t.embeddings, "vec_id", pct=25, salt="km")
+    _, centroids, history = kmeans(sample, k=8, max_iter=4)
+    assigned = assign(t.embeddings, centroids)
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("dist"), 4).cast("double").alias("avg_sq_dist"),
+            F.round(F.max("dist"), 4).cast("double").alias("max_sq_dist"),
+        )
+        .withColumn("n_iters", F.lit(len(history)).cast("int"))
+        .orderBy("cid")
+    )
