@@ -363,3 +363,219 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation —
+# the memory-bound end of the ANN spectrum: an m-byte code replaces
+# the float vector (64-dim float32 = 256 B -> 8 B at m=8, 32x), and
+# query-time distance is m table lookups instead of dim multiplies.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    max_iter: int = 6,
+    sample_pct: int = 25,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: split the vector into `m` equal
+    subvectors; run Lloyd's (operators/clustering.py seeding/stopping
+    rules, in-memory on a bounded content-hash sample — exactly how
+    FAISS trains PQ) with `ksub` centroids per subspace. Returns
+    codebooks[j][c] = sub-centroid c of subspace j."""
+    from .clustering import _driver_kmeans
+    from .scale import hash_sample
+
+    sample = hash_sample(emb, id_col, pct=sample_pct, salt="pq").select(
+        F.col(id_col), F.col(vec_col)
+    ).collect()
+    if not sample:  # degenerate tiny inputs: train on everything
+        sample = emb.select(F.col(id_col), F.col(vec_col)).collect()
+    dim = len(sample[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        rows = [
+            (r[0], [float(x) for x in r[1][j * dsub:(j + 1) * dsub]])
+            for r in sample
+        ]
+        cent, _ = _driver_kmeans(rows, ksub, max_iter, tol=1e-6)
+        books.append([cent[c] for c in sorted(cent)])
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-side PQ encoding: (id, code array<int>) where code[j] is the
+    nearest sub-centroid of subspace j (squared L2, ties to the lowest
+    code). Codebooks travel as one broadcast row (constant plan shape,
+    same doctrine as clustering._with_assignment); encoding itself is
+    pure Catalyst HOFs — no shuffle, no Python."""
+    spark = emb.sparkSession
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    crow = spark.createDataFrame(
+        [(codebooks,)], "__cb array<array<array<double>>>"
+    )
+    code = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.get(F.col("__cb"), j),
+                lambda c, ci: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(
+                                F.col(vec_col), j * dsub + 1, F.lit(dsub)
+                            ),
+                            c,
+                            lambda x, y: (x.cast("double") - y)
+                            * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("dist"),
+                    ci.alias("ci"),
+                ),
+            )
+        )["ci"].cast("int"),
+    )
+    return emb.crossJoin(F.broadcast(crow)).select(
+        F.col(id_col), code.alias("code")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine: int | None = None,
+) -> DataFrame:
+    """PQ-approximate top-k by squared L2 via asymmetric distance
+    computation: candidates are scored through their m-byte codes; the
+    query stays full-precision as a per-query lookup table
+    LUT[j][c] = ||q_sub_j − cb[j][c]||² (m·ksub doubles per query — a
+    broadcast). approx_dist = Σ_j LUT[j][code[j]], i.e. m array
+    lookups per candidate. Output: (qid, cid, dist, rank) — `dist` is
+    the ADC approximation, or the exact re-ranked distance when
+    `refine` is set.
+
+    `refine=R` enables the standard two-stage pipeline (FAISS's
+    IndexRefineFlat): PQ shortlists R candidates per query through the
+    compressed scan, then ONE exact-distance pass re-ranks just those
+    |Q|·R rows and keeps k. Near-duplicate-heavy corpora need this —
+    true-neighbor distance gaps below quantization resolution tie in
+    code space, and the refine pass resolves them at full precision
+    for candidate-bounded cost.
+
+    At 100 TB the encoded corpus is 32× smaller than the float
+    vectors — the scan becomes memory-bandwidth-cheap, which is the
+    entire point of PQ; exactness is traded (quantization error), so
+    tests pin recall against the brute-force oracle rather than
+    equality."""
+    if refine is not None and refine < k:
+        raise ValueError("refine must be >= k")
+    spark = emb.sparkSession
+    books = train_pq_codebooks(emb, vec_col, id_col, m=m, ksub=ksub)
+    encoded = pq_encode(emb, books, vec_col, id_col)
+
+    # per-query LUTs, computed driver-side from the full-precision
+    # query vectors (|Q|·m·ksub doubles — a bounded broadcast artifact)
+    qrows = emb.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
+        F.col(id_col), F.col(vec_col)
+    ).collect()
+    dsub = len(books[0][0])
+    luts = []
+    for r in qrows:
+        vec = [float(x) for x in r[1]]
+        lut = [
+            [
+                sum(
+                    (vec[j * dsub + t] - c[t]) ** 2 for t in range(dsub)
+                )
+                for c in books[j]
+            ]
+            for j in range(len(books))
+        ]
+        luts.append((int(r[0]), lut))
+    qdf = spark.createDataFrame(
+        luts, "qid long, lut array<array<double>>"
+    )
+    scored = (
+        F.broadcast(qdf)
+        .join(encoded, F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            F.col(id_col).alias("cid"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.col("code"),
+                        lambda cj, j: F.get(F.get(F.col("lut"), j), cj),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("approx_dist", "cid")
+    shortlist_n = refine if refine is not None else k
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= shortlist_n)
+        .select("qid", "cid", F.col("approx_dist").alias("dist"), "rank")
+    )
+    if refine is None:
+        return shortlist
+
+    # exact re-rank of the |Q|·R shortlist: join the full-precision
+    # vectors back for just those rows (broadcast — the shortlist and
+    # the query set are both tiny by construction)
+    qvec = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
+        "qid long, qv array<double>",
+    )
+    cvec = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    exact = (
+        F.broadcast(shortlist.select("qid", "cid"))
+        .join(cvec, "cid")
+        .join(F.broadcast(qvec), "qid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.col("cv"),
+                        lambda x, y: (x - y.cast("double"))
+                        * (x - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("exact_dist"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy("exact_dist", "cid")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.col("exact_dist").alias("dist"), "rank")
+    )
