@@ -21,10 +21,11 @@ engines*. Two engine asymmetries drive the design:
 Every helper has a DuckDB twin (`duck_*`) generating the matching SQL
 fragment, so query and oracle share one formula.
 
-Scale note: `round_div` works in BIGINT (exact while
-|2·num·10^scale| < 2^63 and the quotient < 2^53 — comfortably true for
-per-group aggregates at bench scale; at warehouse scale you'd keep the
-DECIMAL sum unrounded instead).
+Scale note: `round_div` works in DECIMAL(38,0)/HUGEINT (exact while
+|2·num·10^scale| < 10^38 — ~10^19 of BIGINT headroom beyond the old
+long-arithmetic version, whose internal `long/long` division silently
+degraded past 2^53 and overflowed past 2^63; both failure modes were
+observed at sf0.1 numerators and are the reason for the decimal form).
 """
 
 from __future__ import annotations
@@ -44,14 +45,26 @@ def col_of(c: str | Column) -> Column:
 # ---------------------------------------------------------------------------
 def round_div(num: Column, den: Column, alias: str, scale: int = 2) -> Column:
     """HALF_UP(num/den, scale) for non-negative integer columns, exact:
-    floor((2·num·10^s + den) / (2·den)) / 10^s, all in BIGINT."""
+    floor((2·num·10^s + den) / (2·den)) / 10^s, all in DECIMAL(38,0).
+
+    Why decimal, not long: `(x - x%y) / y` on longs runs the division
+    in DOUBLE, so once x exceeds 2^53 the numerator rounds before
+    dividing (observed: 0.9622 drifting to 0.96219999...), and past
+    2^63 the x expression overflows outright under ANSI. In decimal
+    the subtraction/modulo are exact at 38 digits, and because
+    x − x%y is an exact multiple of y the decimal division's true
+    quotient is an integer — representable exactly at any result
+    scale, so no rounding can occur. The final q/10^s likewise has
+    exactly `scale` decimals, exact in the decimal domain; the single
+    terminal cast to double is correctly rounded in both engines."""
     p = 10**scale
-    x = num.cast("long") * F.lit(2 * p) + den.cast("long")
-    y = den.cast("long") * F.lit(2)
-    q = (x - x % y) / y  # exact: x - x%y is a multiple of y, quotient < 2^53
+    d38 = "decimal(38,0)"
+    x = num.cast(d38) * F.lit(2 * p) + den.cast(d38)
+    y = den.cast(d38) * F.lit(2)
+    q = (x - x % y) / y  # decimal division; true value is an integer
     return (
-        F.when(den.cast("long") == 0, F.lit(None))
-        .otherwise(q / F.lit(float(p)))
+        F.when(den.cast(d38) == 0, F.lit(None))
+        .otherwise(q / F.lit(p))
         .cast("double")
         .alias(alias)
     )
@@ -61,8 +74,8 @@ def duck_round_div(num: str, den: str, scale: int = 2) -> str:
     p = 10**scale
     return (
         f"CAST(CASE WHEN ({den}) = 0 THEN NULL ELSE "
-        f"((2 * CAST({num} AS BIGINT) * {p} + CAST({den} AS BIGINT))"
-        f" // (2 * CAST({den} AS BIGINT))) / {p}.0 END AS DOUBLE)"
+        f"((2 * CAST({num} AS HUGEINT) * {p} + CAST({den} AS HUGEINT))"
+        f" // (2 * CAST({den} AS HUGEINT))) / {p}.0 END AS DOUBLE)"
     )
 
 

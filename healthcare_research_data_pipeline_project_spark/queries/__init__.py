@@ -105,6 +105,7 @@ def load_all() -> None:
         datapipe5,
         datapipe6,
         datapipe7,
+        datapipe8,
         extended,
         scale,
     )

@@ -1,0 +1,303 @@
+"""Training-data pipeline corpus, part 8: event-flow transition
+matrices, seasonal profiling, and inverted-index TF-IDF document
+similarity.
+
+`t_event_transitions`: first-order Markov transition matrix over each
+user's event stream — P(next event type | current) with exact-rational
+probabilities. The lag window is PARTITIONED BY user (per-entity
+frames — the scalable shape; never a global ORDER BY over the fact
+stream); the transition aggregate has |types|² groups.
+
+`t_seasonal_profile`: ISO-weekday seasonality of daily revenue —
+per-dow mean daily total (exact cents math) and the seasonal index
+vs the all-days mean, both `round_div` rationals. Spark `weekday()+1`
+≡ DuckDB `isodow()` (Mon=1..Sun=7), pinned in the oracle. One fact
+shuffle (the daily aggregate); everything after runs on ≤ n_days
+rows.
+
+`text_tfidf_knn`: top-k nearest documents by TF-IDF cosine WITHOUT
+embeddings — the inverted-index (posting-list) path: candidate pairs
+form only through shared tokens, with a document-frequency cap
+dropping degenerate high-df tokens (the `dedup.py` df_max doctrine:
+a token in every doc makes its posting list quadratic; it also
+carries ~zero idf weight, so the cap costs little recall and bounds
+the join). Exactness doctrine for floats: idf is rounded to 6 dp
+once per token, weights are DECIMAL(12,6), so dot products and
+norms² accumulate as exact decimals (order-independent, hash-stable
+across engines); the only per-pair float op is the final
+sqrt+divide, rounded to 4 dp.
+
+Reference parity: extends the cohort/flow family
+(healthcare-sql-analytics.sql:640-698 ED throughput, the reference's
+patient-flow interest) and the dedup/text family with the classic
+IR-style similarity join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.helpers import (
+    duck_round_div,
+    duck_sum_cents,
+    round_div,
+    sum_cents,
+)
+from ..functions.text import DUCK_TOKENS, tokens
+from ..tables import load_tables
+from . import register
+
+_TOKS = DUCK_TOKENS.format(text="text")
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transitions over per-user event streams.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_event_transitions",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             COUNT(*) AS n
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type,
+           CAST(n AS BIGINT) AS n_transitions,
+           {duck_round_div("n", "SUM(n) OVER (PARTITION BY from_type)", 6)}
+             AS prob
+    FROM c
+    ORDER BY from_type, to_type
+    """,
+)
+def t_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t.events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = s.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # |types|² frame: the per-from_type total is a group-cardinality
+    # window, fine at any scale
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return c.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        round_div(F.col("n"), tot, "prob", 6),
+    ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# ISO-weekday revenue seasonality with exact-rational indices.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_seasonal_profile",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             {duck_sum_cents('o_totalprice')} AS cents
+      FROM orders GROUP BY 1
+    ),
+    marked AS (SELECT isodow(d) AS dow, cents FROM daily),
+    g AS (SELECT CAST(SUM(cents) AS BIGINT) AS gc,
+                 CAST(COUNT(*) AS BIGINT) AS gn FROM marked),
+    p AS (
+      SELECT dow, COUNT(*) AS n_days, SUM(cents) AS c
+      FROM marked GROUP BY dow
+    )
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(n_days AS BIGINT) AS n_days,
+           {duck_round_div("c", "n_days * 100", 2)} AS avg_daily_revenue,
+           {duck_round_div("c * gn", "CAST(n_days AS BIGINT) * gc", 4)}
+             AS seasonal_index
+    FROM p, g
+    ORDER BY dow
+    """,
+)
+def t_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    daily = t.orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        sum_cents("o_totalprice").alias("cents")
+    )
+    marked = daily.select(
+        (F.weekday("d") + 1).alias("dow"), "cents"
+    )
+    g = marked.agg(
+        F.sum("cents").cast("long").alias("gc"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+    )
+    p = marked.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("c")
+    )
+    return (
+        p.crossJoin(F.broadcast(g))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("n_days").cast("long").alias("n_days"),
+            round_div(
+                F.col("c"), F.col("n_days") * 100, "avg_daily_revenue", 2
+            ),
+            round_div(
+                # decimal products: c·gn and n_days·gc overflow BIGINT
+                # at large SF (c ~ total cents × days-per-dow)
+                F.col("c").cast("decimal(38,0)") * F.col("gn"),
+                F.col("n_days").cast("decimal(38,0)") * F.col("gc"),
+                "seasonal_index",
+                4,
+            ),
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index TF-IDF k-nearest documents.
+# ---------------------------------------------------------------------------
+_KNN_K = 3
+_KNN_DF_MAX = 50  # posting-list cap: tokens in more docs carry ~no idf
+
+
+@register(
+    "text_tfidf_knn",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tc AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM tok GROUP BY doc_id, token),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tc),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY token),
+    wv AS (
+      SELECT tc.doc_id, tc.token,
+             CAST(tc.tf * CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / df), 6)
+                               AS DECIMAL(12,6)) AS DECIMAL(12,6)) AS w,
+             df
+      FROM tc JOIN dfreq USING (token), nd
+    ),
+    nrm AS (SELECT doc_id, SUM(w * w) AS n2 FROM wv GROUP BY doc_id),
+    posting AS (SELECT doc_id, token, w FROM wv WHERE df <= {_KNN_DF_MAX}),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+      FROM posting a JOIN posting b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    cosns AS (
+      SELECT id_a, id_b,
+             CAST(ROUND(CAST(dot AS DOUBLE) /
+                        sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+                        4) AS DOUBLE) AS cos_sim
+      FROM dots
+      JOIN nrm na ON na.doc_id = id_a
+      JOIN nrm nb ON nb.doc_id = id_b
+    ),
+    sym AS (
+      SELECT id_a AS doc_id, id_b AS nbr_id, cos_sim FROM cosns
+      UNION ALL
+      SELECT id_b, id_a, cos_sim FROM cosns
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY cos_sim DESC, nbr_id) AS rn
+          FROM sym)
+    SELECT doc_id, nbr_id, cos_sim, CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= {_KNN_K}
+    """,
+)
+def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tc = tc.persist()  # feeds n_docs, df, weights
+    nd = tc.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = tc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    wv = (
+        tc.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+                ).cast("decimal(12,6)")
+            )
+            .cast("decimal(12,6)")
+            .alias("w"),
+            "df",
+        )
+    ).persist()  # feeds norms + both posting sides
+    nrm = wv.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    posting = wv.filter(F.col("df") <= _KNN_DF_MAX).select(
+        "doc_id", "token", "w"
+    )
+    a = posting.select(
+        F.col("doc_id").alias("id_a"), "token", F.col("w").alias("wa")
+    )
+    b = posting.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("token").alias("token_b"),
+        F.col("w").alias("wb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("token") == F.col("token_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("n2a"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("n2b"))
+    cosns = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("n2a").cast("double") * F.col("n2b").cast("double")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("cos_sim"),
+        )
+    )
+    sym = cosns.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("nbr_id"),
+        "cos_sim",
+    ).unionByName(
+        cosns.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("nbr_id"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cos_sim"), "nbr_id")
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("doc_id", "nbr_id", "cos_sim", "rank")
+    )
