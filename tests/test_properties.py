@@ -40,6 +40,27 @@ def test_round_div_matches_decimal_half_up(spark, num, den, scale):
     assert got == want, (num, den, scale, got, want)
 
 
+@given(num=st.integers(0, 10**18), den=st.integers(1, 10**15),
+       scale=st.integers(0, 4))
+@SETTINGS
+def test_round_div_exact_at_huge_magnitudes(spark, num, den, scale):
+    # pins the r4 decimal rewrite: the old long-arithmetic version ran
+    # its division in double (drift past 2^53: 0.9622→0.96219999...)
+    # and overflowed long past 2^63; DECIMAL(38,0) must stay exact
+    # through 2·num·10^scale ~ 2e22
+    got = (
+        spark.range(1)
+        .select(round_div(F.lit(num), F.lit(den), "r", scale))
+        .collect()[0]["r"]
+    )
+    want = float(
+        (Decimal(num) / Decimal(den)).quantize(
+            Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+        )
+    )
+    assert got == want, (num, den, scale, got, want)
+
+
 @given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 100)),
                 min_size=1, max_size=30))
 @SETTINGS
