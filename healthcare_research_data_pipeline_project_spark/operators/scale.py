@@ -293,3 +293,53 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return l_s.join(r_s, [key, "__salt"], how).drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) data layout
+# ---------------------------------------------------------------------------
+def morton16(a: Column, b: Column) -> Column:
+    """Interleave the low 8 bits of integer columns a (odd bit
+    positions) and b (even) into a 16-bit Morton key. Bits are
+    disjoint, so the OR is a plain sum. The recursive-quadrant property
+    makes any aligned 256-key block a 16×16 tile in (a, b) space."""
+    terms = []
+    for i in range(8):
+        terms.append(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dim_a: str | Column,
+    dim_b: str | Column,
+    n_files: int = 16,
+) -> None:
+    """Write `df` as parquet laid out along the Morton curve of two
+    pre-bucketed (0..255) integer dimensions — the engine-level
+    equivalent of Delta/Iceberg `OPTIMIZE ZORDER BY (a, b)`.
+
+    `repartitionByRange` on the interleaved key gives each output file
+    a contiguous z-range, i.e. a small set of aligned tiles, so each
+    file's min/max footer stats for BOTH dimensions are tight; a
+    reader filtering on either (or both) dimensions prunes most files
+    from their footers alone. A hash layout gives every file the full
+    value range — zero pruning. tests/test_scale.py quantifies the
+    difference from the actual parquet footers."""
+    keyed = df.withColumn("__zkey", morton16(col_of(dim_a), col_of(dim_b)))
+    (
+        keyed.repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -492,27 +492,34 @@ def pq_topk(
     books = train_pq_codebooks(emb, vec_col, id_col, m=m, ksub=ksub)
     encoded = pq_encode(emb, books, vec_col, id_col)
 
-    # per-query LUTs, computed driver-side from the full-precision
-    # query vectors (|Q|·m·ksub doubles — a bounded broadcast artifact)
-    qrows = emb.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
-        F.col(id_col), F.col(vec_col)
-    ).collect()
+    # per-query LUTs (LUT[j][c] = ||q_sub_j − cb[j][c]||²), computed
+    # IN-PLAN against the same broadcast codebook row the encoder uses
+    # — no driver collect jobs inside the query (the codebooks, a
+    # k·m·dsub driver artifact from training, are the only literal)
     dsub = len(books[0][0])
-    luts = []
-    for r in qrows:
-        vec = [float(x) for x in r[1]]
-        lut = [
-            [
-                sum(
-                    (vec[j * dsub + t] - c[t]) ** 2 for t in range(dsub)
-                )
-                for c in books[j]
-            ]
-            for j in range(len(books))
-        ]
-        luts.append((int(r[0]), lut))
-    qdf = spark.createDataFrame(
-        luts, "qid long, lut array<array<double>>"
+    crow = spark.createDataFrame(
+        [(books,)], "__cb array<array<array<double>>>"
+    )
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(len(books) - 1)),
+        lambda j: F.transform(
+            F.get(F.col("__cb"), j),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), j * dsub + 1, F.lit(dsub)),
+                    c,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    qdf = (
+        emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .crossJoin(F.broadcast(crow))
+        .select(F.col(id_col).alias("qid"), lut.alias("lut"))
     )
     scored = (
         F.broadcast(qdf)
@@ -546,10 +553,9 @@ def pq_topk(
     # exact re-rank of the |Q|·R shortlist: join the full-precision
     # vectors back for just those rows (broadcast — the shortlist and
     # the query set are both tiny by construction)
-    qvec = spark.createDataFrame(
-        [(int(r[0]), [float(x) for x in r[1]]) for r in qrows],
-        "qid long, qv array<double>",
-    )
+    qvec = emb.filter(
+        F.col(id_col).isin([int(q) for q in query_ids])
+    ).select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     cvec = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
     exact = (
         F.broadcast(shortlist.select("qid", "cid"))
@@ -563,8 +569,8 @@ def pq_topk(
                     F.zip_with(
                         F.col("qv"),
                         F.col("cv"),
-                        lambda x, y: (x - y.cast("double"))
-                        * (x - y.cast("double")),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
                     ),
                     F.lit(0.0),
                     lambda acc, v: acc + v,

@@ -56,8 +56,6 @@ graph/layout/LM-scoring operators a 100 TB curation pipeline needs.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -69,6 +67,7 @@ from ..functions.helpers import (
 )
 from ..functions.text import DUCK_TOKENS, tokens
 from ..operators import similarity as S
+from ..operators.scale import morton16 as _morton16
 from ..tables import load_tables
 from . import register
 
@@ -451,19 +450,6 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ZBOX = (64, 127, 64, 127)  # cust_b lo/hi, day_b lo/hi — one quadrant tile set
 
 
-def _morton16(a, b):
-    """Interleave the low 8 bits of integer columns a (odd positions)
-    and b (even positions) into a 16-bit Morton key. Bits are disjoint,
-    so the OR is a plain sum."""
-    terms = []
-    for i in range(8):
-        terms.append(
-            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-        terms.append(
-            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
-    return reduce(lambda x, y: x + y, terms)
 
 
 def _duck_morton16(a: str, b: str) -> str:

@@ -254,3 +254,48 @@ def test_left_salted_join_keeps_unmatched_left(spark):
     out = SC.salted_join(left, right, "k", n_salts=3, entropy="v", how="left")
     rows = {(r["k"], r["s"]) for r in out.collect()}
     assert rows == {(1, "a"), (9, None)}
+
+
+def test_write_zordered_tightens_file_stats(spark, tmp_path):
+    """The Z-order layout must give each parquet file tight min/max
+    footer stats on BOTH dimensions (small bounding boxes → footer
+    pruning works), while a hash layout leaves every file spanning
+    ~the full domain. Quantified from the actual parquet footers."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    rows = [(a, b) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows, "da int, db int")
+    zpath, hpath = str(tmp_path / "z"), str(tmp_path / "h")
+    SC.write_zordered(df, zpath, "da", "db", n_files=16)
+    df.repartition(16).write.mode("overwrite").parquet(hpath)
+
+    def avg_box_area(path):
+        areas = []
+        for f in _glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = {"da": 1 << 30, "db": 1 << 30}
+            hi = {"da": -1, "db": -1}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        lo[name] = min(lo[name], col.statistics.min)
+                        hi[name] = max(hi[name], col.statistics.max)
+            areas.append(
+                (hi["da"] - lo["da"] + 1) * (hi["db"] - lo["db"] + 1)
+            )
+        return sum(areas) / len(areas)
+
+    z_area, h_area = avg_box_area(zpath), avg_box_area(hpath)
+    # 16 files over a 64×64 grid: perfect z-ranges are a handful of
+    # aligned tiles (~256 cells each); hash files span the whole grid
+    assert z_area <= h_area / 8, (z_area, h_area)
+    # layout is a reshuffle, never a data change
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(hpath).count()
+        == 64 * 64
+    )
