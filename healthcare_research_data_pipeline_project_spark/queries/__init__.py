@@ -47,7 +47,11 @@ GATE_PRIORITY = [
     "hc_q9_access_audit",
     "hc_q10_data_quality",
     "p_filter_predicates",
-    "p_like_predicates",
+    # p_like_predicates rotated OUT r4 for t_autocorr (ADVICE: sample
+    # the newest oracle-backed operators in the driver gate). LIKE
+    # stays gate-evidenced by hc_q2/hc_q4/hc_q7 in this window and the
+    # row stays green in the committed MIRROR.json.
+    "t_autocorr",
     "j1_star_join",
     "j2_band_self_join",
     "j3_left_join_pred",
@@ -66,7 +70,10 @@ GATE_PRIORITY = [
     "a9_iqr_outliers",
     "a10_zscore_outliers",
     "a11_correlation",
-    "a12_distribution_pct",
+    # a12_distribution_pct rotated OUT r4 for ds_zorder_layout: the
+    # distribution-as-% shape stays gate-evidenced by a13_histogram's
+    # pct column in this window; a12 stays green in MIRROR.json.
+    "ds_zorder_layout",
     "a13_histogram",
     "a14_quality_metrics",
     "w1_w2_group_outliers",
