@@ -210,3 +210,77 @@ def curate_stream(docs: DataFrame) -> DataFrame:
     from ..functions.text import quality_cascade
 
     return quality_cascade(docs)
+
+
+def transition_stream(events: DataFrame) -> DataFrame:
+    """Incremental per-user event-type transition counts — the
+    streaming twin of the batch `t_event_transitions` Markov matrix.
+
+    Custom stateful operator (`applyInPandasWithState`): state is one
+    (last_ts, last_event_id, last_type) tuple per user; each
+    micro-batch sorts its rows per user by (ts, event_id), chains them
+    onto the carried last event, and emits (from_type, to_type, n)
+    COUNT INCREMENTS for the batch. Summing the increments by
+    (from_type, to_type) downstream (or in a counts store) reproduces
+    the batch matrix exactly — pinned by the stream-vs-batch test.
+
+    Assumes per-user in-order arrival across micro-batches (an
+    append-log source: file drops, a time-ordered Kafka partition per
+    user). Out-of-order streams need a watermark reorder buffer in
+    front; the state tuple stays O(users) either way, partitioned by
+    the grouping key, never on the driver."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("from_type", StringType()),
+            StructField("to_type", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts", TimestampType()),
+            StructField("last_eid", LongType()),
+            StructField("last_type", StringType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        last_ts, last_eid, last_type = (
+            state.get if state.exists else (None, None, None)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        counts: dict[tuple[str, str], int] = {}
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+            for r in batch.itertuples(index=False):
+                if last_type is not None:
+                    k = (last_type, r.event_type)
+                    counts[k] = counts.get(k, 0) + 1
+                last_ts, last_eid, last_type = r.ts, r.event_id, r.event_type
+            state.update((last_ts, last_eid, last_type))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "from_type": [k[0] for k in counts],
+                    "to_type": [k[1] for k in counts],
+                    "n": list(counts.values()),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

