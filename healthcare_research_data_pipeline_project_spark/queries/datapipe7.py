@@ -99,7 +99,9 @@ _TOKS = DUCK_TOKENS.format(text="text")
 )
 def g_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    e = t.lineitem.select("l_partkey", "l_suppkey").distinct()
+    # the distinct edge list feeds BOTH degree aggregations: persist so
+    # the fact scan + pair dedup run once, not once per side
+    e = t.lineitem.select("l_partkey", "l_suppkey").distinct().persist()
     deg = (
         e.groupBy(F.col("l_suppkey").alias("node_id"))
         .agg(F.count(F.lit(1)).alias("degree"))
