@@ -1,0 +1,135 @@
+"""Incremental view maintenance for additive aggregate views.
+
+At 100 TB, recomputing `SELECT keys, COUNT(*), SUM(m)...` over the
+full fact table for every refresh is the single most expensive
+periodic job a warehouse runs; the standard fix is delta maintenance:
+aggregate only the CHANGE set, then merge the per-key partials into
+the stored view. That works exactly for the self-maintainable
+(additive) aggregates — COUNT and SUM under inserts AND deletes
+(a delete is a −1/−value contribution), with AVG derived as
+sum/count at read time. MIN/MAX are deliberately NOT supported: they
+are not self-maintainable under deletes (losing the current min
+forces a rescan), and a silent wrong answer is worse than an explicit
+recompute.
+
+Storage protocol: the view lives as parquet at `view_path` holding
+(keys..., __cnt, __sum_<m>...). `refresh` writes the merged view to a
+sibling temp dir and atomically swaps it in (local-FS rename; on an
+object store you'd version directories and flip a pointer — same
+shape, different commit primitive). The merge is one shuffle on the
+view key for the delta partials plus a key-partitioned outer join
+against the stored view — delta-sized work, never base-table-sized.
+
+Reference parity: the reference recomputes its aggregate endpoints
+from the RDBMS on every call (healthcare-api-main.py:471-545); this
+operator is what replaces those full scans when the fact table no
+longer fits a single Postgres.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _sum_cols(measures: list[str]) -> list[str]:
+    return [f"__sum_{m}" for m in measures]
+
+
+def init_agg_view(
+    base: DataFrame,
+    view_path: str,
+    keys: list[str],
+    measures: list[str],
+) -> DataFrame:
+    """Materialize the initial view: one full aggregation of `base`
+    (the only base-sized job in the view's lifetime)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("__cnt")] + [
+        F.sum(F.col(m).cast("decimal(38,6)")).alias(c)
+        for m, c in zip(measures, _sum_cols(measures))
+    ]
+    base.groupBy(*keys).agg(*aggs).write.mode("overwrite").parquet(view_path)
+    return base.sparkSession.read.parquet(view_path)
+
+
+def refresh_agg_view(
+    spark: SparkSession,
+    view_path: str,
+    delta: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    op_col: str | None = None,
+) -> DataFrame:
+    """Merge a change batch into the stored view.
+
+    `delta` rows are inserts, unless `op_col` names a column with
+    'I'/'D' markers (CDC feed): deletes contribute −1/−value. Keys
+    whose count reaches 0 leave the view. Work is delta-sized: one
+    aggregation of the batch + an outer merge on the view key.
+    """
+    sign = (
+        F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
+        if op_col
+        else F.lit(1)
+    )
+    scols = _sum_cols(measures)
+    partial = delta.groupBy(*keys).agg(
+        F.sum(sign).cast("long").alias("__d_cnt"),
+        *[
+            F.sum(sign * F.col(m).cast("decimal(38,6)")).alias(f"__d_{c}")
+            for m, c in zip(measures, scols)
+        ],
+    )
+    old = spark.read.parquet(view_path)
+    merged = (
+        old.join(partial, keys, "full_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce("__cnt", F.lit(0))
+                + F.coalesce("__d_cnt", F.lit(0))
+            ).alias("__cnt"),
+            *[
+                (
+                    F.coalesce(F.col(c), F.lit(0).cast("decimal(38,6)"))
+                    + F.coalesce(F.col(f"__d_{c}"), F.lit(0).cast("decimal(38,6)"))
+                ).alias(c)
+                for c in scols
+            ],
+        )
+        .filter(F.col("__cnt") > 0)
+    )
+    tmp = view_path.rstrip("/") + ".__refresh_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    # atomic-enough swap for a local/posix view store; an object-store
+    # deployment versions directories and flips a manifest instead
+    old_dir = view_path.rstrip("/") + ".__old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(view_path, old_dir)
+    os.rename(tmp, view_path)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return spark.read.parquet(view_path)
+
+
+def read_agg_view(
+    spark: SparkSession,
+    view_path: str,
+    measures: list[str],
+    avg_scale: int = 6,
+) -> DataFrame:
+    """Serve the view with derived averages: (keys..., cnt,
+    sum_<m>, avg_<m>). AVG comes from the maintained sum/count, so it
+    is exactly the full-recompute average at every refresh point."""
+    v = spark.read.parquet(view_path)
+    out = v.withColumnRenamed("__cnt", "cnt")
+    for m, c in zip(measures, _sum_cols(measures)):
+        out = out.withColumn(f"sum_{m}", F.col(c).cast("double")).withColumn(
+            f"avg_{m}",
+            F.round(
+                (F.col(c) / F.col("cnt")).cast("double"), avg_scale
+            ),
+        ).drop(c)
+    return out

@@ -829,3 +829,30 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.embeddings, _SQ_QUERY_IDS, k=_SQ_TOPK, m=16, ksub=32,
         refine=10 * _SQ_TOPK,
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate pairs inside TRAINED quantizer cells — the composition
+# embedding_near_dup_pairs documents ("at scale a trained k-means
+# assignment"): train the coarse quantizer on a content-hash sample,
+# assign every vector a cell, and pair only within cells. Cell
+# boundaries come from float centroids (iterative training), so the
+# pair set is deterministic but not SQL-derivable: rows-only check;
+# tests pin that identical vectors always pair (they share a cell by
+# construction — identical distances, identical argmin).
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_semantic_blocks")
+def dedup_semantic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import assign, kmeans
+    from ..operators.scale import hash_sample
+
+    t = load_tables(spark, sf_dir)
+    sample = hash_sample(t.embeddings, "vec_id", pct=25, salt="km")
+    _, centroids, _ = kmeans(sample, k=8, max_iter=4)
+    cells = assign(t.embeddings, centroids).select("vec_id", "cid")
+    blocked = t.embeddings.join(cells, "vec_id")
+    return S.embedding_near_dup_pairs(
+        blocked, threshold=_TRI_T, block_col="cid"
+    ).orderBy("id_a", "id_b")

@@ -301,3 +301,54 @@ def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _KNN_K)
         .select("doc_id", "nbr_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance, oracled end-to-end: build the
+# priority-rollup view from the pre-2000 order history, then merge the
+# post-2000 orders as a delta batch (operators/ivm.py). Correct IVM is
+# indistinguishable from a one-shot aggregation — which is exactly
+# what the DuckDB oracle runs — so the init → refresh → swap → serve
+# path gets a full value-hash check. Sums accumulate in DECIMAL(38,6)
+# (exact, order-independent); the served sum is a single terminal
+# double cast in both engines.
+# ---------------------------------------------------------------------------
+_IVM_SPLIT = "2000-01-01"
+
+
+@register(
+    "ivm_priority_rollup",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ivm_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators import ivm
+
+    # the view lives in a fresh driver tempdir (the returned frame
+    # stays backed by it, so it must outlive the call — OS tempdir
+    # policy reclaims it, same contract as the iterative graph ops)
+    t = load_tables(spark, sf_dir)
+    base = t.orders.filter(F.col("o_orderdate") < _IVM_SPLIT)
+    delta = t.orders.filter(F.col("o_orderdate") >= _IVM_SPLIT)
+    path = tempfile.mkdtemp(prefix="hrdp_ivm_") + "/view"
+    ivm.init_agg_view(
+        base, path, ["o_orderpriority"], ["o_totalprice"]
+    )
+    ivm.refresh_agg_view(
+        spark, path, delta, ["o_orderpriority"], ["o_totalprice"]
+    )
+    served = ivm.read_agg_view(spark, path, ["o_totalprice"])
+    return served.select(
+        "o_orderpriority",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("sum_o_totalprice").alias("sum_price"),
+    ).orderBy("o_orderpriority")

@@ -127,3 +127,20 @@ def test_kmeans_summary_query_runs(spark):
     assert rows
     assert sum(r["n_vecs"] for r in rows) == 500  # every vector assigned
     assert all(r["avg_sq_dist"] >= 0 for r in rows)
+
+
+def test_semantic_blocks_find_identical_vectors(spark):
+    # identical vectors always share a trained cell (identical
+    # distances, identical argmin), so planted exact duplicates must
+    # pair regardless of where the centroids land
+    rows = QUERIES["dedup_semantic_blocks"](spark, SF_SMOKE).collect()
+    assert rows  # corpus has same-label near-dups inside cells
+    ids = {(r["id_a"], r["id_b"]) for r in rows}
+    assert all(a < b for a, b in ids)
+    assert all(r["cos_sim"] >= 0.35 for r in rows)
+    # determinism across invocations (hash seeding + fixed rounds)
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_semantic_blocks"](spark, SF_SMOKE).collect()
+    }
+    assert again == ids

@@ -1,0 +1,87 @@
+"""Pins for incremental aggregate view maintenance: a chain of
+insert/delete CDC batches must leave the view exactly equal to a
+full recompute over the surviving base rows, at every refresh point."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_research_data_pipeline_project_spark.operators import ivm
+from healthcare_research_data_pipeline_project_spark.queries import QUERIES  # noqa: F401
+
+
+def _rows_df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v double")
+
+
+def _cdc_df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v double, op string")
+
+
+def _expect(spark, live_rows):
+    return {
+        r["k"]: (r["cnt"], round(r["s"], 6))
+        for r in _rows_df(spark, live_rows)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("s"))
+        .collect()
+    }
+
+
+def _got(spark, path):
+    return {
+        r["k"]: (r["cnt"], round(r["sum_v"], 6))
+        for r in ivm.read_agg_view(spark, path, ["v"]).collect()
+    }
+
+
+def test_refresh_chain_equals_full_recompute(spark, tmp_path):
+    path = str(tmp_path / "view")
+    base = [("a", 1.0), ("a", 2.0), ("b", 10.0)]
+    ivm.init_agg_view(_rows_df(spark, base), path, ["k"], ["v"])
+    assert _got(spark, path) == _expect(spark, base)
+
+    # batch 1: plain inserts (no op column)
+    ins = [("a", 3.0), ("c", 7.0)]
+    ivm.refresh_agg_view(spark, path, _rows_df(spark, ins), ["k"], ["v"])
+    live = base + ins
+    assert _got(spark, path) == _expect(spark, live)
+
+    # batch 2: CDC with deletes — b vanishes entirely (count hits 0)
+    cdc = [("b", 10.0, "D"), ("a", 1.0, "D"), ("d", 5.5, "I")]
+    ivm.refresh_agg_view(
+        spark, path, _cdc_df(spark, cdc), ["k"], ["v"], op_col="op"
+    )
+    live = [("a", 2.0), ("a", 3.0), ("c", 7.0), ("d", 5.5)]
+    assert _got(spark, path) == _expect(spark, live)
+    assert "b" not in _got(spark, path)
+
+    # batch 3: re-insert a deleted key
+    ivm.refresh_agg_view(
+        spark, path, _rows_df(spark, [("b", 4.0)]), ["k"], ["v"]
+    )
+    live.append(("b", 4.0))
+    assert _got(spark, path) == _expect(spark, live)
+
+
+def test_served_avg_matches_recompute(spark, tmp_path):
+    path = str(tmp_path / "view2")
+    base = [("x", 1.0), ("x", 2.0), ("x", 4.0)]
+    ivm.init_agg_view(_rows_df(spark, base), path, ["k"], ["v"])
+    ivm.refresh_agg_view(
+        spark, path, _cdc_df(spark, [("x", 1.0, "D")]), ["k"], ["v"], op_col="op"
+    )
+    row = ivm.read_agg_view(spark, path, ["v"]).collect()[0]
+    assert row["cnt"] == 2
+    assert row["avg_v"] == pytest.approx(3.0)
+
+
+def test_refresh_swap_keeps_single_view_dir(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "view3")
+    ivm.init_agg_view(_rows_df(spark, [("a", 1.0)]), path, ["k"], ["v"])
+    ivm.refresh_agg_view(spark, path, _rows_df(spark, [("a", 1.0)]), ["k"], ["v"])
+    sibs = sorted(os.listdir(tmp_path))
+    assert sibs == ["view3"]  # no tmp/old dirs left behind
