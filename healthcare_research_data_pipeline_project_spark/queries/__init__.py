@@ -113,6 +113,7 @@ def load_all() -> None:
         datapipe6,
         datapipe7,
         datapipe8,
+        datapipe9,
         extended,
         scale,
     )

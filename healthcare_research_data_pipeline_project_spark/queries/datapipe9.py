@@ -1,0 +1,208 @@
+"""Training-data pipeline corpus, part 9: resampling and parametric
+inference at scale.
+
+`stat_bootstrap_ci`: the Poissonized bootstrap — the form of the
+bootstrap that actually runs on a cluster. Classic resampling draws n
+rows WITH replacement per replica (a global shuffle per replica);
+instead, each row's multiplicity in replica r is an independent
+Poisson(1) draw, which approximates multinomial resampling to O(1/n)
+and needs ONE map-side pass: explode R replica ids per row, weight by
+the deterministic Poisson count, partially aggregate (replica grouping
+has R groups, so the shuffle carries R rows per input partition).
+The Poisson draw inverts the exact CDF against an md5-derived integer
+in [0, 1e6) — pure integer comparisons, identical in both engines and
+replay-safe under task retry (`rand()` is neither). Replica means are
+exact `round_div` rationals; the CI uses nearest-rank percentiles
+over the R replica means (no interpolation floats).
+
+`stat_ttest_welch`: Welch's unequal-variance t-test between two
+cohorts, computed entirely from exact integer aggregates (counts,
+cents sums, cents² sums — all BIGINT/HUGEINT-exact) with one terminal
+float chain for t and the degrees of freedom. One scan, one tiny
+shuffle, like the Mann–Whitney twin (datapipe7) but parametric.
+
+Reference parity: extends the statistical RCA family
+(healthcare-data-pipeline-main.py:319-338, SURVEY §2.4 A10-A11) with
+the uncertainty quantification a data-driven pipeline report needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import duck_hash64, hash64_expr
+from ..tables import load_tables
+from . import register
+
+# exact Poisson(1) CDF cut points in millionths: P(X<=k) for k=0..5;
+# draws beyond 5 (p ~ 6e-4) clamp to 6
+_POIS_CUTS = [367879, 735759, 919699, 981012, 996340, 999406]
+_N_REPLICAS = 100
+_CI_LO_RANK = 3   # ceil(0.025 * 100) nearest-rank
+_CI_HI_RANK = 98  # ceil(0.975 * 100)
+
+
+def _pois_case(u: str) -> str:
+    """SQL CASE mapping a uniform integer in [0, 1e6) to Poisson(1)."""
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CUTS)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+@register(
+    "stat_bootstrap_ci",
+    f"""
+    WITH expanded AS (
+      SELECT r.r,
+             {_pois_case(
+                 duck_hash64("CAST(o_orderkey AS VARCHAR) || ':' || "
+                             "CAST(r.r AS VARCHAR)", "boot")
+                 + " % 1000000")} AS w,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+      CROSS JOIN (SELECT unnest(generate_series(0, {_N_REPLICAS - 1})) AS r) r
+    ),
+    reps AS (
+      SELECT r, CAST(SUM(w) AS BIGINT) AS n_eff,
+             CAST(SUM(w * cents) AS BIGINT) AS c_eff
+      FROM expanded GROUP BY r
+    ),
+    means AS (
+      SELECT r,
+             CAST(((2 * CAST(c_eff AS HUGEINT) * 100 + n_eff)
+                   // (2 * CAST(n_eff AS HUGEINT) * 100)) / 100.0
+                  AS DOUBLE) AS m,
+             ROW_NUMBER() OVER (ORDER BY
+               ((2 * CAST(c_eff AS HUGEINT) * 100 + n_eff)
+                // (2 * CAST(n_eff AS HUGEINT) * 100)), r) AS rk
+      FROM reps
+    )
+    SELECT CAST({_N_REPLICAS} AS INT) AS n_replicas,
+           MAX(CASE WHEN rk = {_CI_LO_RANK} THEN m END) AS ci_lo,
+           MAX(CASE WHEN rk = {_CI_HI_RANK} THEN m END) AS ci_hi
+    FROM means
+    """,
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    h = hash64_expr(
+        "concat(cast(o_orderkey as string), ':', cast(r as string))",
+        "boot",
+    )
+    u = f"pmod({h}, 1000000)"
+    expanded = t.orders.select(
+        F.expr(f"explode(sequence(0, {_N_REPLICAS - 1}))").alias("r"),
+        F.col("o_totalprice"),
+        F.col("o_orderkey"),
+    ).select(
+        "r",
+        F.expr(_pois_case(u)).alias("w"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    reps = expanded.groupBy("r").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("c_eff"),
+    )
+    # replica mean in dollars at 2 dp, exact integer rounding (the
+    # inlined round_div formula, decimal-safe); R rows → the rank
+    # window is a group-cardinality frame
+    d38 = "decimal(38,0)"
+    x = F.col("c_eff").cast(d38) * 200 + F.col("n_eff").cast(d38)
+    y = F.col("n_eff").cast(d38) * 200
+    q = (x - x % y) / y
+    means = reps.select(
+        "r", (q / F.lit(100)).cast("double").alias("m"), q.alias("qm")
+    ).withColumn("rk", F.row_number().over(Window.orderBy("qm", "r")))
+    return means.agg(
+        F.lit(_N_REPLICAS).cast("int").alias("n_replicas"),
+        F.max(F.when(F.col("rk") == _CI_LO_RANK, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == _CI_HI_RANK, F.col("m"))).alias("ci_hi"),
+    )
+
+
+@register(
+    "stat_ttest_welch",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS HUGEINT)
+                      * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS HUGEINT)) AS HUGEINT) AS ss
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY l_returnflag
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN flag = 'A' THEN n END) AS n1,
+        MAX(CASE WHEN flag = 'A' THEN s END) AS s1,
+        MAX(CASE WHEN flag = 'A' THEN ss END) AS ss1,
+        MAX(CASE WHEN flag = 'R' THEN n END) AS n2,
+        MAX(CASE WHEN flag = 'R' THEN s END) AS s2,
+        MAX(CASE WHEN flag = 'R' THEN ss END) AS ss2
+      FROM g
+    )
+    SELECT n1, n2,
+           CAST(ROUND(
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0
+               / sqrt(
+                   ((CAST(ss1 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1 / 10000.0
+                   + ((CAST(ss2 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)) / n2 / 10000.0
+                 ),
+             4) AS DOUBLE) AS t_stat,
+           CAST(ROUND(
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0,
+             2) AS DOUBLE) AS mean_diff
+    FROM w
+    """,
+)
+def stat_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    g = (
+        t.lineitem.filter(F.col("l_returnflag").isin("A", "R"))
+        .select(F.col("l_returnflag").alias("flag"), cents.alias("c"))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(
+                F.col("c").cast("decimal(38,0)") * F.col("c")
+            ).alias("ss"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("flag") == "A", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("flag") == "A", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("flag") == "A", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("flag") == "R", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("flag") == "R", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("flag") == "R", F.col("ss"))).alias("ss2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    ss1d, ss2d = F.col("ss1").cast("double"), F.col("ss2").cast("double")
+    mean_diff_cents = s1d / n1d - s2d / n2d
+    v1 = (ss1d - s1d * F.col("s1") / n1d) / (n1d - 1)
+    v2 = (ss2d - s2d * F.col("s2") / n2d) / (n2d - 1)
+    tstat = (mean_diff_cents / 100.0) / F.sqrt(
+        v1 / n1d / 10000.0 + v2 / n2d / 10000.0
+    )
+    return w.select(
+        "n1",
+        "n2",
+        F.round(tstat, 4).cast("double").alias("t_stat"),
+        F.round(mean_diff_cents / 100.0, 2).cast("double").alias("mean_diff"),
+    )
