@@ -196,3 +196,50 @@ def test_df_capped_jaccard_has_no_join_in_pair_path(spark):
     join_keys = _re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\s*\[([^\]]*)\]", p)
     assert not any(_re.search(r"\bsh#", k) for k in join_keys), join_keys
     assert "explode" in p and "slice(" in p
+
+
+def test_tfidf_knn_posting_join_is_equi_not_nlj(spark):
+    # the posting-list self-join must be an equi-join on token —
+    # never a cartesian/NLJ over the doc pair space
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = Q.QUERIES["text_tfidf_knn"](spark, SF_ORACLE)
+        p = X.plan(df)
+        assert "CartesianProduct" not in p
+        # the only nested-loop joins allowed are the deliberate 1-row
+        # scalar broadcasts (n_docs total); the doc-pair space itself
+        # must go through the token equi-join
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        assert "(id_a" in p  # pair predicate rides an equi-join output
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_event_transitions_window_is_user_partitioned(spark):
+    # the lag window must be keyed by user — a global ORDER BY over
+    # the event stream would be the single-partition scale trap
+    df = Q.QUERIES["t_event_transitions"](spark, SF_ORACLE)
+    p = X.plan(df)
+    assert "user_id" in p
+    # every Window operator line that mentions lag must carry a
+    # partition spec (no empty PARTITION BY over the fact stream)
+    for line in p.splitlines():
+        if "lag(" in line and "windowspecdefinition" in line:
+            assert "user_id" in line, line
+
+
+def test_bootstrap_expansion_aggregates_map_side(spark):
+    # the R-replica expansion must reduce through a partial
+    # aggregation (map-side combine) before the R-group exchange —
+    # the shuffle carries ~R rows per input partition, not 100x rows
+    df = Q.QUERIES["stat_bootstrap_ci"](spark, SF_ORACLE)
+    p = X.plan(df)
+    assert p.count("HashAggregate") >= 2, p[:2000]
+    assert "CartesianProduct" not in p
+
+
+def test_degree_stats_scan_is_pruned_to_edge_columns(spark):
+    df = Q.QUERIES["g_degree_stats"](spark, SF_ORACLE)
+    cols = set(X.read_schema_columns(df))
+    assert cols <= {"l_partkey", "l_suppkey"}, repr(cols)
