@@ -85,3 +85,37 @@ def test_refresh_swap_keeps_single_view_dir(spark, tmp_path):
     ivm.refresh_agg_view(spark, path, _rows_df(spark, [("a", 1.0)]), ["k"], ["v"])
     sibs = sorted(os.listdir(tmp_path))
     assert sibs == ["view3"]  # no tmp/old dirs left behind
+
+
+def test_streaming_view_maintenance_converges_to_batch(spark, tmp_path):
+    # three CDC file drops streamed through foreachBatch refreshes:
+    # the final view must equal one batch aggregation of the live rows
+    import time as _time
+
+    src = str(tmp_path / "cdc")
+    drops = [
+        [("a", 1.0, "I"), ("b", 10.0, "I")],
+        [("a", 2.0, "I"), ("b", 10.0, "D"), ("c", 5.0, "I")],
+        [("c", 5.0, "D"), ("c", 7.0, "I"), ("a", 1.0, "D")],
+    ]
+    for rows in drops:
+        _cdc_df(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    path = str(tmp_path / "sview")
+    ivm.init_agg_view(
+        _rows_df(spark, []).limit(0), path, ["k"], ["v"]
+    )
+    stream = (
+        spark.readStream.schema("k string, v double, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ivm.maintain_view_stream(
+        stream, path, ["k"], ["v"], op_col="op",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    live = [("a", 2.0), ("c", 7.0)]  # b fully deleted, a: one I survives
+    assert _got(spark, path) == _expect(spark, live)
