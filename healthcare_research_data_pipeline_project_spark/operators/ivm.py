@@ -62,6 +62,7 @@ def refresh_agg_view(
     keys: list[str],
     measures: list[str],
     op_col: str | None = None,
+    batch_id: int | str | None = None,
 ) -> DataFrame:
     """Merge a change batch into the stored view.
 
@@ -69,7 +70,15 @@ def refresh_agg_view(
     'I'/'D' markers (CDC feed): deletes contribute −1/−value. Keys
     whose count reaches 0 leave the view. Work is delta-sized: one
     aggregation of the batch + an outer merge on the view key.
+
+    `batch_id` enables exactly-once semantics under at-least-once
+    redelivery (foreachBatch retries, replayed CDC segments): applied
+    ids live as marker files INSIDE the view directory, committed by
+    the same rename that publishes the merged data, so a redelivered
+    batch finds its id and no-ops instead of double-applying.
     """
+    if batch_id is not None and _ledger_has(view_path, batch_id):
+        return spark.read.parquet(view_path)
     sign = (
         F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
         if op_col
@@ -104,6 +113,10 @@ def refresh_agg_view(
     )
     tmp = view_path.rstrip("/") + ".__refresh_tmp"
     merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        # ledger and data commit in the same rename: a crash before
+        # the swap leaves neither, a crash after leaves both
+        _ledger_copy_into(view_path, tmp, batch_id)
     # atomic-enough swap for a local/posix view store; an object-store
     # deployment versions directories and flips a manifest instead
     old_dir = view_path.rstrip("/") + ".__old"
@@ -112,6 +125,32 @@ def refresh_agg_view(
     os.rename(tmp, view_path)
     shutil.rmtree(old_dir, ignore_errors=True)
     return spark.read.parquet(view_path)
+
+
+_LEDGER = "_applied_batches"
+
+
+def _ledger_dir(view_path: str) -> str:
+    return os.path.join(view_path.rstrip("/"), _LEDGER)
+
+
+def _ledger_has(view_path: str, batch_id: int | str) -> bool:
+    return os.path.exists(os.path.join(_ledger_dir(view_path), str(batch_id)))
+
+
+def _ledger_copy_into(
+    view_path: str, tmp_dir: str, batch_id: int | str
+) -> None:
+    """Carry the existing ledger into the about-to-be-published view
+    dir and add this batch's marker (empty files — O(batches) names,
+    compactable by retention)."""
+    dst = os.path.join(tmp_dir.rstrip("/"), _LEDGER)
+    os.makedirs(dst, exist_ok=True)
+    src = _ledger_dir(view_path)
+    if os.path.isdir(src):
+        for name in os.listdir(src):
+            open(os.path.join(dst, name), "a").close()
+    open(os.path.join(dst, str(batch_id)), "a").close()
 
 
 def read_agg_view(
@@ -152,9 +191,10 @@ def maintain_view_stream(
     the merge needs to read and atomically replace an external parquet
     view, which is a batch-side effect per micro-batch, exactly the
     contract foreachBatch exists for. Checkpointing makes redelivery
-    at-least-once; refresh idempotence across retries would need a
-    batch-id ledger next to the view (noted, not implemented — the
-    swap protocol is where it would hook in).
+    at-least-once; the per-batch ledger inside `refresh_agg_view`
+    (batch_id passed from foreachBatch) upgrades that to exactly-once:
+    a redelivered micro-batch finds its id already committed and
+    no-ops.
 
     Returns the started StreamingQuery (availableNow-compatible)."""
     spark = delta_stream.sparkSession
@@ -163,7 +203,8 @@ def maintain_view_stream(
         if batch_df.isEmpty():
             return
         refresh_agg_view(
-            spark, view_path, batch_df, keys, measures, op_col=op_col
+            spark, view_path, batch_df, keys, measures, op_col=op_col,
+            batch_id=_batch_id,
         )
 
     writer = delta_stream.writeStream.foreachBatch(_merge).trigger(

@@ -119,3 +119,19 @@ def test_streaming_view_maintenance_converges_to_batch(spark, tmp_path):
 
     live = [("a", 2.0), ("c", 7.0)]  # b fully deleted, a: one I survives
     assert _got(spark, path) == _expect(spark, live)
+
+
+def test_batch_id_ledger_makes_refresh_idempotent(spark, tmp_path):
+    path = str(tmp_path / "view4")
+    ivm.init_agg_view(_rows_df(spark, [("a", 1.0)]), path, ["k"], ["v"])
+    d = _rows_df(spark, [("a", 2.0)])
+    ivm.refresh_agg_view(spark, path, d, ["k"], ["v"], batch_id=7)
+    # redelivery of the SAME batch id must be a no-op
+    ivm.refresh_agg_view(spark, path, d, ["k"], ["v"], batch_id=7)
+    assert _got(spark, path) == _expect(spark, [("a", 1.0), ("a", 2.0)])
+    # a new id applies, and the ledger carries forward across swaps
+    ivm.refresh_agg_view(spark, path, d, ["k"], ["v"], batch_id=8)
+    ivm.refresh_agg_view(spark, path, d, ["k"], ["v"], batch_id=7)
+    assert _got(spark, path) == _expect(
+        spark, [("a", 1.0), ("a", 2.0), ("a", 2.0)]
+    )
