@@ -93,10 +93,26 @@ def refresh_agg_view(
         ],
     )
     old = spark.read.parquet(view_path)
+    # null-safe key equality: a NULL grouping key is one group in the
+    # aggregation, so it must be ONE row in the merge too (plain `=`
+    # never matches NULLs and would fork a duplicate null-key row per
+    # refresh)
+    pren = partial.select(
+        *[F.col(k).alias(f"__p_{k}") for k in keys],
+        "__d_cnt",
+        *[F.col(f"__d_{c}") for c in _sum_cols(measures)],
+    )
+    cond = None
+    for k in keys:
+        c_eq = old[k].eqNullSafe(pren[f"__p_{k}"])
+        cond = c_eq if cond is None else (cond & c_eq)
     merged = (
-        old.join(partial, keys, "full_outer")
+        old.join(pren, cond, "full_outer")
         .select(
-            *keys,
+            *[
+                F.coalesce(old[k], pren[f"__p_{k}"]).alias(k)
+                for k in keys
+            ],
             (
                 F.coalesce("__cnt", F.lit(0))
                 + F.coalesce("__d_cnt", F.lit(0))

@@ -135,3 +135,22 @@ def test_batch_id_ledger_makes_refresh_idempotent(spark, tmp_path):
     assert _got(spark, path) == _expect(
         spark, [("a", 1.0), ("a", 2.0), ("a", 2.0)]
     )
+
+
+def test_null_grouping_key_merges_as_one_group(spark, tmp_path):
+    # NULL is one group in aggregation, so it must be one row in the
+    # view after every refresh (plain = joins would fork duplicates)
+    path = str(tmp_path / "view5")
+    ivm.init_agg_view(
+        spark.createDataFrame([(None, 1.0), ("a", 2.0)], "k string, v double"),
+        path, ["k"], ["v"],
+    )
+    ivm.refresh_agg_view(
+        spark, path,
+        spark.createDataFrame([(None, 4.0)], "k string, v double"),
+        ["k"], ["v"],
+    )
+    rows = ivm.read_agg_view(spark, path, ["v"]).collect()
+    nulls = [r for r in rows if r["k"] is None]
+    assert len(nulls) == 1
+    assert nulls[0]["cnt"] == 2 and nulls[0]["sum_v"] == 5.0
