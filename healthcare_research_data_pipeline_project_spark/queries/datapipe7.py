@@ -409,10 +409,14 @@ def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n1") * (2 * F.col("cum") + F.col("t") + 1))
         .cast("long")
         .alias("r1_half"),
+        # t³ breaches BIGINT once a tie group passes ~2M rows (well
+        # inside 100 TB territory): accumulate in DECIMAL(38,0), the
+        # HUGEINT twin of DuckDB's automatic promotion
         F.sum(
-            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
         )
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("tie_term"),
     )
     u1_half = F.col("r1_half") - F.col("n1t") * (F.col("n1t") + 1)
