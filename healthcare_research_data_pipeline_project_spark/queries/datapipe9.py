@@ -206,3 +206,79 @@ def stat_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tstat, 4).cast("double").alias("t_stat"),
         F.round(mean_diff_cents / 100.0, 2).cast("double").alias("mean_diff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations report over the orders feed: row-level
+# rules compile into ONE scan (SUM(CASE) per rule), uniqueness into a
+# key aggregate, referential integrity into a key-distinct left join —
+# the generic engine behind the reference's hand-written quality SQL
+# (healthcare-sql-analytics.sql:700-779). Every branch of the
+# UNION'd report is SQL-expressible, so the whole engine is oracled.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_expectations_orders",
+    """
+    WITH rowrules AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS v_key_null,
+        CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND NOT (o_totalprice >= 0 AND o_totalprice <= 1000000)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+        CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v_prio
+      FROM orders
+    ),
+    uniq AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c - 1) AS BIGINT) AS v
+      FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+    ),
+    refr AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND k IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM orders LEFT JOIN
+           (SELECT DISTINCT c_custkey AS k FROM customer) d
+        ON o_custkey = d.k
+    )
+    SELECT rule, n_rows, n_violations, n_violations = 0 AS pass
+    FROM (
+      SELECT 'o_orderkey_not_null' AS rule, n AS n_rows,
+             v_key_null AS n_violations FROM rowrules
+      UNION ALL SELECT 'o_totalprice_in_range', n, v_price FROM rowrules
+      UNION ALL SELECT 'o_orderstatus_in_set', n, v_status FROM rowrules
+      UNION ALL SELECT 'o_orderpriority_regex', n, v_prio FROM rowrules
+      UNION ALL SELECT 'o_orderkey_unique', n, v FROM uniq
+      UNION ALL SELECT 'o_custkey_ref_c_custkey', n, v FROM refr
+    )
+    ORDER BY rule
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import expectations as E
+
+    t = load_tables(spark, sf_dir)
+    report = (
+        E.validate_rows(
+            t.orders,
+            [
+                E.expect_not_null("o_orderkey"),
+                E.expect_in_range("o_totalprice", 0, 1_000_000),
+                E.expect_in_set("o_orderstatus", ["O", "F", "P"]),
+                E.expect_regex("o_orderpriority", r"^[1-5]-"),
+            ],
+        )
+        .unionByName(E.validate_unique(t.orders, ["o_orderkey"]))
+        .unionByName(
+            E.validate_ref(t.orders, "o_custkey", t.customer, "c_custkey")
+        )
+    )
+    return report.orderBy("rule")
