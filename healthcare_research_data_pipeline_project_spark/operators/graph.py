@@ -406,3 +406,105 @@ def pagerank(
             base_nodes.unpersist()
         except NameError:  # failed before the persist
             pass
+
+
+def _driver_kcore(spark, edge_rows, k: int) -> DataFrame:
+    """Exact in-memory k-core peel — the small-graph fast path."""
+    from collections import defaultdict
+
+    adj: dict[int, set[int]] = defaultdict(set)
+    for u, v in edge_rows:
+        u, v = int(u), int(v)
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for node in [n for n, nb in adj.items() if len(nb) < k]:
+            for nb in adj.pop(node):
+                adj[nb].discard(node)
+            changed = True
+    rows = [(n, len(nb)) for n, nb in adj.items()]
+    return spark.createDataFrame(rows, "node long, core_degree long")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    small_graph_threshold: int = 100_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Nodes of the k-core of the undirected graph `edges`: the
+    maximal subgraph where every node keeps degree ≥ k. Returns
+    (node, core_degree) — degree within the core.
+
+    The distributed loop is iterative peeling: each round drops nodes
+    whose surviving degree < k and recomputes degrees over the
+    surviving edge set (one join + one aggregation per round; rounds
+    bounded by the peeling depth). Same storage discipline as
+    connected_components/pagerank: surviving nodes spill to
+    alternating parquet dirs, the symmetric edge list persists once,
+    the driver sees only the changed-count scalar. Raises on
+    non-convergence (a truncated peel returns a SUPERSET of the core —
+    silently wrong for dedup-keeper or spam-ring analyses).
+
+    Small graphs take an exact in-memory peel (same doctrine as the
+    other iterative graph ops), equivalence-tested against the forced
+    distributed loop."""
+    spark = edges.sparkSession
+    probe = edges.select(
+        F.col(src).cast("long"), F.col(dst).cast("long")
+    ).limit(small_graph_threshold + 1).collect()
+    if len(probe) <= small_graph_threshold:
+        return _driver_kcore(spark, [(r[0], r[1]) for r in probe], k)
+
+    base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_kcore_")
+    ping = [os.path.join(base, "alive_a"), os.path.join(base, "alive_b")]
+
+    sym = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    sym = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().persist()
+    try:
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        deg.select(F.col("u").alias("node")).filter(
+            F.col("node").isNotNull()
+        ).write.mode("overwrite").parquet(ping[0])
+        alive = spark.read.parquet(ping[0])
+        for i in range(max_iter):
+            # surviving edges: both endpoints alive; recompute degree
+            e = (
+                sym.join(alive, sym["u"] == alive["node"]).drop("node")
+                .join(
+                    alive.withColumnRenamed("node", "vv"),
+                    F.col("v") == F.col("vv"),
+                )
+                .drop("vv")
+            )
+            surv = e.groupBy("u").agg(F.count(F.lit(1)).alias("d")).filter(
+                F.col("d") >= k
+            )
+            dest = ping[(i + 1) % 2]
+            surv.select(F.col("u").alias("node"), "d").write.mode(
+                "overwrite"
+            ).parquet(dest)
+            new_alive = spark.read.parquet(dest)
+            n_old = alive.count()
+            n_new = new_alive.count()
+            alive = new_alive.select("node")
+            if n_new == n_old:
+                return new_alive.select(
+                    "node", F.col("d").cast("long").alias("core_degree")
+                )
+        raise RuntimeError(
+            f"kcore did not converge in {max_iter} rounds — raise "
+            "max_iter; a truncated peel over-approximates the core"
+        )
+    finally:
+        sym.unpersist()

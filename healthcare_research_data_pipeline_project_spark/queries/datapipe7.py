@@ -860,3 +860,39 @@ def dedup_semantic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(
         blocked, threshold=_TRI_T, block_col="cid"
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Dense near-duplicate regions: the k-core of the thresholded cosine
+# graph — nodes that keep ≥ k similar neighbors after cascading
+# removal (the template-farm / spam-ring shape; a pair or small chain
+# is normal duplication, a surviving core is systematic). The graph
+# thresholds at 0.25 — looser than the near-dup pair cut (0.35, which
+# on this corpus yields a near-perfect matching: no cycles at all) —
+# and k=2 keeps exactly the nodes on similarity cycles. Iterative
+# peel (operators/graph.py::kcore, adaptive driver/distributed): not
+# SQL-expressible → rows-only; tests pin peel semantics and the
+# forced-distributed equivalence.
+# ---------------------------------------------------------------------------
+
+
+@register("g_kcore_dense_region")
+def g_kcore_dense_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    t = load_tables(spark, sf_dir)
+    e = S.embedding_near_dup_pairs(t.embeddings, threshold=0.25).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    core = kcore(e, k=2)
+    lab = t.embeddings.select(F.col("vec_id").alias("node"), "label")
+    return (
+        core.join(lab, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_core_nodes"),
+            F.min("core_degree").cast("long").alias("min_core_degree"),
+            F.max("core_degree").cast("long").alias("max_core_degree"),
+        )
+        .orderBy("label")
+    )

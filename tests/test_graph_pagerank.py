@@ -100,3 +100,42 @@ def test_pagerank_centrality_query_runs(spark):
     for poss in by_label.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
         assert len(poss) <= 3
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+from healthcare_research_data_pipeline_project_spark.operators.graph import (  # noqa: E402
+    kcore,
+)
+
+
+def test_kcore_peels_tail_keeps_triangle(spark):
+    # triangle 0-1-2 plus a tail 0-3: the 2-core is the triangle,
+    # every member at core-degree 2; node 3 peels away
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (0, 3)])
+    got = {r["node"]: r["core_degree"] for r in kcore(e, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    # the 3-core of the same graph is empty
+    assert kcore(e, k=3).collect() == []
+
+
+def test_kcore_cascading_peel(spark):
+    # a chain 0-1-2-3-4: 2-core empty (peeling cascades end-in)
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    assert kcore(e, k=2).collect() == []
+    # 1-core keeps everyone
+    got = kcore(e, k=1).collect()
+    assert {r["node"] for r in got} == {0, 1, 2, 3, 4}
+
+
+def test_kcore_distributed_matches_driver(spark):
+    # clique of 4 + pendant chain; force the distributed peel and pin
+    # it against the in-memory fast path
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    e = _edges(spark, clique + [(3, 10), (10, 11)])
+    fast = {r["node"]: r["core_degree"]
+            for r in kcore(e, k=3).collect()}
+    dist = {r["node"]: r["core_degree"]
+            for r in kcore(e, k=3, small_graph_threshold=0).collect()}
+    assert fast == dist == {0: 3, 1: 3, 2: 3, 3: 3}
