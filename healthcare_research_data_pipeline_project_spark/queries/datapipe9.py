@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.helpers import duck_round_div, duck_sum_cents
 from ..functions.text import duck_hash64, hash64_expr
 from ..tables import load_tables
 from . import register
@@ -282,3 +283,130 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report.orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# Seasonality-adjusted anomaly detection: divide each day's revenue by
+# its ISO-weekday seasonal index (the t_seasonal_profile rationals),
+# then z-score the adjusted series — so a strong-but-normal Saturday
+# stops masking a genuinely anomalous Tuesday. Determinism doctrine:
+# the seasonal index and the adjusted values are exact-rational
+# roundings (round_div / single float div of exact doubles, re-rounded
+# to 2 dp), the adjusted series is then summed as DECIMAL (exact,
+# order-free), and only the terminal (x−μ)/σ chain is float. One fact
+# shuffle; everything downstream is day-frame sized.
+# ---------------------------------------------------------------------------
+_SEAS_Z = 2.0
+
+
+@register(
+    "t_seasonal_anomaly",
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             {duck_sum_cents('o_totalprice')} AS cents
+      FROM orders GROUP BY 1
+    ),
+    marked AS (SELECT d, isodow(d) AS dow, cents FROM daily),
+    g AS (SELECT CAST(SUM(cents) AS BIGINT) AS gc,
+                 CAST(COUNT(*) AS BIGINT) AS gn FROM marked),
+    prof AS (
+      SELECT dow,
+             {duck_round_div("SUM(cents) * (SELECT gn FROM g)",
+                             "COUNT(*) * (SELECT gc FROM g)", 4)} AS si
+      FROM marked GROUP BY dow
+    ),
+    adj AS (
+      SELECT m.d, m.dow, m.cents,
+             CAST(ROUND((m.cents / 100.0) / si, 2) AS DECIMAL(18,2)) AS a
+      FROM marked m JOIN prof USING (dow)
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) * 100 AS BIGINT) AS sa,
+             SUM(CAST(a * 100 AS HUGEINT) * CAST(a * 100 AS HUGEINT)) AS ssa
+      FROM adj
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, CAST(dow AS INT) AS dow,
+           CAST(cents / 100.0 AS DOUBLE) AS daily_revenue,
+           CAST(a AS DOUBLE) AS adjusted,
+           CAST(ROUND(
+             (CAST(a AS DOUBLE) - CAST(sa AS DOUBLE) / n / 100.0)
+             / sqrt((CAST(ssa AS DOUBLE) / n
+                     - (CAST(sa AS DOUBLE) / n) * (CAST(sa AS DOUBLE) / n))
+                    / 10000.0),
+             4) AS DOUBLE) AS z
+    FROM adj, stats
+    WHERE abs(
+            (CAST(a AS DOUBLE) - CAST(sa AS DOUBLE) / n / 100.0)
+            / sqrt((CAST(ssa AS DOUBLE) / n
+                    - (CAST(sa AS DOUBLE) / n) * (CAST(sa AS DOUBLE) / n))
+                   / 10000.0)
+          ) >= {_SEAS_Z}
+    ORDER BY day
+    """,
+)
+def t_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import round_div, sum_cents
+
+    t = load_tables(spark, sf_dir)
+    daily = t.orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        sum_cents("o_totalprice").alias("cents")
+    )
+    # the tiny daily frame feeds THREE consumers (global stats, the
+    # dow profile, and the join-back): persist so the fact scan +
+    # daily aggregate run once
+    marked = daily.select(
+        "d", (F.weekday("d") + 1).alias("dow"), "cents"
+    ).persist()
+    g = marked.agg(
+        F.sum("cents").cast("long").alias("gc"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+    )
+    prof = (
+        marked.groupBy("dow")
+        .agg(F.count(F.lit(1)).alias("nd"), F.sum("cents").alias("c"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "dow",
+            round_div(
+                F.col("c").cast("decimal(38,0)") * F.col("gn"),
+                F.col("nd").cast("decimal(38,0)") * F.col("gc"),
+                "si",
+                4,
+            ),
+        )
+    )
+    adj = marked.join(F.broadcast(prof), "dow").select(
+        "d",
+        "dow",
+        "cents",
+        F.round((F.col("cents") / 100.0) / F.col("si"), 2)
+        .cast("decimal(18,2)")
+        .alias("a"),
+    )
+    a100 = (F.col("a") * 100).cast("decimal(38,0)")
+    stats = adj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("a") * 100).cast("long").alias("sa"),
+        F.sum(a100 * a100).alias("ssa"),
+    )
+    j = adj.crossJoin(F.broadcast(stats))
+    mean = F.col("sa").cast("double") / F.col("n") / 100.0
+    var = (
+        F.col("ssa").cast("double") / F.col("n")
+        - (F.col("sa").cast("double") / F.col("n"))
+        * (F.col("sa").cast("double") / F.col("n"))
+    ) / 10000.0
+    z = (F.col("a").cast("double") - mean) / F.sqrt(var)
+    return (
+        j.filter(F.abs(z) >= _SEAS_Z)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dow").cast("int").alias("dow"),
+            (F.col("cents") / 100.0).cast("double").alias("daily_revenue"),
+            F.col("a").cast("double").alias("adjusted"),
+            F.round(z, 4).cast("double").alias("z"),
+        )
+        .orderBy("day")
+    )
