@@ -410,3 +410,104 @@ def t_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy re-identification audits — the quantitative side of the
+# PII-masking family (healthcare/security.py; reference
+# healthcare-etl-security.py surface). k-anonymity: every
+# quasi-identifier combination must be shared by ≥ k rows, or the
+# row is re-identifiable; the audit reports the violating classes and
+# the suppression cost. l-diversity: within each quasi-identifier
+# class the sensitive attribute must take ≥ l distinct values, or
+# membership alone leaks it. Both are single aggregations over the
+# quasi-identifier key (map-side partials; the sensitive-distinct is
+# a two-level aggregate) — audit cost is one shuffle at any scale.
+# ---------------------------------------------------------------------------
+_K_ANON = 5
+_L_DIV = 3
+
+
+@register(
+    "dq_k_anonymity",
+    f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN sz < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_classes,
+           CAST(SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_to_suppress,
+           CAST(MIN(sz) AS BIGINT) AS min_class_size,
+           {duck_round_div(
+               f"SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END) * 100",
+               "SUM(sz)", 4)} AS suppression_pct
+    FROM cls
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.helpers import round_div
+
+    t = load_tables(spark, sf_dir)
+    cls = t.customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    viol = F.when(F.col("sz") < _K_ANON, F.col("sz")).otherwise(0)
+    return cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum((F.col("sz") < _K_ANON).cast("int"))
+        .cast("long")
+        .alias("violating_classes"),
+        F.sum(viol).cast("long").alias("rows_to_suppress"),
+        F.min("sz").cast("long").alias("min_class_size"),
+        round_div(F.sum(viol) * 100, F.sum("sz"), "suppression_pct", 4),
+    )
+
+
+@register(
+    "dq_l_diversity",
+    f"""
+    WITH joined AS (
+      SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS sensitive
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS sz,
+             COUNT(DISTINCT sensitive) AS n_distinct
+      FROM joined GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN n_distinct < {_L_DIV} THEN 1 ELSE 0 END)
+                AS BIGINT) AS violating_classes,
+           CAST(MIN(n_distinct) AS BIGINT) AS min_diversity,
+           CAST(SUM(CASE WHEN n_distinct < {_L_DIV} THEN sz ELSE 0 END)
+                AS BIGINT) AS exposed_rows
+    FROM cls
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    joined = t.orders.join(
+        t.customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        "c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("sens")
+    )
+    cls = joined.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct("sens").alias("n_distinct"),
+    )
+    return cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum((F.col("n_distinct") < _L_DIV).cast("int"))
+        .cast("long")
+        .alias("violating_classes"),
+        F.min("n_distinct").cast("long").alias("min_diversity"),
+        F.sum(
+            F.when(F.col("n_distinct") < _L_DIV, F.col("sz")).otherwise(0)
+        )
+        .cast("long")
+        .alias("exposed_rows"),
+    )
