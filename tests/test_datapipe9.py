@@ -76,3 +76,59 @@ def test_welch_shifted_group_hand_value(spark):
     r = _with_tables(spark, {"lineitem": li}, "stat_ttest_welch")[0]
     assert r["mean_diff"] == -3.0
     assert r["t_stat"] == pytest.approx(-3.6742, abs=1e-4)
+
+
+def test_seasonal_anomaly_flags_break_not_seasonality(spark):
+    import datetime as _dt
+
+    # Mondays always 100, Tuesdays always 100 — except ONE Tuesday at
+    # 200 and one at 2: the breaks must flag, the steady days must not
+    rows = []
+    d = _dt.datetime(2024, 1, 1)  # a Monday
+    for week in range(12):
+        rows.append((d + _dt.timedelta(days=7 * week), 100.0))       # Mon
+        rows.append((d + _dt.timedelta(days=7 * week + 1), 100.0))   # Tue
+    rows[5] = (rows[5][0], 200.0)   # one anomalous Tuesday up
+    rows[11] = (rows[11][0], 2.0)   # one anomalous day down
+    orders = spark.createDataFrame(
+        rows, "o_orderdate timestamp, o_totalprice double"
+    )
+    got = _with_tables(spark, {"orders": orders}, "t_seasonal_anomaly")
+    flagged = {r["day"] for r in got}
+    assert str(rows[5][0].date()) in flagged
+    assert str(rows[11][0].date()) in flagged
+    assert len(flagged) == 2  # steady days never flag
+    by_day = {r["day"]: r for r in got}
+    assert by_day[str(rows[5][0].date())]["z"] > 0
+    assert by_day[str(rows[11][0].date())]["z"] < 0
+
+
+def test_k_anonymity_hand_case(spark):
+    # class (1, X): 5 rows (safe at k=5); class (2, Y): 2 rows
+    # (violating) → 2 rows to suppress out of 7
+    rows = [(1, "X")] * 5 + [(2, "Y")] * 2
+    cust = spark.createDataFrame(
+        rows, "c_nationkey int, c_mktsegment string"
+    )
+    r = _with_tables(spark, {"customer": cust}, "dq_k_anonymity")[0]
+    assert (r["n_classes"], r["violating_classes"]) == (2, 1)
+    assert (r["rows_to_suppress"], r["min_class_size"]) == (2, 2)
+    assert r["suppression_pct"] == pytest.approx(2 * 100 / 7, abs=1e-3)
+
+
+def test_l_diversity_hand_case(spark):
+    cust = spark.createDataFrame(
+        [(10, 1, "X"), (20, 2, "Y")],
+        "c_custkey long, c_nationkey int, c_mktsegment string",
+    )
+    # class (1,X): 3 distinct priorities (safe at l=3);
+    # class (2,Y): 2 orders, 1 distinct (violating, 2 exposed rows)
+    orders = spark.createDataFrame(
+        [(10, "1-a"), (10, "2-b"), (10, "3-c"), (20, "1-a"), (20, "1-a")],
+        "o_custkey long, o_orderpriority string",
+    )
+    r = _with_tables(
+        spark, {"customer": cust, "orders": orders}, "dq_l_diversity"
+    )[0]
+    assert (r["n_classes"], r["violating_classes"]) == (2, 1)
+    assert (r["min_diversity"], r["exposed_rows"]) == (1, 2)
