@@ -114,6 +114,7 @@ def load_all() -> None:
         datapipe7,
         datapipe8,
         datapipe9,
+        datapipe10,
         extended,
         scale,
     )

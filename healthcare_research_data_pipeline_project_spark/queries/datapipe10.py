@@ -1,0 +1,206 @@
+"""Training-data pipeline corpus, part 10: the privacy triad's third
+leg and sequence-pattern mining.
+
+`dq_t_closeness`: completes k-anonymity / l-diversity (datapipe9) —
+even a diverse class leaks if its sensitive-value DISTRIBUTION skews
+far from the population's. Per quasi-identifier class, total
+variation distance TVD = ½·Σ_s |p_class(s) − p_global(s)| over the
+FULL sensitive domain (absent values contribute their global mass —
+the grid is completed explicitly, classes × |domain|, a bounded
+frame). Determinism doctrine: each |p−q| term is a float of exact
+integer ratios rounded to 8 dp and cast DECIMAL(18,8), so the
+cross-term sum is exact and order-free; one fact shuffle for the
+counts, everything else bounded.
+
+`t_event_pattern_match`: MATCH_RECOGNIZE-lite — each user's event
+stream compresses to a journey string of type initials (ordered by
+ts, event_id; initials are distinct for this domain), and behavioral
+cohorts are regex matches over the journeys: repeated errors,
+signup-first, view-then-purchase, error-immediately-before-purchase.
+One shuffle to assemble journeys (per-user lists, bounded by per-user
+activity — at 100 TB you'd sessionize first, the same shape per
+session); the pattern battery is a map-side projection over the
+user frame.
+
+Reference parity: privacy extends healthcare/security.py's masking
+family with the re-identification metrics HIPAA de-identification
+review actually uses; pattern matching extends the patient-flow/
+funnel family (healthcare-sql-analytics.sql:640-698).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.helpers import duck_round_div, round_div
+from ..tables import load_tables
+from . import register
+
+_TCLOSE_T = 0.2
+
+
+@register(
+    "dq_t_closeness",
+    f"""
+    WITH joined AS (
+      SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS s
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM joined),
+    gs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS ns FROM joined GROUP BY s),
+    cls AS (SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS nc
+            FROM joined GROUP BY c_nationkey, c_mktsegment),
+    cs AS (SELECT c_nationkey, c_mktsegment, s, CAST(COUNT(*) AS BIGINT) AS ncs
+           FROM joined GROUP BY c_nationkey, c_mktsegment, s),
+    grid AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.nc, gs.s, gs.ns,
+             COALESCE(cs.ncs, 0) AS ncs
+      FROM cls CROSS JOIN gs
+      LEFT JOIN cs ON cs.c_nationkey = cls.c_nationkey
+                  AND cs.c_mktsegment = cls.c_mktsegment
+                  AND cs.s = gs.s
+    ),
+    terms AS (
+      SELECT c_nationkey, c_mktsegment, nc,
+             CAST(ROUND(abs(CAST(ncs AS DOUBLE) / nc
+                            - CAST(ns AS DOUBLE) / (SELECT n FROM g)), 8)
+                  AS DECIMAL(18,8)) AS term
+      FROM grid
+    )
+    SELECT CAST(c_nationkey AS INT) AS c_nationkey, c_mktsegment,
+           CAST(MAX(nc) AS BIGINT) AS n_rows,
+           CAST(ROUND(CAST(SUM(term) AS DOUBLE) / 2, 4) AS DOUBLE) AS tvd,
+           CAST(ROUND(CAST(SUM(term) AS DOUBLE) / 2, 4) AS DOUBLE)
+             > {_TCLOSE_T} AS violating
+    FROM terms
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    joined = t.orders.join(
+        t.customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        "c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("s")
+    ).persist()  # four aggregation consumers of the same join
+    g = joined.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    gs = joined.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    cls = joined.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("nc")
+    )
+    cs = joined.groupBy("c_nationkey", "c_mktsegment", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("ncs")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(gs))
+        .join(
+            cs,
+            ["c_nationkey", "c_mktsegment", "s"],
+            "left",
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "nc",
+            F.round(
+                F.abs(
+                    F.coalesce("ncs", F.lit(0)).cast("double") / F.col("nc")
+                    - F.col("ns").cast("double") / F.col("n")
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("term"),
+        )
+    )
+    tvd = F.round(F.sum("term").cast("double") / 2, 4).cast("double")
+    return (
+        grid.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.max("nc").cast("long").alias("n_rows"),
+            tvd.alias("tvd"),
+            (tvd > _TCLOSE_T).alias("violating"),
+        )
+        .select(
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            "c_mktsegment",
+            "n_rows",
+            "tvd",
+            "violating",
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Journey-string pattern battery.
+# ---------------------------------------------------------------------------
+_PATTERNS = {
+    "double_error": "ee",
+    "signup_first": "^s",
+    "view_then_purchase": "v.*p",
+    "error_before_purchase": "ep",
+}
+
+
+@register(
+    "t_event_pattern_match",
+    f"""
+    WITH j AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id,
+             {", ".join(
+                 f"CASE WHEN regexp_matches(journey, '{rx}') THEN 1 ELSE 0 END"
+                 f" AS m_{name}"
+                 for name, rx in _PATTERNS.items())}
+      FROM j
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           {", ".join(
+               f"CAST(SUM(m_{name}) AS BIGINT) AS {name}, "
+               + duck_round_div(f"SUM(m_{name}) * 100", "COUNT(*)", 2)
+               + f" AS {name}_pct"
+               for name in _PATTERNS)}
+    FROM m
+    """,
+)
+def t_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    j = (
+        t.events.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1)
+                     .alias("i")).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda s: s["i"]
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    flags = [
+        F.col("journey").rlike(rx).cast("int").alias(f"m_{name}")
+        for name, rx in _PATTERNS.items()
+    ]
+    m = j.select(*flags)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_users")]
+    for name in _PATTERNS:
+        aggs.append(F.sum(f"m_{name}").cast("long").alias(name))
+        aggs.append(
+            round_div(
+                F.sum(f"m_{name}") * 100, F.count(F.lit(1)), f"{name}_pct", 2
+            )
+        )
+    return m.agg(*aggs)
