@@ -204,3 +204,81 @@ def t_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return m.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest same-type run per user — the classic
+# value-change islands pattern (distinct from time-gap sessionization,
+# which events_sessionize covers). Island ids come from the
+# change-flag running sum; both windows are PARTITIONED BY user
+# (per-entity frames, never a global stream sort). The final
+# aggregate reports, per event_type, the longest run anywhere and how
+# many users achieve a run ≥ 3.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_run_length_islands",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM s
+    ),
+    runs AS (
+      SELECT user_id, event_type, island, COUNT(*) AS run_len
+      FROM isl GROUP BY user_id, event_type, island
+    )
+    SELECT event_type,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           CAST(COUNT(DISTINCT CASE WHEN run_len >= 3 THEN user_id END)
+                AS BIGINT) AS users_with_streak3
+    FROM runs
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def t_run_length_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = t.events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    isl = s.withColumn("island", F.sum("chg").over(wrun))
+    runs = isl.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.max("run_len").cast("long").alias("longest_run"),
+            F.countDistinct(
+                F.when(F.col("run_len") >= 3, F.col("user_id"))
+            )
+            .cast("long")
+            .alias("users_with_streak3"),
+        )
+        .orderBy("event_type")
+    )
