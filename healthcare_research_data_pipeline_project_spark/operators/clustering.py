@@ -178,6 +178,8 @@ def kmeans(
         .limit(driver_train_threshold + 1)
         .collect()
     )
+    if not probe:
+        raise ValueError("kmeans requires a non-empty input frame")
     if len(probe) <= driver_train_threshold:
         centroids, history = _driver_kmeans(probe, k, max_iter, tol)
         return assign(df, centroids, vec_col, id_col), centroids, history

@@ -395,6 +395,8 @@ def train_pq_codebooks(
     ).collect()
     if not sample:  # degenerate tiny inputs: train on everything
         sample = emb.select(F.col(id_col), F.col(vec_col)).collect()
+    if not sample:
+        raise ValueError("train_pq_codebooks requires a non-empty frame")
     dim = len(sample[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

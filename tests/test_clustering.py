@@ -144,3 +144,11 @@ def test_semantic_blocks_find_identical_vectors(spark):
         for r in QUERIES["dedup_semantic_blocks"](spark, SF_SMOKE).collect()
     }
     assert again == ids
+
+
+def test_empty_input_raises_cleanly(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="non-empty"):
+        kmeans(empty, k=3)

@@ -111,3 +111,9 @@ def test_pq_refine_recall_vs_brute_force(spark, emb):
                 for a, b in zip(vecs[0], vecs[r["cid"]])
             )
             assert r["dist"] == pytest.approx(d, abs=1e-5)
+
+
+def test_pq_train_empty_input_raises_cleanly(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="non-empty"):
+        S.train_pq_codebooks(empty, m=8, ksub=16)
