@@ -56,6 +56,8 @@ def expect_regex(col: str, pattern: str) -> Rule:
 def validate_rows(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """All row-level rules in one scan: (rule, n_rows, n_violations,
     pass). `pass` is true iff no row violates."""
+    if not rules:
+        raise ValueError("validate_rows requires at least one rule")
     agg = df.agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         *[

@@ -67,9 +67,13 @@ def _pois_case(u: str) -> str:
       CROSS JOIN (SELECT unnest(generate_series(0, {_N_REPLICAS - 1})) AS r) r
     ),
     reps AS (
+      -- a replica whose every Poisson weight drew 0 has no resample
+      -- to average (possible only for tiny inputs): drop it in both
+      -- engines rather than divide by zero
       SELECT r, CAST(SUM(w) AS BIGINT) AS n_eff,
              CAST(SUM(w * cents) AS BIGINT) AS c_eff
       FROM expanded GROUP BY r
+      HAVING SUM(w) > 0
     ),
     means AS (
       SELECT r,
@@ -105,9 +109,15 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    reps = expanded.groupBy("r").agg(
-        F.sum("w").cast("long").alias("n_eff"),
-        F.sum(F.col("w") * F.col("cents")).cast("long").alias("c_eff"),
+    reps = (
+        expanded.groupBy("r")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("c_eff"),
+        )
+        # zero-weight replicas (tiny inputs only) have no resample to
+        # average: drop them, same rule as the oracle's HAVING
+        .filter(F.col("n_eff") > 0)
     )
     # replica mean in dollars at 2 dp, exact integer rounding (the
     # inlined round_div formula, decimal-safe); R rows → the rank
