@@ -1,0 +1,86 @@
+"""Pins for streaming SpaceSaving heavy hitters: bounded state,
+SpaceSaving guarantees (est ≥ true ≥ est − err), heavy keys surviving
+eviction across micro-batches, and the bucket merge."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from healthcare_research_data_pipeline_project_spark.streaming import (
+    surveillance as sv,
+)
+from healthcare_research_data_pipeline_project_spark.streaming import topk
+
+
+def _write_drops(spark, path):
+    """Three drops of a skewed stream: user 7 dominates, user 13 is a
+    solid second, a rotating long tail churns the counters."""
+    t0 = datetime.datetime(2024, 1, 1)
+    eid = 0
+    for s in range(3):
+        rows = []
+        for i in range(60):
+            if i % 3 != 2:
+                uid = 7 if i % 2 == 0 else 13
+            else:
+                uid = 100 + (eid % 25)  # long tail
+            rows.append(
+                (eid, t0 + datetime.timedelta(seconds=eid), uid, "view",
+                 1.0, "{}")
+            )
+            eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        df.coalesce(1).write.mode("append").parquet(path)
+        import time as _time
+
+        _time.sleep(1.1)
+
+
+def test_heavy_hitters_bounded_state_and_guarantees(spark, tmp_path):
+    src = str(tmp_path / "hh")
+    _write_drops(spark, src)
+    stream = (
+        spark.readStream.schema(sv.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rows = sv.run_available_now(
+        topk.heavy_hitters_stream(stream, n_buckets=4, capacity=8),
+        "t_hh",
+        output_mode="update",
+    )
+    assert rows
+    # final estimates per key
+    final = {}
+    for r in rows:
+        if r["key"] not in final or r["est"] > final[r["key"]][0]:
+            final[r["key"]] = (r["est"], r["err"])
+    true = {
+        r["user_id"]: r["cnt"]
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # SpaceSaving guarantees for every surviving candidate
+    for key, (est, err) in final.items():
+        assert est >= true[key], (key, est, true[key])
+        assert est - err <= true[key], (key, est, err, true[key])
+    # the two genuinely heavy keys must survive all eviction churn and
+    # rank top-2 after the merge, with EXACT counts (never evicted)
+    merged = topk.merge_heavy_hitters(
+        spark.createDataFrame(
+            [(r["bucket"], r["key"], r["est"], r["err"]) for r in rows],
+            "bucket int, key long, est long, err long",
+        ),
+        k=2,
+    ).collect()
+    assert [m["key"] for m in merged] == [7, 13]
+    assert merged[0]["est"] == true[7] and merged[0]["err"] == 0
+    assert merged[1]["est"] == true[13] and merged[1]["err"] == 0
