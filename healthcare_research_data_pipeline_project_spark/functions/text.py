@@ -99,8 +99,17 @@ def minhash_col(hashes_col: str, seed: int) -> Column:
 def simhash_bits_col(toks_col: str, nbits: int = 16) -> Column:
     """SimHash as a bit-string: per bit position j, majority vote over
     token-hash bits (+1/−1), emitted as '0'/'1' chars. Bit-string form
-    avoids engine-specific integer bit-packing differences."""
-    tok_hash = "cast(conv(substring(md5(t), 1, 4), 16, 10) as int)"
+    avoids engine-specific integer bit-packing differences.
+
+    The token hash takes ceil(nbits/4) md5 hex chars so every
+    signature bit has real entropy (a fixed 4-char hash would leave
+    bits ≥ 16 constant). nbits ≤ 60 keeps the conv() result inside
+    BIGINT in both engines; nbits = 16 reproduces the original
+    signatures bit-for-bit."""
+    if nbits > 60:
+        raise ValueError("simhash nbits must be <= 60 (BIGINT token hash)")
+    hx = (nbits + 3) // 4
+    tok_hash = f"cast(conv(substring(md5(t), 1, {hx}), 16, 10) as bigint)"
     return F.expr(
         f"concat_ws('', transform(sequence(0, {nbits - 1}), j -> "
         f"CASE WHEN aggregate({toks_col}, 0, (acc, t) -> acc + "
@@ -142,7 +151,8 @@ def duck_minhash(hashes_col: str, seed: int) -> str:
 
 
 def duck_simhash_bits(toks: str, nbits: int = 16) -> str:
-    tok_hash = "CAST('0x' || substr(md5(t), 1, 4) AS INT)"
+    hx = (nbits + 3) // 4
+    tok_hash = f"CAST('0x' || substr(md5(t), 1, {hx}) AS BIGINT)"
     return (
         f"array_to_string(list_transform(generate_series(0, {nbits - 1}), j -> "
         f"CASE WHEN list_sum(list_transform({toks}, t -> "

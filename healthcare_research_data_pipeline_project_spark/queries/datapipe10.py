@@ -282,3 +282,108 @@ def t_run_length_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup PAIRS via the blocked-Hamming trick — the step the
+# signature query (dedup_simhash) feeds at scale: split each 32-bit
+# signature into 4 byte-blocks; by pigeonhole, any pair within
+# Hamming distance ≤ 3 agrees EXACTLY on at least one block, so
+# candidates come from equi-joins on (block_idx, block_value) — never
+# an all-pairs Hamming sweep — and the ≤ 3 verification runs only on
+# candidates. DISTINCT collapses pairs found via several blocks.
+# Bit-string character math end to end (the simhash_bits doctrine):
+# identical in both engines.
+# ---------------------------------------------------------------------------
+_SH_BITS = 60
+_SH_BLOCKS = 4
+_SH_W = _SH_BITS // _SH_BLOCKS
+_SH_HAM = 3
+
+
+def _duck_hamming(a: str, b: str, n: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {n}), i -> "
+        f"CASE WHEN substr({a}, i, 1) <> substr({b}, i, 1) "
+        f"THEN 1 ELSE 0 END))"
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    from ..functions.text import DUCK_TOKENS, duck_simhash_bits
+
+    toks = DUCK_TOKENS.format(text="text")
+    sig = duck_simhash_bits("toks", _SH_BITS)
+    ham = _duck_hamming("sa", "sb", _SH_BITS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {sig} AS sig
+      FROM (SELECT doc_id, {toks} AS toks FROM documents)
+    ),
+    blk AS (
+      SELECT doc_id, sig, b.bi,
+             substr(sig, 1 + b.bi * {_SH_W}, {_SH_W}) AS bv
+      FROM d CROSS JOIN
+           (SELECT unnest(generate_series(0, {_SH_BLOCKS - 1})) AS bi) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             a.sig AS sa, c.sig AS sb
+      FROM blk a JOIN blk c
+        ON a.bi = c.bi AND a.bv = c.bv AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b, CAST({ham} AS INT) AS hamming
+    FROM cand
+    WHERE {ham} <= {_SH_HAM}
+    ORDER BY id_a, id_b
+    """
+
+
+@register("dedup_simhash_pairs", _simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import simhash_bits_col, tokens
+
+    t = load_tables(spark, sf_dir)
+    d = (
+        t.documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", simhash_bits_col("toks", _SH_BITS).alias("sig")
+        )
+        .persist()  # signature scan feeds both self-join sides
+    )
+    blk = d.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("bi"),
+    ).withColumn(
+        "bv", F.expr(f"substr(sig, 1 + bi * {_SH_W}, {_SH_W})")
+    )
+    a = blk.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"), "bi", "bv"
+    )
+    c = blk.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sb"),
+        F.col("bi").alias("bi2"),
+        F.col("bv").alias("bv2"),
+    )
+    cand = (
+        a.join(
+            c,
+            (F.col("bi") == F.col("bi2"))
+            & (F.col("bv") == F.col("bv2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.expr(
+        f"aggregate(sequence(1, {_SH_BITS}), 0, (acc, i) -> acc + "
+        f"IF(substr(sa, i, 1) <> substr(sb, i, 1), 1, 0))"
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= _SH_HAM)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
