@@ -1,5 +1,6 @@
 """Training-data pipeline corpus, part 10: the privacy triad's third
-leg and sequence-pattern mining.
+leg, sequence analytics (pattern cohorts + gaps-and-islands), and
+blocked-Hamming SimHash pairing.
 
 `dq_t_closeness`: completes k-anonymity / l-diversity (datapipe9) —
 even a diverse class leaks if its sensitive-value DISTRIBUTION skews

@@ -132,3 +132,27 @@ def test_l_diversity_hand_case(spark):
     )[0]
     assert (r["n_classes"], r["violating_classes"]) == (2, 1)
     assert (r["min_diversity"], r["exposed_rows"]) == (1, 2)
+
+
+def test_simhash_pairs_identical_docs_pair_at_zero(spark):
+    import healthcare_research_data_pipeline_project_spark.queries.datapipe10 as d10
+    from healthcare_research_data_pipeline_project_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "s", "en", 1),
+            (2, "alpha beta gamma delta epsilon", "s", "en", 1),  # identical
+            (3, "totally different words entirely here", "s", "en", 1),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    orig = d10.load_tables
+    d10.load_tables = lambda s_, d_: type("T", (), {"documents": docs})()
+    try:
+        rows = QUERIES["dedup_simhash_pairs"](spark, SF_SMOKE).collect()
+    finally:
+        d10.load_tables = orig
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert got.get((1, 2)) == 0           # identical text → distance 0
+    assert (1, 3) not in got and (2, 3) not in got
