@@ -388,3 +388,75 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical mode battery — the one descriptive statistic the agg
+# family skipped: per-group modal value via count + rank (ties break
+# to the SMALLEST value, stated explicitly — engines disagree on
+# native mode() tie-breaks, so neither engine's builtin is used), with
+# the runner-up value and the modal share as an exact rational.
+# Two-level aggregation: (group, value) counts first — the only
+# fact-sized shuffle — then a rank over the per-group value domain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a27_mode_battery",
+    f"""
+    WITH c AS (
+      SELECT l_returnflag, CAST(l_quantity AS INT) AS v, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, v
+    ),
+    r AS (
+      SELECT l_returnflag, v, n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, v) AS rk,
+             SUM(n) OVER (PARTITION BY l_returnflag) AS tot
+      FROM c
+    )
+    SELECT l_returnflag,
+           CAST(MAX(CASE WHEN rk = 1 THEN v END) AS INT) AS mode_qty,
+           CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS mode_cnt,
+           CAST(MAX(CASE WHEN rk = 2 THEN v END) AS INT) AS second_qty,
+           {duck_round_div("MAX(CASE WHEN rk = 1 THEN n END) * 10000",
+                           "MAX(tot)", 2)} AS mode_share_bps
+    FROM r
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a27_mode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir)
+    c = t.lineitem.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("v")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # value-domain frame per group (~50 rows): group-cardinality
+    # windows, fine at any scale
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("n"), "v")
+    r = c.withColumn("rk", F.row_number().over(w)).withColumn(
+        "tot", F.sum("n").over(W.partitionBy("l_returnflag"))
+    )
+    return (
+        r.groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("v")))
+            .cast("int")
+            .alias("mode_qty"),
+            F.max(F.when(F.col("rk") == 1, F.col("n")))
+            .cast("long")
+            .alias("mode_cnt"),
+            F.max(F.when(F.col("rk") == 2, F.col("v")))
+            .cast("int")
+            .alias("second_qty"),
+            round_div(
+                F.max(F.when(F.col("rk") == 1, F.col("n"))) * 10000,
+                F.max("tot"),
+                "mode_share_bps",
+                2,
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
