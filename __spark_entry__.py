@@ -31,7 +31,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(Q.QUERIES)
+    # Each callable first drains persists left by the PREVIOUS query
+    # (query-internal persist() blocks are consumed by the caller's
+    # action, so release is necessarily deferred to the next call —
+    # keeps the driver's sequential gate run from accumulating cached
+    # blocks across 50+ queries).
+    from healthcare_research_data_pipeline_project_spark.caching import (
+        unpersist_tracked,
+    )
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            unpersist_tracked()
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in Q.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

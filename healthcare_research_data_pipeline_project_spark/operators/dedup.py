@@ -23,6 +23,7 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import track_persist
 from ..functions.helpers import round_div
 from ..functions.text import (
     SHINGLE_K,
@@ -120,7 +121,7 @@ def lsh_candidate_pairs(
     ).select(id_col, "band.band_idx", "band.band_hash")
     # both self-join sides branch from here — materialize the (tiny)
     # banded index once instead of recomputing signatures per side
-    exploded = exploded.persist()
+    exploded = track_persist(exploded)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -180,7 +181,8 @@ def shingle_jaccard_pairs(
     # cluster; Spark's LRU evicts it when memory is needed)
     d = with_shingles(df, text_col, k).withColumn(
         "sh_set", F.array_distinct(F.col("shingles"))
-    ).select(id_col, *block_cols, "sh_set").persist()
+    ).select(id_col, *block_cols, "sh_set")
+    d = track_persist(d)
     sizes = d.select(
         F.col(id_col), *block_cols, F.size("sh_set").alias("sh_n")
     )

@@ -84,9 +84,13 @@ def validate_unique(df: DataFrame, cols: list[str]) -> DataFrame:
     duplicate key (so a clean table reports 0). NULL keys count like
     any other key value."""
     name = "_".join(cols) + "_unique"
+    # COALESCE both sums: an empty input has zero groups, so the
+    # outer SUMs are NULL — report 0/0/pass like validate_rows does
     agg = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c")).agg(
-        F.sum("__c").cast("long").alias("n_rows"),
-        F.sum(F.col("__c") - 1).cast("long").alias("n_violations"),
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(F.col("__c") - 1), F.lit(0))
+        .cast("long")
+        .alias("n_violations"),
     )
     return agg.select(
         F.lit(name).alias("rule"),

@@ -12,11 +12,15 @@ are not self-maintainable under deletes (losing the current min
 forces a rescan), and a silent wrong answer is worse than an explicit
 recompute.
 
-Storage protocol: the view lives as parquet at `view_path` holding
-(keys..., __cnt, __sum_<m>...). `refresh` writes the merged view to a
-sibling temp dir and atomically swaps it in (local-FS rename; on an
-object store you'd version directories and flip a pointer — same
-shape, different commit primitive). The merge is one shuffle on the
+Storage protocol: `view_path` is a versioned root in the
+`operators/versioned.py` manifest-pointer layout — immutable
+`v=<n>/` parquet directories holding (keys..., __cnt, __sum_<m>...)
+plus a tiny `_latest.json` manifest written via tmp + `os.rename`.
+A refresh writes the fully-merged next version (data AND its
+exactly-once batch ledger) BEFORE the one atomic manifest rename, so
+a crash at any point leaves the previous version current and readers
+never observe a missing or partial view; superseded versions are
+expired after the flip. The merge is one shuffle on the
 view key for the delta partials plus a key-partitioned outer join
 against the stored view — delta-sized work, never base-table-sized.
 
@@ -28,15 +32,59 @@ longer fits a single Postgres.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .versioned import _manifest_path, current_version
+
 
 def _sum_cols(measures: list[str]) -> list[str]:
     return [f"__sum_{m}" for m in measures]
+
+
+def _data_dir(view_path: str, version: int) -> str:
+    return os.path.join(view_path.rstrip("/"), f"v={version}")
+
+
+def _current_data_dir(view_path: str) -> str:
+    v = current_version(view_path)
+    if v < 1:
+        raise FileNotFoundError(f"{view_path}: view not initialized")
+    return _data_dir(view_path, v)
+
+
+def _commit_version(
+    df: DataFrame,
+    view_path: str,
+    batch_id: int | str | None = None,
+) -> str:
+    """Publish `df` as the next view version. The data directory —
+    including the carried-forward batch ledger when `batch_id` is set —
+    is FULLY written before the single atomic manifest rename, so the
+    ledger and the data commit together (the exactly-once guarantee)
+    and a crash at any point leaves the previous version current.
+    Superseded versions are expired only after the flip."""
+    root = view_path.rstrip("/")
+    os.makedirs(root, exist_ok=True)
+    prev = current_version(root)
+    v = prev + 1
+    ddir = _data_dir(root, v)
+    shutil.rmtree(ddir, ignore_errors=True)  # a crashed earlier attempt
+    df.write.mode("overwrite").parquet(ddir)
+    if batch_id is not None:
+        _ledger_copy_into(root, ddir, batch_id)
+    tmp = _manifest_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": v}, f)
+    os.rename(tmp, _manifest_path(root))  # the atomic commit point
+    for name in os.listdir(root):  # expire everything superseded
+        if name.startswith("v=") and int(name.split("=", 1)[1]) < v:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return ddir
 
 
 def init_agg_view(
@@ -46,13 +94,14 @@ def init_agg_view(
     measures: list[str],
 ) -> DataFrame:
     """Materialize the initial view: one full aggregation of `base`
-    (the only base-sized job in the view's lifetime)."""
+    (the only base-sized job in the view's lifetime). Re-initializing
+    an existing view commits a fresh version with an empty ledger."""
     aggs = [F.count(F.lit(1)).cast("long").alias("__cnt")] + [
         F.sum(F.col(m).cast("decimal(38,6)")).alias(c)
         for m, c in zip(measures, _sum_cols(measures))
     ]
-    base.groupBy(*keys).agg(*aggs).write.mode("overwrite").parquet(view_path)
-    return base.sparkSession.read.parquet(view_path)
+    ddir = _commit_version(base.groupBy(*keys).agg(*aggs), view_path)
+    return base.sparkSession.read.parquet(ddir)
 
 
 def refresh_agg_view(
@@ -78,7 +127,7 @@ def refresh_agg_view(
     batch finds its id and no-ops instead of double-applying.
     """
     if batch_id is not None and _ledger_has(view_path, batch_id):
-        return spark.read.parquet(view_path)
+        return spark.read.parquet(_current_data_dir(view_path))
     sign = (
         F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
         if op_col
@@ -92,7 +141,8 @@ def refresh_agg_view(
             for m, c in zip(measures, scols)
         ],
     )
-    old = spark.read.parquet(view_path)
+    cur_dir = _current_data_dir(view_path)
+    old = spark.read.parquet(cur_dir)
     # null-safe key equality: a NULL grouping key is one group in the
     # aggregation, so it must be ONE row in the merge too (plain `=`
     # never matches NULLs and would fork a duplicate null-key row per
@@ -127,45 +177,41 @@ def refresh_agg_view(
         )
         .filter(F.col("__cnt") > 0)
     )
-    tmp = view_path.rstrip("/") + ".__refresh_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    if batch_id is not None:
-        # ledger and data commit in the same rename: a crash before
-        # the swap leaves neither, a crash after leaves both
-        _ledger_copy_into(view_path, tmp, batch_id)
-    # atomic-enough swap for a local/posix view store; an object-store
-    # deployment versions directories and flips a manifest instead
-    old_dir = view_path.rstrip("/") + ".__old"
-    shutil.rmtree(old_dir, ignore_errors=True)
-    os.rename(view_path, old_dir)
-    os.rename(tmp, view_path)
-    shutil.rmtree(old_dir, ignore_errors=True)
-    return spark.read.parquet(view_path)
+    # manifest-pointer commit: the merged data AND its ledger are fully
+    # written into the next immutable v=<n> dir before one atomic
+    # manifest rename flips readers over — no window where the view is
+    # missing, and the exactly-once ledger commits with its data
+    ddir = _commit_version(merged, view_path, batch_id=batch_id)
+    return spark.read.parquet(ddir)
 
 
 _LEDGER = "_applied_batches"
 
 
-def _ledger_dir(view_path: str) -> str:
-    return os.path.join(view_path.rstrip("/"), _LEDGER)
-
-
 def _ledger_has(view_path: str, batch_id: int | str) -> bool:
-    return os.path.exists(os.path.join(_ledger_dir(view_path), str(batch_id)))
+    v = current_version(view_path)
+    if v < 1:
+        return False
+    return os.path.exists(
+        os.path.join(_data_dir(view_path, v), _LEDGER, str(batch_id))
+    )
 
 
 def _ledger_copy_into(
-    view_path: str, tmp_dir: str, batch_id: int | str
+    view_path: str, new_data_dir: str, batch_id: int | str
 ) -> None:
-    """Carry the existing ledger into the about-to-be-published view
-    dir and add this batch's marker (empty files — O(batches) names,
-    compactable by retention)."""
-    dst = os.path.join(tmp_dir.rstrip("/"), _LEDGER)
+    """Carry the current version's ledger into the about-to-be-committed
+    version dir and add this batch's marker (empty files — O(batches)
+    names, compactable by retention). Runs BEFORE the manifest flip, so
+    ledger and data commit atomically together."""
+    dst = os.path.join(new_data_dir.rstrip("/"), _LEDGER)
     os.makedirs(dst, exist_ok=True)
-    src = _ledger_dir(view_path)
-    if os.path.isdir(src):
-        for name in os.listdir(src):
-            open(os.path.join(dst, name), "a").close()
+    v = current_version(view_path)
+    if v >= 1:
+        src = os.path.join(_data_dir(view_path, v), _LEDGER)
+        if os.path.isdir(src):
+            for name in os.listdir(src):
+                open(os.path.join(dst, name), "a").close()
     open(os.path.join(dst, str(batch_id)), "a").close()
 
 
@@ -178,7 +224,7 @@ def read_agg_view(
     """Serve the view with derived averages: (keys..., cnt,
     sum_<m>, avg_<m>). AVG comes from the maintained sum/count, so it
     is exactly the full-recompute average at every refresh point."""
-    v = spark.read.parquet(view_path)
+    v = spark.read.parquet(_current_data_dir(view_path))
     out = v.withColumnRenamed("__cnt", "cnt")
     for m, c in zip(measures, _sum_cols(measures)):
         out = out.withColumn(f"sum_{m}", F.col(c).cast("double")).withColumn(

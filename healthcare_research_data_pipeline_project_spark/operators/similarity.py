@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import track_persist
+
 
 def _dot(a: str, b: str) -> F.Column:
     return F.expr(
@@ -96,7 +98,8 @@ def embedding_near_dup_pairs(
         F.col(block_col).alias("block"),
         F.col(vec_col).alias("v"),
         F.sqrt(_dot(vec_col, vec_col)).alias("nrm"),
-    ).persist()  # both self-join sides branch from this node
+    )
+    d = track_persist(d)  # both self-join sides branch from this node
     a = d.select(
         F.col(id_col).alias("id_a"), "block", F.col("v").alias("va"),
         F.col("nrm").alias("na"),

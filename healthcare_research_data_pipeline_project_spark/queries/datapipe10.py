@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import track_persist
 from ..functions.helpers import duck_round_div, round_div
 from ..tables import load_tables
 from . import register
@@ -85,7 +86,8 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.customer, F.col("o_custkey") == F.col("c_custkey")
     ).select(
         "c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("s")
-    ).persist()  # four aggregation consumers of the same join
+    )
+    joined = track_persist(joined)  # four aggregation consumers of the same join
     g = joined.agg(F.count(F.lit(1)).cast("long").alias("n"))
     gs = joined.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("ns"))
     cls = joined.groupBy("c_nationkey", "c_mktsegment").agg(
@@ -350,8 +352,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", simhash_bits_col("toks", _SH_BITS).alias("sig")
         )
-        .persist()  # signature scan feeds both self-join sides
     )
+    # signature scan feeds both self-join sides
+    d = track_persist(d)
     blk = d.select(
         "doc_id",
         "sig",

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.helpers import duck_round_div, round_div
 from ..functions.text import DUCK_TOKENS, duck_shingles, shingles, tokens
-from ..operators.scale import duck_hash_bucket, hash_bucket
+from ..operators.scale import duck_hash_bucket, hash_bucket, prefix_sum
 from ..tables import load_tables
 from . import register
 
@@ -953,12 +953,17 @@ def ds_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Sequence-packing length buckets: ntile token-length quantile buckets
+# Sequence-packing length buckets: NTILE token-length quantile buckets
 # and the padding waste each bucket pays when padded to its max length
 # — the batch-shape accounting every tokenized-shard writer needs.
-# ntile is one sort-shuffle over (corpus) — at 100 TB you'd swap it
-# for approx-quantile boundary computation + a map-side bucketer; the
-# per-bucket aggregate is exact either way.
+# NTILE semantics are computed WITHOUT the classic global
+# `ntile() OVER (ORDER BY ...)` single-partition sort: a two-phase
+# `prefix_sum` exact rank (range exchange + per-partition cumsum +
+# broadcast partition offsets) plus the closed-form NTILE bucket
+# formula applied map-side — base = N div B, rem = N % B, the first
+# `rem` buckets take base+1 rows. Identical output to the window at
+# any scale, with the data-sized frame never passing through one task
+# (pinned by the no-single-partition plan test).
 # ---------------------------------------------------------------------------
 _N_BUCKETS = 8
 
@@ -991,9 +996,26 @@ def ds_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t.documents.select(
         "doc_id", F.size(tokens(F.col("text"))).alias("token_cnt")
     )
-    b = d.withColumn(
-        "bucket",
-        F.ntile(_N_BUCKETS).over(Window.orderBy("token_cnt", "doc_id")),
+    # exact global rank in (token_cnt, doc_id) order, distributed
+    ranked = prefix_sum(d, ["token_cnt", "doc_id"], {"rank": F.lit(1)})
+    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    b = (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr(f"n_total div {_N_BUCKETS}"))
+        .withColumn("rem", F.expr(f"n_total % {_N_BUCKETS}"))
+        # NTILE(B) closed form over the exact rank: the first `rem`
+        # buckets hold base+1 rows, the rest base. `div` keeps the
+        # arithmetic in exact integers; the base=0 branch (N < B)
+        # always lands in the WHEN arm, so no division by zero.
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CASE WHEN rank <= rem * (base + 1)"
+                " THEN (rank + base) div (base + 1)"
+                " ELSE rem + (rank - rem * (base + 1) + base - 1) div base"
+                " END"
+            ),
+        )
     )
     g = b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("doc_cnt"),

@@ -59,6 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import track_persist
 from ..functions.helpers import (
     duck_round_div,
     duck_sum_cents,
@@ -101,7 +102,7 @@ def g_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # the distinct edge list feeds BOTH degree aggregations: persist so
     # the fact scan + pair dedup run once, not once per side
-    e = t.lineitem.select("l_partkey", "l_suppkey").distinct().persist()
+    e = track_persist(t.lineitem.select("l_partkey", "l_suppkey").distinct())
     deg = (
         e.groupBy(F.col("l_suppkey").alias("node_id"))
         .agg(F.count(F.lit(1)).alias("degree"))
@@ -191,7 +192,8 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once, not four times
     e = S.embedding_near_dup_pairs(t.embeddings, threshold=_TRI_T).select(
         "label", F.col("id_a").alias("a"), F.col("id_b").alias("b")
-    ).persist()
+    )
+    e = track_persist(e)
     ends = e.select("label", F.col("a").alias("node")).unionByName(
         e.select("label", F.col("b").alias("node"))
     )
@@ -293,8 +295,15 @@ def t_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.crossJoin(F.broadcast(tot))
         .withColumn("idx", F.row_number().over(Window.orderBy("d")))
         .withColumn(
+            # promote to DECIMAL(38,0) BEFORE the multiply, matching the
+            # oracle's HUGEINT arithmetic: at the 100 TB envelope
+            # n*cents approaches ~2e18, within 4x of int64 wraparound,
+            # and non-ANSI Spark would wrap silently if the product
+            # were computed in BIGINT first
             "dev",
-            (F.col("n") * F.col("cents") - F.col("s")).cast("decimal(38,0)"),
+            F.col("n").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+            - F.col("s").cast("decimal(38,0)"),
         )
         .select("idx", "dev", "n")
     )

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import track_persist
 from ..functions.helpers import (
     duck_round_div,
     duck_sum_cents,
@@ -224,7 +225,7 @@ def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
     tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    tc = tc.persist()  # feeds n_docs, df, weights
+    tc = track_persist(tc)  # feeds n_docs, df, weights
     nd = tc.agg(F.countDistinct("doc_id").alias("n_docs"))
     dfreq = tc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     wv = (
@@ -243,7 +244,8 @@ def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
             "df",
         )
-    ).persist()  # feeds norms + both posting sides
+    )
+    wv = track_persist(wv)  # feeds norms + both posting sides
     nrm = wv.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     posting = wv.filter(F.col("df") <= _KNN_DF_MAX).select(
         "doc_id", "token", "w"

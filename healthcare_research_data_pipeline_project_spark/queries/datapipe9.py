@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import track_persist
 from ..functions.helpers import duck_round_div, duck_sum_cents
 from ..functions.text import duck_hash64, hash64_expr
 from ..tables import load_tables
@@ -368,7 +369,8 @@ def t_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # daily aggregate run once
     marked = daily.select(
         "d", (F.weekday("d") + 1).alias("dow"), "cents"
-    ).persist()
+    )
+    marked = track_persist(marked)
     g = marked.agg(
         F.sum("cents").cast("long").alias("gc"),
         F.count(F.lit(1)).cast("long").alias("gn"),

@@ -35,7 +35,13 @@ def heavy_hitters_stream(
     capacity: int = 16,
 ) -> DataFrame:
     """Per-bucket SpaceSaving candidates over a key column:
-    (bucket, key, est, err) rows re-emitted each micro-batch."""
+    (bucket, key, est, err) rows re-emitted each micro-batch.
+
+    `key_col` must be numeric (keys are tracked as int64 — hash a
+    string key to a long first). Rows whose key is NULL or fails the
+    long cast are dropped before bucketing: a NULL bucket would
+    otherwise reach the state function and kill the streaming query
+    on a single bad row."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
@@ -96,10 +102,10 @@ def heavy_hitters_stream(
         )
 
     keyed = events.select(
-        F.pmod(F.col(key_col).cast("long"), F.lit(n_buckets))
-        .cast("int")
-        .alias("__b"),
-        F.col(key_col).cast("long").alias("__k"),
+        F.col(key_col).cast("long").alias("__k")
+    ).filter(F.col("__k").isNotNull()).select(
+        F.pmod(F.col("__k"), F.lit(n_buckets)).cast("int").alias("__b"),
+        "__k",
     )
     return keyed.groupBy("__b").applyInPandasWithState(
         update,

@@ -308,3 +308,18 @@ def test_length_buckets_partition_corpus(spark):
     rows.sort(key=lambda r: r["bucket"])
     for a, b in zip(rows, rows[1:]):
         assert a["max_len"] <= b["min_len"]
+
+
+def test_length_buckets_no_corpus_sized_single_partition_window(spark):
+    # the NTILE semantics must come from the two-phase prefix_sum rank,
+    # never a global `ntile() OVER (ORDER BY ...)`: every window in the
+    # plan is partitioned by the range-partition id, and the data-sized
+    # frame moves through a range exchange
+    from healthcare_research_data_pipeline_project_spark.plans import explain
+
+    p = explain.plan(QUERIES["ds_length_buckets"](spark, SF_SMOKE))
+    assert "ntile" not in p.lower()
+    assert "rangepartitioning" in p.lower()
+    for line in p.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "__pid" in line.lower(), line

@@ -67,3 +67,17 @@ def test_expectations_query_all_green_on_corpus(spark):
     assert len(rep) == 6
     # the synthetic feed is clean: every expectation holds
     assert all(v[2] for v in rep.values()), rep
+
+
+def test_unique_on_empty_input_reports_zero_and_passes(spark):
+    # zero groups → the outer SUMs are NULL without COALESCE; the rule
+    # must report 0 rows / 0 violations / pass=True like validate_rows
+    from healthcare_research_data_pipeline_project_spark.operators import (
+        expectations as ex,
+    )
+
+    empty = spark.createDataFrame([], "k string, v double")
+    row = ex.validate_unique(empty, ["k"]).collect()[0]
+    assert row["n_rows"] == 0
+    assert row["n_violations"] == 0
+    assert row["pass"] is True

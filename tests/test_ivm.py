@@ -154,3 +154,27 @@ def test_null_grouping_key_merges_as_one_group(spark, tmp_path):
     nulls = [r for r in rows if r["k"] is None]
     assert len(nulls) == 1
     assert nulls[0]["cnt"] == 2 and nulls[0]["sum_v"] == 5.0
+
+
+def test_view_readable_through_crashed_refresh_attempt(spark, tmp_path):
+    # manifest-pointer commit: a half-written next version that never
+    # flipped the manifest is invisible to readers, and the next
+    # refresh recovers by overwriting the crashed attempt
+    import os
+
+    path = str(tmp_path / "view6")
+    ivm.init_agg_view(_rows_df(spark, [("a", 1.0)]), path, ["k"], ["v"])
+    assert os.path.exists(os.path.join(path, "_latest.json"))
+    # simulate a refresh that crashed after partially writing v=2 but
+    # BEFORE the manifest rename
+    crashed = os.path.join(path, "v=2")
+    os.makedirs(crashed)
+    open(os.path.join(crashed, "part-junk.parquet"), "w").write("junk")
+    assert _got(spark, path) == _expect(spark, [("a", 1.0)])  # still v=1
+    ivm.refresh_agg_view(
+        spark, path, _rows_df(spark, [("a", 2.0)]), ["k"], ["v"]
+    )
+    assert _got(spark, path) == _expect(spark, [("a", 1.0), ("a", 2.0)])
+    # the commit expired the superseded version; exactly one data dir
+    dirs = [n for n in os.listdir(path) if n.startswith("v=")]
+    assert dirs == ["v=2"]

@@ -84,3 +84,28 @@ def test_heavy_hitters_bounded_state_and_guarantees(spark, tmp_path):
     assert [m["key"] for m in merged] == [7, 13]
     assert merged[0]["est"] == true[7] and merged[0]["err"] == 0
     assert merged[1]["est"] == true[13] and merged[1]["err"] == 0
+
+
+def test_heavy_hitters_drops_null_keys(spark, tmp_path):
+    # a NULL user_id must be filtered before bucketing — it would
+    # otherwise reach the state function as a NULL bucket and kill the
+    # whole streaming query on one bad row
+    src = str(tmp_path / "hh_null")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, t0, 7 if i % 2 == 0 else None, "view", 1.0, "{}")
+            for i in range(20)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(sv.EVENT_SCHEMA).parquet(src)
+    out = sv.run_available_now(
+        topk.heavy_hitters_stream(stream, n_buckets=2, capacity=4),
+        "t_hh_null",
+        output_mode="update",
+    )
+    assert out, "query died instead of dropping NULL keys"
+    assert all(r["key"] is not None for r in out)
+    assert {r["key"] for r in out} == {7}
+    assert max(r["est"] for r in out) == 10

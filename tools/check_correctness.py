@@ -26,6 +26,9 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
+from healthcare_research_data_pipeline_project_spark.caching import (
+    unpersist_tracked,
+)
 from healthcare_research_data_pipeline_project_spark.session import get_spark
 from healthcare_research_data_pipeline_project_spark.tables import TABLE_NAMES
 
@@ -73,6 +76,10 @@ def main() -> int:
             record(name, "fail", None, t0)
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
+        finally:
+            # release query-internal persists once results materialize,
+            # so cached blocks never accumulate across the corpus run
+            unpersist_tracked()
         if name not in oracles:
             record(name, "rows_only", len(sdf), t0)
             print(f"ok?  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
