@@ -460,22 +460,54 @@ def f_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Duplicate clustering: LSH candidate pairs → connected components →
-# one cluster id per document (keep the min-id doc per cluster). The
-# component labels depend on engine-internal LSH banding, so the driver
-# records a rows-only check; pytest verifies the partition structure
-# against a driver-side union-find over the same collected pairs.
-# 100 TB: each label-propagation round is a key-partitioned join +
-# combiner aggregation; lineage is truncated per round
-# (localCheckpoint), and near-dup graphs converge in 2-4 rounds.
+# one cluster id per document (keep the min-id doc per cluster).
+# ORACLE-CHECKED (was rows-only through r4): the LSH pair set is
+# engine-portable (dedup_lsh_pairs' oracle), and the per-doc component
+# labels are reproduced in DuckDB by a RECURSIVE min-label-propagation
+# CTE over the same pairs — the same independent-fixpoint splice
+# dedup_canonical_keep uses, here pinning the FULL per-document
+# (cluster_id, cluster_size, is_keeper) assignment rather than a
+# source-level rollup. 100 TB: each label-propagation round is a
+# key-partitioned join + combiner aggregation; lineage is truncated
+# per round (parquet ping-pong), and near-dup graphs converge in 2-4
+# rounds.
 # ---------------------------------------------------------------------------
-@register("dedup_clusters")
+def _dedup_clusters_oracle() -> str:
+    from .datapipe import _lsh_pairs_oracle
+
+    lsh = _lsh_pairs_oracle().strip()
+    assert lsh.startswith("WITH "), "expected a WITH-form LSH oracle"
+    head, final = lsh[len("WITH "):].rsplit("SELECT DISTINCT", 1)
+    return f"""
+    WITH RECURSIVE {head.rstrip()},
+    pairs AS (SELECT DISTINCT {final}),
+    e AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    r(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, r.lab FROM r JOIN e ON r.node = e.v
+    ),
+    cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM r GROUP BY node),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc
+           GROUP BY cluster_id)
+    SELECT cc.doc_id, cc.cluster_id,
+           CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+           CAST(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS INT)
+             AS is_keeper
+    FROM cc JOIN sz USING (cluster_id)
+    """
+
+
+@register("dedup_clusters", _dedup_clusters_oracle())
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
     from ..operators.graph import dedup_clusters
+    from .datapipe import _LSH_BANDS, _LSH_HASHES
 
     t = load_tables(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(
-        t.documents, "text", "doc_id", num_hashes=16, bands=4
+        t.documents, "text", "doc_id", num_hashes=_LSH_HASHES, bands=_LSH_BANDS
     )
     return dedup_clusters(t.documents, pairs)
 

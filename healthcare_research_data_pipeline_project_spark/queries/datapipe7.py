@@ -746,14 +746,54 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keeper" selector — within a duplicate neighborhood the most central
 # copy (highest similarity-graph PageRank) is the representative to
 # retain. Iterative power method (operators/graph.py::pagerank) with
-# the same parquet ping-pong lineage cut as connected_components; not
-# SQL-expressible (per-round aggregation fixpoint), so the driver
-# records a rows-only check and tests/test_graph_pagerank.py pins the
-# semantics (uniform-on-cliques, sum conservation, in-link ordering).
+# the same parquet ping-pong lineage cut as connected_components.
+# ORACLE-CHECKED (was rows-only through r4): `tol=0.0` pins the loop
+# at exactly 12 power iterations — a deterministic computation DuckDB
+# reproduces with a fixed-depth RECURSIVE CTE over the identical
+# (oracled) near-dup edge set. The symmetric similarity graph has no
+# dangling nodes, so the teleport term is the constant (1−d); ranks
+# are compared (and ORDERED — both engines rank by the ROUNDED value,
+# ties by node id) at 4 dp, coarse enough to absorb float-summation
+# order across engines. tests/test_graph_pagerank.py still pins the
+# operator-level semantics (uniform-on-cliques, sum conservation,
+# in-link ordering, dangling teleport).
 # ---------------------------------------------------------------------------
+_PR_ITERS = 12
+_PR_DAMP = 0.85
 
 
-@register("g_pagerank_centrality")
+def _pagerank_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_tri_edges_sql().strip().lstrip()},
+    sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+    pr(iter, node, rank) AS (
+      SELECT 0, u, CAST(1.0 AS DOUBLE) FROM deg
+      UNION ALL
+      SELECT pr.iter + 1, sym.v,
+             {1.0 - _PR_DAMP} + {_PR_DAMP} * SUM(pr.rank / deg.d)
+      FROM pr JOIN sym ON sym.u = pr.node JOIN deg ON deg.u = pr.node
+      WHERE pr.iter < {_PR_ITERS}
+      GROUP BY pr.iter, sym.v
+    ),
+    fin AS (SELECT node, rank FROM pr WHERE iter = {_PR_ITERS}),
+    lab AS (
+      SELECT emb.label, fin.node, ROUND(fin.rank, 4) AS r4
+      FROM embeddings emb JOIN fin ON emb.vec_id = fin.node
+    ),
+    rk AS (
+      SELECT label, node, r4,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY r4 DESC, node)
+               AS pos
+      FROM lab
+    )
+    SELECT label, CAST(node AS BIGINT) AS vec_id,
+           CAST(r4 AS DOUBLE) AS rank, CAST(pos AS INT) AS pos
+    FROM rk WHERE pos <= 3 ORDER BY label, pos
+    """
+
+
+@register("g_pagerank_centrality", _pagerank_oracle())
 def g_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
@@ -765,19 +805,25 @@ def g_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    pr = pagerank(sym, max_iter=12, tol=1e-3)
+    # tol=0.0: exactly _PR_ITERS iterations, the oracle's fixed depth
+    pr = pagerank(sym, damping=_PR_DAMP, max_iter=_PR_ITERS, tol=0.0)
     lab = t.embeddings.select(
         F.col("vec_id").alias("node"), "label"
     )
-    w = Window.partitionBy("label").orderBy(F.desc("rank"), "node")
     return (
         pr.join(lab, "node")
-        .withColumn("pos", F.row_number().over(w))
+        .withColumn("r4", F.round("rank", 4))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(F.desc("r4"), "node")
+            ),
+        )
         .filter(F.col("pos") <= 3)
         .select(
             "label",
             F.col("node").alias("vec_id"),
-            F.round("rank", 4).cast("double").alias("rank"),
+            F.col("r4").cast("double").alias("rank"),
             F.col("pos").cast("int").alias("pos"),
         )
         .orderBy("label", "pos")

@@ -393,34 +393,80 @@ def t_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Approximate tier: HLL distinct + quantile-sketch percentiles. At
 # 100 TB these replace their exact twins (COUNT(DISTINCT) is a full
 # shuffle of every key; approx_* is a fixed-size sketch merged
-# map-side). Sketch outputs are engine-specific, so there is no DuckDB
-# oracle — the accuracy contract (rel. error vs the exact values) is
-# pinned by test_approx_within_tolerance instead.
+# map-side). Sketch estimates themselves are engine-specific, so the
+# oracle pins what IS portable: the exact values (custs, and the
+# interpolated median carried as the integer a+b cent sum — never a
+# rounded float) plus tolerance VERDICT columns — Spark computes
+# |estimate − exact| against the sketch's published error bound and
+# must emit TRUE where the oracle emits literal TRUE. A sketch
+# regression (or a bad rsd/accuracy knob) flips the boolean and the
+# gate hash catches it; test_approx_within_tolerance still pins the
+# tighter numeric contract.
 # ---------------------------------------------------------------------------
-@register("a2b_approx_stats")
+@register(
+    "a2b_approx_stats",
+    """
+    WITH c AS (
+      SELECT o_orderpriority, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           CAST(ROUND(quantile_cont(CAST(cents AS DOUBLE), 0.5) * 2)
+                AS BIGINT) AS p50_x2_cents,
+           TRUE AS hll_within_tol,
+           TRUE AS p50_within_tol
+    FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
 def a2b_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    o = t.orders.select(
+        "o_orderpriority",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
     # COUNT(DISTINCT) must NOT share an Aggregate with the sketch
     # functions: Catalyst's distinct rewrite routes the imperative
     # sketch buffers through an Expand + sort aggregate, turning two
     # sub-second passes into a ~20s one (measured at sf0.1). Two
     # narrow scans + a broadcast join of the group-count-sized results
     # is the plan that survives scale-up.
-    sketches = t.orders.groupBy("o_orderpriority").agg(
+    sketches = o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
-        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("approx_p50"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.percentile_approx("cents", 0.5, 10_000).alias("approx_p50_cents"),
+        F.expr("percentile(cents, 0.5)").alias("exact_p50_cents"),
+        # generous exact band for the sketch verdict: accuracy=10000
+        # bounds rank error at 1e-4, so the 0.49/0.51 quantiles are a
+        # 100x-slack envelope that stays valid at any SF
+        F.expr("percentile(cents, 0.49)").alias("p49_cents"),
+        F.expr("percentile(cents, 0.51)").alias("p51_cents"),
     )
-    exact = t.orders.groupBy("o_orderpriority").agg(
+    exact = o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("exact_custs")
+    )
+    # HLL bound: rsd=0.02 ⇒ 2.5σ = 5% relative, floored at 8 absolute
+    # for tiny groups
+    hll_tol = F.greatest(
+        F.round(F.col("exact_custs") * 0.05, 0), F.lit(8.0)
     )
     return sketches.join(F.broadcast(exact), "o_orderpriority").select(
         "o_orderpriority",
-        "approx_custs",
-        "exact_custs",
-        "approx_p50",
-        "exact_p50",
-    )
+        F.col("exact_custs").cast("long").alias("exact_custs"),
+        F.round(F.col("exact_p50_cents") * 2, 0)
+        .cast("long")
+        .alias("p50_x2_cents"),
+        (
+            F.abs(F.col("approx_custs") - F.col("exact_custs")) <= hll_tol
+        ).alias("hll_within_tol"),
+        F.col("approx_p50_cents")
+        .between(F.col("p49_cents"), F.col("p51_cents"))
+        .alias("p50_within_tol"),
+    ).orderBy("o_orderpriority")
 
 
 # ---------------------------------------------------------------------------

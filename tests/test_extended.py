@@ -159,11 +159,16 @@ def test_interval_join_plan_no_nested_loop(spark):
 
 
 def test_approx_within_tolerance(spark):
-    for r in EXT.a2b_approx_stats(spark, SF_SMOKE).collect():
-        assert abs(r["approx_custs"] - r["exact_custs"]) <= 0.05 * r["exact_custs"]
-        # percentile_approx returns a real data value (no interpolation);
-        # at smoke SF the inter-value gap inside a group is percents wide
-        assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.05 * abs(r["exact_p50"])
+    rows = EXT.a2b_approx_stats(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # the sketch-vs-exact verdicts the oracle pins as literal TRUE
+        # must be genuinely computed TRUE on real estimates
+        assert r["hll_within_tol"] is True
+        assert r["p50_within_tol"] is True
+        assert r["exact_custs"] > 0
+        # a+b integer carry of the interpolated median: even cents sum
+        assert r["p50_x2_cents"] > 0
 
 
 def test_click_purchase_stream_join(spark, tmp_path):
