@@ -42,6 +42,13 @@ class Dialect:
     def pctile(self, col: str, frac: float) -> str:
         raise NotImplementedError
 
+    def broadcast_hint(self, *aliases: str) -> str:
+        """Spark `/*+ BROADCAST(a, b) */` join hint; empty for engines
+        whose optimizer needs no nudge (DuckDB joins tiny aggregates
+        hash-side automatically). Semantics-neutral by construction —
+        hints never change results, only the physical join strategy."""
+        return ""
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -78,6 +85,9 @@ class SparkDialect(Dialect):
 
     def pctile(self, col: str, frac: float) -> str:
         return f"percentile({col}, {frac})"
+
+    def broadcast_hint(self, *aliases: str) -> str:
+        return f"/*+ BROADCAST({', '.join(aliases)}) */ "
 
 
 class DuckDialect(Dialect):

@@ -269,25 +269,54 @@ def q3_provider(d: Dialect) -> str:
 def q4_chronic(d: Dialect) -> str:
     ctes = [
         (
+            # Distinct-aggregate elimination (the r4→r5 profile fix —
+            # this CTE's six COUNT(DISTINCT)s made Catalyst Expand the
+            # year's encounters 6x before the patient shuffle):
+            # - the reference's COUNT(DISTINCT CASE WHEN cond THEN 1
+            #   END) flags take values in {0,1} only, so MAX(CASE WHEN
+            #   cond THEN 1 ELSE 0 END) is value-identical with no
+            #   Expand (healthcare-sql-analytics.sql Q4 semantics)
+            # - encounter_id IS fact_encounters' unique grain
+            #   (mapping.py:146, one row per o_orderkey) and every
+            #   joined dim key is unique, so COUNT(DISTINCT
+            #   e.encounter_id) == COUNT(*)
+            # One fact_encounters pass serves BOTH the year-scoped
+            # chronic population AND the all-time outpatient visit
+            # count (the reference's separate correlated subquery):
+            # in-year measures gate on yr inside the aggregates, the
+            # HAVING reproduces the original inner-join-on-year
+            # population, and op_visits drops its own fact scan +
+            # patient shuffle. At 100 TB this halves the heaviest
+            # stage; the lost year-predicate pushdown costs a wider
+            # scan but no extra shuffle.
             "ChronicDiseasePopulation",
             f"""
             SELECT p.patient_id,
-                   COUNT(DISTINCT CASE WHEN d.icd10_code LIKE 'E11%' THEN 1 END)
+                   MAX(CASE WHEN t.year = {ANALYSIS_YEAR}
+                            AND d.icd10_code LIKE 'E11%' THEN 1 ELSE 0 END)
                      AS has_diabetes,
-                   COUNT(DISTINCT CASE WHEN d.icd10_code LIKE 'I10%' THEN 1 END)
+                   MAX(CASE WHEN t.year = {ANALYSIS_YEAR}
+                            AND d.icd10_code LIKE 'I10%' THEN 1 ELSE 0 END)
                      AS has_hypertension,
-                   COUNT(DISTINCT CASE WHEN d.icd10_code LIKE 'J44%' THEN 1 END)
+                   MAX(CASE WHEN t.year = {ANALYSIS_YEAR}
+                            AND d.icd10_code LIKE 'J44%' THEN 1 ELSE 0 END)
                      AS has_copd,
-                   COUNT(DISTINCT CASE WHEN d.icd10_code LIKE 'N18%' THEN 1 END)
+                   MAX(CASE WHEN t.year = {ANALYSIS_YEAR}
+                            AND d.icd10_code LIKE 'N18%' THEN 1 ELSE 0 END)
                      AS has_ckd,
-                   COUNT(DISTINCT e.encounter_id) AS total_encounters_year,
-                   {CENTS} AS charges_cents_year
+                   SUM(CASE WHEN t.year = {ANALYSIS_YEAR} THEN 1 ELSE 0 END)
+                     AS total_encounters_year,
+                   SUM(CASE WHEN t.year = {ANALYSIS_YEAR}
+                       THEN CAST(total_charges * 100 AS BIGINT) END)
+                     AS charges_cents_year,
+                   SUM(CASE WHEN e.encounter_type = 'Outpatient'
+                       THEN 1 ELSE 0 END) AS op_visits
             FROM dim_patient p
             JOIN fact_encounters e ON p.patient_id = e.patient_id
             JOIN dim_diagnosis d ON e.primary_diagnosis_id = d.diagnosis_id
             JOIN dim_time t ON e.admission_time_id = t.time_id
-            WHERE t.year = {ANALYSIS_YEAR}
             GROUP BY p.patient_id
+            HAVING SUM(CASE WHEN t.year = {ANALYSIS_YEAR} THEN 1 ELSE 0 END) > 0
             """,
         ),
         (
@@ -302,21 +331,17 @@ def q4_chronic(d: Dialect) -> str:
             """,
         ),
         (
-            "outpatient_counts",
-            """
-            SELECT patient_id, COUNT(DISTINCT encounter_id) AS op_visits
-            FROM fact_encounters
-            WHERE encounter_type = 'Outpatient'
-            GROUP BY patient_id
-            """,
-        ),
-        (
+            # the a1c side is a patient-cardinality aggregate —
+            # broadcast it so the chronic-population frame never
+            # sorts/shuffles into a merge join (Spark's size estimator
+            # overshoots the two-level distinct aggregate and picks
+            # SMJ without the hint)
             "DiseaseManagement",
-            """
-            SELECT cdp.patient_id,
+            f"""
+            SELECT {d.broadcast_hint('ac')}cdp.patient_id,
                    CASE WHEN cdp.has_diabetes > 0 THEN COALESCE(ac.a1c_months, 0)
                         ELSE NULL END AS a1c_tests_count,
-                   CASE WHEN cdp.has_hypertension > 0 THEN COALESCE(oc.op_visits, 0)
+                   CASE WHEN cdp.has_hypertension > 0 THEN cdp.op_visits
                         ELSE NULL END AS bp_check_visits,
                    cdp.has_diabetes + cdp.has_hypertension + cdp.has_copd + cdp.has_ckd
                      AS chronic_conditions_count,
@@ -324,7 +349,6 @@ def q4_chronic(d: Dialect) -> str:
                    cdp.charges_cents_year
             FROM ChronicDiseasePopulation cdp
             LEFT JOIN a1c_counts ac ON cdp.patient_id = ac.patient_id
-            LEFT JOIN outpatient_counts oc ON cdp.patient_id = oc.patient_id
             """,
         ),
     ]
