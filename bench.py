@@ -152,21 +152,27 @@ def main() -> None:
     headline_names += [n for n in ("mb_pair_lift",) if n in timings]
     ordered = sorted(timings.values())
     median = ordered[len(ordered) // 2] if ordered else None
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_total_best2",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "n_queries": len(timings),
-                "wall_sec": round(wall, 3),
-                "median_sec": median,
-                "headline": {n: timings[n] for n in headline_names},
-            }
-        )
+    payload = {
+        "metric": "corpus_total_best2",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "wall_sec": round(wall, 3),
+        "median_sec": median,
+        "headline": {n: timings[n] for n in headline_names},
+    }
+    # the driver's bench artifact keeps only a 2 KB stdout tail, which
+    # truncates the full per-query map — so ALSO write it as a repo
+    # file (committed per round as BENCH_LOCAL_r{N}.json) so timing
+    # regressions stay diffable with tools/bench_compare.py
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(local_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -17,6 +17,21 @@ exception handlers do:
     NotImplementedError       → 501  (`:425-429`)
     request-model violation   → 422  (FastAPI's validation status)
     unknown route             → 404
+    untrusted Host header     → 400  (Starlette TrustedHostMiddleware)
+    disallowed CORS preflight → 400  (Starlette CORSMiddleware)
+
+Middleware parity (`healthcare-api-main.py:75-87`): the reference
+mounts CORSMiddleware (configurable allow_origins, credentials, all
+methods/headers) and TrustedHostMiddleware (configurable
+allowed_hosts) — re-expressed here as `allowed_origins` /
+`allowed_hosts` constructor knobs with Starlette's semantics: host
+patterns support `*` and `*.domain` wildcards and reject with 400
+"Invalid host header" (Starlette's status — NOT 403); preflights from
+disallowed origins get 400, allowed ones echo the origin (the
+credentials-mode behavior) plus requested method/headers; simple
+responses carry Access-Control-Allow-Origin only when allowed —
+per the CORS model the server never rejects a simple request, the
+browser enforces the missing header.
 
 No Spark work happens here — the handlers own the plans; this layer
 parses JSON, checks shapes, and serializes dicts. Scale note: the
@@ -178,7 +193,15 @@ class HealthcareApi:
         limiter: RateLimiter | None = None,
         cache: ResultCache | None = None,
         current_year: int | None = None,
+        allowed_origins: list[str] | None = None,
+        allowed_hosts: list[str] | None = None,
     ):
+        self.allowed_origins = (
+            list(allowed_origins) if allowed_origins is not None else ["*"]
+        )
+        self.allowed_hosts = (
+            list(allowed_hosts) if allowed_hosts is not None else ["*"]
+        )
         self.spark = spark
         self.patients = patients
         self.encounters = encounters
@@ -319,9 +342,55 @@ class HealthcareApi:
     def health(self) -> dict:
         return api.health_check(self.spark)
 
+    # -- middleware (reference healthcare-api-main.py:75-87) -----------
+    def _host_allowed(self, host: str | None) -> bool:
+        host = (host or "").split(":")[0].lower()
+        for pat in self.allowed_hosts:
+            pat = pat.lower()
+            if pat == "*" or pat == host:
+                return True
+            if pat.startswith("*.") and host.endswith(pat[1:]):
+                return True
+        return False
+
+    def _origin_allowed(self, origin: str) -> bool:
+        return "*" in self.allowed_origins or origin in self.allowed_origins
+
+    def _cors_headers(self, headers: dict) -> dict:
+        origin = headers.get("origin", "")
+        if origin and self._origin_allowed(origin):
+            # credentials mode (the reference sets
+            # allow_credentials=True): echo the origin — browsers
+            # reject the literal '*' together with credentials
+            return {
+                "Access-Control-Allow-Origin": origin,
+                "Access-Control-Allow-Credentials": "true",
+            }
+        return {}
+
     # -- dispatch ------------------------------------------------------
     def handle(self, method: str, path: str, headers: dict, body: bytes):
-        """(status, payload) for one request — the socket-free core."""
+        """(status, payload, response_headers) for one request — the
+        socket-free core."""
+        if not self._host_allowed(headers.get("host")):
+            return 400, {"detail": "Invalid host header"}, {}
+        if method == "OPTIONS" and "access-control-request-method" in headers:
+            origin = headers.get("origin", "")
+            if not (origin and self._origin_allowed(origin)):
+                return 400, {"detail": "Disallowed CORS origin"}, {}
+            hdrs = self._cors_headers(headers)
+            hdrs["Access-Control-Allow-Methods"] = headers[
+                "access-control-request-method"
+            ]
+            req_hdrs = headers.get("access-control-request-headers")
+            if req_hdrs:
+                hdrs["Access-Control-Allow-Headers"] = req_hdrs
+            hdrs["Access-Control-Max-Age"] = "600"
+            return 200, {}, hdrs
+        status, payload = self._route(method, path, headers, body)
+        return status, payload, self._cors_headers(headers)
+
+    def _route(self, method: str, path: str, headers: dict, body: bytes):
         try:
             parsed = json.loads(body) if body else {}
             if not isinstance(parsed, dict):
@@ -370,11 +439,15 @@ def serve(app: HealthcareApi, host: str = "127.0.0.1", port: int = 0):
             n = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(n) if n else b""
             headers = {k.lower(): v for k, v in self.headers.items()}
-            status, payload = app.handle(method, self.path, headers, body)
+            status, payload, extra = app.handle(
+                method, self.path, headers, body
+            )
             data = json.dumps(payload, default=str).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(data)))
+            for k, v in extra.items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(data)
 
@@ -383,6 +456,9 @@ def serve(app: HealthcareApi, host: str = "127.0.0.1", port: int = 0):
 
         def do_POST(self):  # noqa: N802
             self._dispatch("POST")
+
+        def do_OPTIONS(self):  # noqa: N802 (CORS preflight)
+            self._dispatch("OPTIONS")
 
         def log_message(self, *a):  # quiet test runs
             pass

@@ -54,7 +54,12 @@ GATE_PRIORITY = [
     "t_autocorr",
     "j1_star_join",
     "j2_band_self_join",
-    "j3_left_join_pred",
+    # j3_left_join_pred rotated OUT r5 (left-join-with-side-predicate
+    # stays gate-evidenced by hc_q3/hc_q9 in this window; j3 stays
+    # green in MIRROR.json) for dedup_canonical_keep — the r4-era
+    # oracle route through connected components (ADVICE: rotate the
+    # newest oracle-backed ops through the gate).
+    "dedup_canonical_keep",
     "j4_semi_exists",
     # j5_anti_not_exists rotated OUT r4 (its sf0.01 result is 0 rows —
     # a trivially-true hash check; hc_q9 in this window is itself a
@@ -62,8 +67,13 @@ GATE_PRIORITY = [
     # MIRROR.json): gate slots go to queries whose oracle rows carry
     # real signal, newest first (ADVICE r3).
     "ds_pack_sequences",
-    "j6_in_subquery",
-    "j7_role_playing_dim",
+    # j6_in_subquery / j7_role_playing_dim rotated OUT r5 (IN-subquery
+    # semi-join stays evidenced by hc_q2, role-playing dims by hc_q8;
+    # both stay green in MIRROR.json) for two r5-new oracle routes:
+    # the per-document connected-components assignment and the
+    # fixed-iteration PageRank recursive-CTE check.
+    "dedup_clusters",
+    "g_pagerank_centrality",
     "j9_cte_join",
     "a1_agg_battery",
     "a8_percentiles",
@@ -75,16 +85,30 @@ GATE_PRIORITY = [
     # pct column in this window; a12 stays green in MIRROR.json.
     "ds_zorder_layout",
     "a13_histogram",
+    # u2_set_ops rotated OUT r5 (set-op evidence stays via hc_q10's
+    # UNION ALL in this window) for a2b_approx_stats — the sketch
+    # tier's new tolerance-verdict oracle.
+    "a2b_approx_stats",
     "a14_quality_metrics",
     "w1_w2_group_outliers",
-    "w3_topn_per_group",
+    # w3_topn_per_group rotated OUT r5 (top-N-per-frame stays
+    # evidenced by w4's argmax + g_pagerank_centrality's row_number
+    # top-3 in this window) for stat_mannwhitney_u — the r4
+    # value-histogram rank statistic.
+    "stat_mannwhitney_u",
     "w4_latest_per_entity",
-    "f_date_functions",
+    # f_date_functions rotated OUT r5 (date add/diff/trunc/format stay
+    # evidenced by hc_q8 + exec_summary's relative-date filter) for
+    # dq_k_anonymity — the r4 privacy-audit battery.
+    "dq_k_anonymity",
     "f_case_mask_hash",
     "events_hourly_rollup",
-    "events_sessionize",
-    "u2_set_ops",
-    "t_gap_fill",
+    # events_sessionize / t_gap_fill rotated OUT r5 (session windows
+    # stay pytest-pinned and both stay green in MIRROR.json) for the
+    # r4 sequence ops: event-pattern matching and the explicit
+    # tie-break mode battery.
+    "t_event_pattern_match",
+    "a27_mode_battery",
     "dedup_exact",
     "dedup_simhash",
     "dedup_ngram_jaccard",

@@ -1132,3 +1132,58 @@ def test_transition_stream_matches_batch_matrix(spark, tmp_path):
     # cross-batch transition (30 events / 3 users = 9 in-user links
     # per user; single-batch would too, so assert via batch count)
     assert sum(got.values()) == sum(expect.values()) == 27
+
+
+# ---------------------------------------------------------------------------
+# Middleware parity (healthcare-api-main.py:75-87): TrustedHost +
+# CORS, Starlette semantics — socket-free via app.handle().
+# ---------------------------------------------------------------------------
+def test_http_middleware_trusted_host_and_cors(spark):
+    from healthcare_research_data_pipeline_project_spark.healthcare import http_api
+
+    pats = etl.transform_patient_data(generator.generate_patients(spark, 50))
+    encs = generator.generate_encounters(spark, 50, n_patients=50)
+    labs = generator.generate_labs(spark, 50, n_encounters=50)
+    app = http_api.HealthcareApi(
+        spark, pats, encs, labs, current_year=2025,
+        allowed_origins=["https://good.example"],
+        allowed_hosts=["api.example.com", "*.svc.example.com"],
+    )
+
+    # untrusted Host → 400 Invalid host header (Starlette's status)
+    st, payload, _ = app.handle("GET", "/health", {"host": "evil.com"}, b"")
+    assert (st, payload["detail"]) == (400, "Invalid host header")
+    # allowed exact host and wildcard-subdomain host (port stripped)
+    assert app.handle("GET", "/health", {"host": "api.example.com:8443"}, b"")[0] == 200
+    assert app.handle("GET", "/health", {"host": "a.svc.example.com"}, b"")[0] == 200
+
+    ok_host = {"host": "api.example.com"}
+    # disallowed-origin preflight → 400
+    st, payload, _ = app.handle(
+        "OPTIONS", "/api/v1/auth/token",
+        {**ok_host, "origin": "https://evil.example",
+         "access-control-request-method": "POST"}, b"",
+    )
+    assert (st, payload["detail"]) == (400, "Disallowed CORS origin")
+    # allowed preflight echoes origin (credentials mode) + method
+    st, _, hdrs = app.handle(
+        "OPTIONS", "/api/v1/auth/token",
+        {**ok_host, "origin": "https://good.example",
+         "access-control-request-method": "POST",
+         "access-control-request-headers": "authorization"}, b"",
+    )
+    assert st == 200
+    assert hdrs["Access-Control-Allow-Origin"] == "https://good.example"
+    assert hdrs["Access-Control-Allow-Credentials"] == "true"
+    assert hdrs["Access-Control-Allow-Methods"] == "POST"
+    assert hdrs["Access-Control-Allow-Headers"] == "authorization"
+    # simple request: allowed origin gets the header, disallowed gets
+    # none (CORS never rejects a simple request server-side)
+    _, _, hdrs = app.handle(
+        "GET", "/health", {**ok_host, "origin": "https://good.example"}, b""
+    )
+    assert hdrs["Access-Control-Allow-Origin"] == "https://good.example"
+    st, _, hdrs = app.handle(
+        "GET", "/health", {**ok_host, "origin": "https://evil.example"}, b""
+    )
+    assert st == 200 and hdrs == {}

@@ -1,0 +1,166 @@
+"""One-order-up scale probe for the headline queries.
+
+The bench runs at sf0.1; this tool manufactures a 10x warehouse
+(sf1-equivalent) by replicating the sf0.1 TPC-H tables with disjoint
+key ranges — copy i shifts every key by i * (max_key + 1), so join
+fan-outs, group cardinalities, and distributions scale the way real
+data growth would (10x facts, 10x customers/parts/suppliers, the same
+calendar) — then times exec_summary + hc_q1..q10 against it and
+reports each query's time ratio vs its own sf0.1 run.
+
+A ratio near ~10x (or below, where fixed per-query overhead
+amortizes) is linear scaling; a superlinear cliff means some stage is
+quadratic or single-partition and must be fixed. Results land in
+SCALE_PROBE.json at the repo root (committed per round) and in the
+README's snapshot table.
+
+Usage: python tools/scale_probe.py [--copies 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from healthcare_research_data_pipeline_project_spark import queries as Q  # noqa: E402
+from healthcare_research_data_pipeline_project_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+PROBE_DIR = os.path.join(REPO, ".scale_probe", "sf1")
+
+#: per-table key columns that must stay globally unique across copies
+#: (foreign keys shift in lockstep with the parent's primary key)
+KEYED = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+}
+#: key-offset base per key column, derived from the PRIMARY owner
+OWNER = {
+    "c_custkey": ("customer", "c_custkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+}
+COPY_ONLY = ["region", "nation", "events", "documents", "embeddings"]
+
+HEADLINE = [
+    "exec_summary",
+    "hc_q1_readmission_risk",
+    "hc_q2_sepsis_bundle",
+    "hc_q3_provider_performance",
+    "hc_q4_chronic_disease",
+    "hc_q5_hai_surveillance",
+    "hc_q6_drg_outliers",
+    "hc_q7_trial_cohort",
+    "hc_q8_ed_throughput",
+    "hc_q9_access_audit",
+    "hc_q10_data_quality",
+]
+
+
+def build_probe(spark, copies: int) -> None:
+    os.makedirs(PROBE_DIR, exist_ok=True)
+    bases = {}
+    for col, (tbl, pk) in OWNER.items():
+        if (tbl, pk) not in bases:
+            mx = (
+                spark.read.parquet(f"{SRC}/{tbl}.parquet")
+                .agg(F.max(pk))
+                .collect()[0][0]
+            )
+            bases[(tbl, pk)] = int(mx) + 1
+    for tbl, keys in KEYED.items():
+        dst = f"{PROBE_DIR}/{tbl}.parquet"
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(f"{SRC}/{tbl}.parquet")
+        copies_df = df.crossJoin(
+            F.broadcast(
+                spark.range(copies).select(F.col("id").alias("__copy"))
+            )
+        )
+        for k in keys:
+            base = bases[OWNER[k]]
+            copies_df = copies_df.withColumn(
+                k, (F.col(k) + F.col("__copy") * base).cast("long")
+            )
+        copies_df.drop("__copy").write.mode("overwrite").parquet(dst)
+        print(f"# built {tbl} x{copies}", file=sys.stderr)
+    for tbl in COPY_ONLY:
+        dst = f"{PROBE_DIR}/{tbl}.parquet"
+        src = f"{SRC}/{tbl}.parquet"
+        if not os.path.exists(dst) and os.path.exists(src):
+            spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    args = ap.parse_args()
+
+    Q.load_all()
+    spark = get_spark(app_name="hrdp-spark-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_probe(spark, args.copies)
+
+    from healthcare_research_data_pipeline_project_spark.caching import (
+        unpersist_tracked,
+    )
+    from healthcare_research_data_pipeline_project_spark.healthcare.mapping import (
+        ensure_warehouse,
+    )
+
+    # warehouse build (phase-3 load) excluded from per-query timings,
+    # same accounting as bench.py
+    t0 = time.time()
+    ensure_warehouse(spark, PROBE_DIR)
+    ensure_warehouse(spark, SRC)
+    print(f"# warehouses ready in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    report = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        times = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf1", PROBE_DIR)):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+                unpersist_tracked()
+            times[label] = round(best, 3)
+        ratio = round(times["sf1"] / times["sf0.1"], 2)
+        report[name] = {**times, "ratio": ratio}
+        print(f"# {name}: {times['sf0.1']}s -> {times['sf1']}s ({ratio}x)",
+              file=sys.stderr)
+
+    out = {
+        "copies": args.copies,
+        "probe_rows_lineitem": args.copies * 600_000,
+        "queries": report,
+        "max_ratio": max(r["ratio"] for r in report.values()),
+    }
+    path = os.path.join(REPO, "SCALE_PROBE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
