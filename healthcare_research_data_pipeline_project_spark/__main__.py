@@ -79,6 +79,35 @@ def run_query(spark, name: str, sf_dir: str, limit: int = 20) -> list[dict]:
     return [r.asDict() for r in Q.QUERIES[name](spark, sf_dir).limit(limit).collect()]
 
 
+def serve_api(spark, host: str, port: int, n_patients: int) -> None:
+    """Run the stdlib HTTP adapter as a long-lived driver process (the
+    compose `api` service). Middleware knobs come from the same env
+    vars the reference's FastAPI app reads (ALLOWED_ORIGINS /
+    ALLOWED_HOSTS, comma-separated, default '*'); an external
+    Redis-protocol cache attaches via CACHE_HOST/CACHE_PORT."""
+    from .healthcare import etl, generator, security
+    from .healthcare.http_api import HealthcareApi, serve
+
+    patients = security.mask_pii_columns(
+        etl.transform_patient_data(generator.generate_patients(spark, n_patients))
+    )
+    encounters = generator.generate_encounters(
+        spark, n_patients * 5, n_patients
+    )
+    labs = generator.generate_labs(spark, n_patients * 10, n_patients * 5)
+    app = HealthcareApi(
+        spark,
+        patients,
+        encounters,
+        labs,
+        allowed_origins=os.environ.get("ALLOWED_ORIGINS", "*").split(","),
+        allowed_hosts=os.environ.get("ALLOWED_HOSTS", "*").split(","),
+    )
+    server = serve(app, host=host, port=port)
+    log.info("serving on %s:%s", *server.server_address)
+    server.serve_forever()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="healthcare_research_data_pipeline_project_spark")
     ap.add_argument("--run-pipeline", action="store_true")
@@ -87,6 +116,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--query", help="run one corpus query by name")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--limit", type=int, default=20)
+    ap.add_argument(
+        "serve", nargs="?", choices=["serve"],
+        help="run the HTTP API server (compose `api` service)",
+    )
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -99,6 +134,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.query:
         print(json.dumps(run_query(spark, args.query, args.sf_dir, args.limit), default=str))
+        return 0
+    if args.serve == "serve":
+        serve_api(spark, args.host, args.port, args.patients)
         return 0
     ap.print_help()
     return 2

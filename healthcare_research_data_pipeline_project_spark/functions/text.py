@@ -110,11 +110,23 @@ def simhash_bits_col(toks_col: str, nbits: int = 16) -> Column:
         raise ValueError("simhash nbits must be <= 60 (BIGINT token hash)")
     hx = (nbits + 3) // 4
     tok_hash = f"cast(conv(substring(md5(t), 1, {hx}), 16, 10) as bigint)"
+    # ONE fold with an nbits-wide vote accumulator over PRE-hashed
+    # tokens: the naive per-bit form (`transform(sequence(...), j ->
+    # aggregate(toks, ...))`) re-evaluates md5(token) once per BIT —
+    # a 60x hot-loop blowup Catalyst does not CSE away. Here each
+    # token hashes exactly once (the `transform` below), and per token
+    # the fold does nbits cheap shift/mask votes. Vote sums are
+    # order-independent integers, so the output is bit-for-bit the
+    # per-bit form's.
     return F.expr(
-        f"concat_ws('', transform(sequence(0, {nbits - 1}), j -> "
-        f"CASE WHEN aggregate({toks_col}, 0, (acc, t) -> acc + "
-        f"CASE WHEN (shiftright({tok_hash}, j) & 1) = 1 THEN 1 ELSE -1 END) >= 0 "
-        f"THEN '1' ELSE '0' END))"
+        f"aggregate("
+        f"transform({toks_col}, t -> {tok_hash}), "
+        f"array_repeat(0, {nbits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {nbits - 1}), "
+        f"(a, j) -> a + CASE WHEN (shiftright(h, j) & 1) = 1 "
+        f"THEN 1 ELSE -1 END), "
+        f"acc -> concat_ws('', transform(acc, v -> "
+        f"CASE WHEN v >= 0 THEN '1' ELSE '0' END)))"
     )
 
 

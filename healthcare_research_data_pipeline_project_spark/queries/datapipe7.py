@@ -139,18 +139,19 @@ def _tri_dot(a: str, b: str) -> str:
     )
 
 
-def _tri_edges_sql() -> str:
+def _tri_edges_sql(threshold: float | None = None) -> str:
     cos = (
         f"CAST(ROUND({_tri_dot('a.embedding', 'b.embedding')} /"
         f" (sqrt({_tri_dot('a.embedding', 'a.embedding')}) *"
         f" sqrt({_tri_dot('b.embedding', 'b.embedding')})), 4) AS DOUBLE)"
     )
+    t = _TRI_T if threshold is None else threshold
     return f"""
     e AS (
       SELECT a.label, a.vec_id AS a, b.vec_id AS b
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE {cos} >= {_TRI_T}
+      WHERE {cos} >= {t}
     )"""
 
 
@@ -925,21 +926,61 @@ def dedup_semantic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # thresholds at 0.25 — looser than the near-dup pair cut (0.35, which
 # on this corpus yields a near-perfect matching: no cycles at all) —
 # and k=2 keeps exactly the nodes on similarity cycles. Iterative
-# peel (operators/graph.py::kcore, adaptive driver/distributed): not
-# SQL-expressible → rows-only; tests pin peel semantics and the
-# forced-distributed equivalence.
+# peel (operators/graph.py::kcore, adaptive driver/distributed).
+# ORACLE-CHECKED (was rows-only through r4): DuckDB reproduces the
+# peel with an edge-set recursive CTE — each round keeps the edges
+# whose BOTH endpoints hold degree >= k, with degrees computed by
+# window counts over the round's own edge set (one recursive
+# reference, standard-SQL-legal). Peeling is idempotent at the
+# fixpoint, so a generous fixed depth equals the exact k-core; Spark
+# raises if ITS peel hasn't converged within the same bound, so both
+# engines certify the same fixpoint. Tests still pin peel semantics
+# and the forced-distributed equivalence.
 # ---------------------------------------------------------------------------
+_KCORE_T = 0.25
+_KCORE_K = 2
+_KCORE_ROUNDS = 40
 
 
-@register("g_kcore_dense_region")
+def _kcore_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_tri_edges_sql(_KCORE_T).strip().lstrip()},
+    sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    ealive(iter, u, v) AS (
+      SELECT 0, u, v FROM sym
+      UNION ALL
+      SELECT iter + 1, u, v FROM (
+        SELECT iter, u, v,
+               COUNT(*) OVER (PARTITION BY u) AS du,
+               COUNT(*) OVER (PARTITION BY v) AS dv
+        FROM ealive WHERE iter < {_KCORE_ROUNDS}
+      ) WHERE du >= {_KCORE_K} AND dv >= {_KCORE_K}
+    ),
+    core AS (
+      SELECT u AS node, COUNT(*) AS core_degree
+      FROM ealive WHERE iter = {_KCORE_ROUNDS} GROUP BY u
+    )
+    SELECT emb.label,
+           CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+           CAST(MIN(core.core_degree) AS BIGINT) AS min_core_degree,
+           CAST(MAX(core.core_degree) AS BIGINT) AS max_core_degree
+    FROM core JOIN embeddings emb ON emb.vec_id = core.node
+    GROUP BY emb.label ORDER BY emb.label
+    """
+
+
+@register("g_kcore_dense_region", _kcore_oracle())
 def g_kcore_dense_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore
 
     t = load_tables(spark, sf_dir)
-    e = S.embedding_near_dup_pairs(t.embeddings, threshold=0.25).select(
+    e = S.embedding_near_dup_pairs(t.embeddings, threshold=_KCORE_T).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    core = kcore(e, k=2)
+    # max_iter aligned with the oracle's fixed recursion depth: if the
+    # peel ever needed more rounds, Spark raises rather than letting
+    # the two engines certify different fixpoints
+    core = kcore(e, k=_KCORE_K, max_iter=_KCORE_ROUNDS)
     lab = t.embeddings.select(F.col("vec_id").alias("node"), "label")
     return (
         core.join(lab, "node")

@@ -229,6 +229,9 @@ def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = tc.agg(F.countDistinct("doc_id").alias("n_docs"))
     dfreq = tc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     wv = (
+        # dfreq joins via shuffle, NOT broadcast: it is
+        # vocabulary-sized (can be 100M+ tokens at corpus scale), and
+        # the cached tc is already token-clustered from its groupBy
         tc.join(dfreq, "token")
         .crossJoin(F.broadcast(nd))
         .select(
@@ -270,6 +273,9 @@ def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = nrm.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("n2a"))
     nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("n2b"))
     cosns = (
+        # norms are corpus-cardinality — shuffle joins, never
+        # broadcast (the candidate-pair side is the df-capped small
+        # side at scale)
         dots.join(na, "id_a")
         .join(nb, "id_b")
         .select(
