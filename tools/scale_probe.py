@@ -114,7 +114,14 @@ def main() -> None:
     args = ap.parse_args()
 
     Q.load_all()
-    spark = get_spark(app_name="hrdp-spark-scale-probe")
+    # local-mode JVM heap defaults to 1g — fine for the sf0.1 bench,
+    # OOMs in the 10x warehouse build's parquet writers. The probe is
+    # its own process, so size the driver (=the whole local executor)
+    # for the data it manufactures.
+    spark = get_spark(
+        app_name="hrdp-spark-scale-probe",
+        extra_conf={"spark.driver.memory": "24g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     build_probe(spark, args.copies)
 
