@@ -765,11 +765,73 @@ def mm_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Real multimodal decode: synthesized PPM/WAV payloads → numpy/stdlib
 # decode stats with per-row quarantine (video has no in-container
-# codec). Payloads are generated executor-side (not SQL-expressible),
-# so rows-only; pytest pins decoded dims/RMS against independent
-# driver-side decodes.
+# codec). ORACLE-CHECKED (was rows-only through r4): the payload
+# bytes are a sha256 counter-mode stream (binary_ops._bytes_stream),
+# so DuckDB recomputes every decoded statistic WITHOUT touching a
+# binary — raster mean from per-chunk hex-byte sums, PCM16 RMS from
+# signed little-endian byte pairs, the quarantine error string
+# verbatim. Float safety: all sums are exact integers below 2^53
+# (byte sums < 2^24, square sums < 2^42), so numpy's pairwise mean
+# and SQL's SUM/n division are bit-identical doubles; sqrt is IEEE on
+# both engines. This pins the FULL decode path (PPM header parse,
+# raster math, WAV frame extraction, int16 sign handling) against an
+# independent reimplementation, not just row counts.
 # ---------------------------------------------------------------------------
-@register("mm_decode_stats")
+def _mm_decode_oracle(n: int = 64, seed: int = 42) -> str:
+    digest_bytes = (
+        f"list_transform(generate_series(0, 31), j -> CAST('0x' ||"
+        f" substr(sha256('{seed}:' || CAST(i AS VARCHAR) || ':' ||"
+        f" CAST(ctr AS VARCHAR)), j*2+1, 2) AS BIGINT))"
+    )
+    return f"""
+    WITH ids AS (SELECT range AS i FROM range(0, {n})),
+    img0 AS (SELECT i, 32 + (i % 16) * 8 AS w, 32 + (i % 12) * 8 AS h
+             FROM ids WHERE i % 3 = 0),
+    imgn AS (SELECT i, w, h, w * h * 3 AS nb FROM img0),
+    imgch AS (SELECT i, w, h, nb,
+                     unnest(generate_series(0,
+                       CAST(ceil(nb / 32.0) AS INT) - 1)) AS ctr
+              FROM imgn),
+    imgb AS (SELECT i, w, h, nb, ctr, {digest_bytes} AS bs FROM imgch),
+    imgs AS (SELECT i, w, h, nb,
+                    SUM(list_sum(bs[1 : least(32, nb - ctr * 32)])) AS tot
+             FROM imgb GROUP BY i, w, h, nb),
+    aud0 AS (SELECT i, 2000 + (i % 8) * 250 AS ns FROM ids WHERE i % 3 = 1),
+    audn AS (SELECT i, ns, ns * 2 AS nb FROM aud0),
+    audch AS (SELECT i, ns, nb,
+                     unnest(generate_series(0,
+                       CAST(ceil(nb / 32.0) AS INT) - 1)) AS ctr
+              FROM audn),
+    audb AS (SELECT i, ns, nb, ctr, {digest_bytes} AS bs FROM audch),
+    audp AS (SELECT i, ns,
+                    list_transform(
+                      generate_series(0,
+                        CAST(least(32, nb - ctr * 32) / 2 AS INT) - 1),
+                      k -> CASE WHEN bs[2*k+2] >= 128
+                                THEN bs[2*k+1] + 256 * bs[2*k+2] - 65536
+                                ELSE bs[2*k+1] + 256 * bs[2*k+2] END) AS vals
+             FROM audb),
+    auds AS (SELECT i, ns,
+                    SUM(list_sum(list_transform(vals, v -> v * v))) AS ss
+             FROM audp GROUP BY i, ns)
+    SELECT i AS media_id, 'image' AS kind,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(tot AS DOUBLE) / nb AS mean_pixel,
+           CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS n_samples,
+           CAST(NULL AS DOUBLE) AS rms, CAST(NULL AS VARCHAR) AS decode_error
+    FROM imgs
+    UNION ALL
+    SELECT i, 'audio', NULL, NULL, NULL,
+           8000, CAST(ns AS INT), sqrt(CAST(ss AS DOUBLE) / ns), NULL
+    FROM auds
+    UNION ALL
+    SELECT i, 'video', NULL, NULL, NULL, NULL, NULL, NULL,
+           'ValueError: no codec for format=''mp4'''
+    FROM ids WHERE i % 3 = 2
+    """
+
+
+@register("mm_decode_stats", _mm_decode_oracle())
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal import binary_ops as mm
 
