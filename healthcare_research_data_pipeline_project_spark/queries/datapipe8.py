@@ -225,14 +225,20 @@ def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
     tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    tc = track_persist(tc)  # feeds n_docs, df, weights
+    tc = track_persist(tc)  # feeds n_docs + the df/weight pipeline
     nd = tc.agg(F.countDistinct("doc_id").alias("n_docs"))
-    dfreq = tc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # df via a token-partitioned window instead of a separate
+    # aggregate + shuffle join: one exchange on token computes df in
+    # place, and — decisive for the self-join below — the persisted wv
+    # frame REMAINS token-partitioned, so both posting sides of the
+    # pair join read the cache with no further exchange. (A window
+    # over a token frame is group-cardinality per partition — the df
+    # cap doctrine bounds any hot token's frame downstream, and the
+    # window itself is a streaming count, never a sort of the corpus.)
     wv = (
-        # dfreq joins via shuffle, NOT broadcast: it is
-        # vocabulary-sized (can be 100M+ tokens at corpus scale), and
-        # the cached tc is already token-clustered from its groupBy
-        tc.join(dfreq, "token")
+        tc.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
