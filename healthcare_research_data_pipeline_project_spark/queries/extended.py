@@ -467,6 +467,63 @@ def a2b_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A2c: MERGEABLE distinct-count sketches — the property a one-shot
+# estimate (a2b) does not prove. Per-group Apache DataSketches HLL
+# partials (`hll_sketch_agg`) re-aggregate up the hierarchy with
+# `hll_union_agg`: the global estimate comes from UNIONING the five
+# per-priority sketches, never from rescanning the fact — the pattern
+# that makes distinct counting cube/rollup-able at 100 TB (compute
+# sketch partials once at the finest grain, serve every coarser
+# rollup from sketch merges). A customer spans priorities, so the
+# merged estimate tracks the true global distinct (~1.5k), NOT the
+# sum of per-group distincts (~6.5k) — the oracle pins exact counts
+# at both levels plus tolerance verdicts that a broken merge (or a
+# sum-not-union regression) would flip.
+# ---------------------------------------------------------------------------
+@register(
+    "a2c_sketch_rollup",
+    """
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS within_tol
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT), TRUE
+    FROM orders
+    ORDER BY grp
+    """,
+)
+def a2c_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t.orders.select("o_orderpriority", "o_custkey")
+    sk = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact"),
+    )
+    def verdict(est, exact):
+        # lgConfigK=12 sketches: rsd ~1.6%, 3σ ≈ 5%; floor 8 absolute
+        tol = F.greatest(F.round(exact * 0.05, 0), F.lit(8.0))
+        return (F.abs(est - exact) <= tol).alias("within_tol")
+    per = sk.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("exact").cast("long").alias("exact_custs"),
+        verdict(F.hll_sketch_estimate("sk"), F.col("exact")),
+    )
+    # the global row NEVER rescans orders for its estimate: it merges
+    # the five per-group sketch partials
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    g_exact = o.agg(F.countDistinct("o_custkey").alias("exact"))
+    allrow = merged.crossJoin(F.broadcast(g_exact)).select(
+        F.lit("ALL").alias("grp"),
+        F.col("exact").cast("long").alias("exact_custs"),
+        verdict(F.col("est"), F.col("exact")),
+    )
+    return per.unionByName(allrow).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
 # W6: rolling window frame (RANGE BETWEEN N PRECEDING) — trailing
 # 7-day order revenue per priority. The frame is keyed on an integer
 # day column so Spark's rangeBetween and SQL RANGE frames agree
