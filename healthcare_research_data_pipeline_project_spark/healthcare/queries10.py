@@ -203,10 +203,16 @@ def q2_sepsis(d: Dialect) -> str:
 def q3_provider(d: Dialect) -> str:
     ctes = [
         (
+            # r5 profile fixes, same doctrine as q4:
+            # - COUNT(DISTINCT e.encounter_id) == COUNT(*) at the
+            #   fact's unique encounter grain (every joined dim key is
+            #   unique), so the alias row_cnt serves both and the
+            #   HAVING uses plain COUNT(*) — leaves ONE genuine
+            #   distinct (patients), which Spark plans without Expand
             "ProviderMetrics",
             f"""
             SELECT p.provider_id, p.specialty,
-                   COUNT(DISTINCT e.encounter_id) AS total_encounters,
+                   COUNT(*) AS total_encounters,
                    COUNT(DISTINCT e.patient_id) AS unique_patients,
                    COUNT(*) AS row_cnt,
                    SUM(e.length_of_stay) AS los_sum,
@@ -222,46 +228,54 @@ def q3_provider(d: Dialect) -> str:
             JOIN dim_time t ON e.admission_time_id = t.time_id
             WHERE t.year = {ANALYSIS_YEAR} AND p.is_active = TRUE
             GROUP BY p.provider_id, p.specialty
-            HAVING COUNT(DISTINCT e.encounter_id) >= 20
+            HAVING COUNT(*) >= 20
             """,
         ),
         (
-            "SpecialtyBenchmarks",
+            # specialty benchmarks as WINDOW aggregates over the
+            # provider-cardinality frame, replacing the reference's
+            # second aggregate CTE + join-back: Spark inlines a
+            # twice-referenced CTE, which re-ran the whole fact
+            # join+aggregate — the window computes the same averages
+            # in one pass over ~hundreds of provider rows (a
+            # group-cardinality partition, fine at any scale)
+            "BenchmarkedMetrics",
             """
-            SELECT specialty,
-                   AVG(los_sum * 1.0 / row_cnt) AS specialty_avg_los,
-                   AVG(readmissions * 100.0 / total_encounters) AS specialty_readmit_rate,
-                   AVG(sev_deci_sum * 1.0 / (10 * row_cnt)) AS specialty_avg_severity
-            FROM ProviderMetrics
-            GROUP BY specialty
+            SELECT pm.*,
+                   AVG(los_sum * 1.0 / row_cnt)
+                     OVER (PARTITION BY specialty) AS specialty_avg_los,
+                   AVG(readmissions * 100.0 / total_encounters)
+                     OVER (PARTITION BY specialty) AS specialty_readmit_rate,
+                   AVG(sev_deci_sum * 1.0 / (10 * row_cnt))
+                     OVER (PARTITION BY specialty) AS specialty_avg_severity
+            FROM ProviderMetrics pm
             """,
         ),
     ]
     score = """100 - (
-        (pm.los_sum * 1.0 / pm.row_cnt) / sb.specialty_avg_los * 25
+        (pm.los_sum * 1.0 / pm.row_cnt) / pm.specialty_avg_los * 25
         + (pm.readmissions * 100.0 / pm.total_encounters)
-          / sb.specialty_readmit_rate * 25
+          / pm.specialty_readmit_rate * 25
         + (100 - pm.home_cnt * 100.0 / pm.row_cnt) / 50 * 25
         + CASE WHEN pm.mortalities > 0 THEN 25 ELSE 0 END
-    ) * (sb.specialty_avg_severity / (pm.sev_deci_sum * 1.0 / (10 * pm.row_cnt)))"""
+    ) * (pm.specialty_avg_severity / (pm.sev_deci_sum * 1.0 / (10 * pm.row_cnt)))"""
     select = f"""
         SELECT pm.provider_id, pm.specialty,
                CAST(pm.total_encounters AS BIGINT) AS total_encounters,
                CAST(pm.unique_patients AS BIGINT) AS unique_patients,
                {d.rdiv('pm.los_sum', 'pm.row_cnt', 1)} AS provider_avg_los,
-               CAST(ROUND(sb.specialty_avg_los, 1) AS DOUBLE) AS specialty_avg_los,
-               CAST(ROUND(pm.los_sum * 1.0 / pm.row_cnt - sb.specialty_avg_los, 1)
+               CAST(ROUND(pm.specialty_avg_los, 1) AS DOUBLE) AS specialty_avg_los,
+               CAST(ROUND(pm.los_sum * 1.0 / pm.row_cnt - pm.specialty_avg_los, 1)
                     + 0.0 AS DOUBLE) AS los_variance,
                {d.rdiv('pm.readmissions * 100', 'pm.total_encounters', 2)}
                  AS provider_readmit_rate,
-               CAST(ROUND(sb.specialty_readmit_rate, 2) AS DOUBLE)
+               CAST(ROUND(pm.specialty_readmit_rate, 2) AS DOUBLE)
                  AS specialty_readmit_rate,
                {d.rdiv('pm.sev_deci_sum', '10 * pm.row_cnt', 2)} AS case_mix_index,
                {d.rdiv('pm.home_cnt * 100', 'pm.row_cnt', 1)} AS home_discharge_rate,
                {d.rdiv('pm.charges_cents', '100 * pm.row_cnt', 0)} AS avg_charges,
                CAST(ROUND({score}, 1) + 0.0 AS DOUBLE) AS performance_score
-        FROM ProviderMetrics pm
-        JOIN SpecialtyBenchmarks sb ON pm.specialty = sb.specialty
+        FROM BenchmarkedMetrics pm
     """
     return ctes, select
 
