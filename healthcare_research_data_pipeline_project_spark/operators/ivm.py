@@ -46,6 +46,20 @@ def _sum_cols(measures: list[str]) -> list[str]:
     return [f"__sum_{m}" for m in measures]
 
 
+def _hll_cols(distinct_cols: list[str] | None) -> list[str]:
+    return [f"__hll_{c}" for c in (distinct_cols or [])]
+
+
+def _merge_hll(stored, delta):
+    """NULL-safe DataSketches HLL union: a key seen only on one side
+    keeps that side's sketch (hll_union propagates NULL otherwise)."""
+    return (
+        F.when(stored.isNull(), delta)
+        .when(delta.isNull(), stored)
+        .otherwise(F.hll_union(stored, delta))
+    )
+
+
 def _data_dir(view_path: str, version: int) -> str:
     return os.path.join(view_path.rstrip("/"), f"v={version}")
 
@@ -92,14 +106,31 @@ def init_agg_view(
     view_path: str,
     keys: list[str],
     measures: list[str],
+    distinct_cols: list[str] | None = None,
 ) -> DataFrame:
     """Materialize the initial view: one full aggregation of `base`
     (the only base-sized job in the view's lifetime). Re-initializing
-    an existing view commits a fresh version with an empty ledger."""
-    aggs = [F.count(F.lit(1)).cast("long").alias("__cnt")] + [
-        F.sum(F.col(m).cast("decimal(38,6)")).alias(c)
-        for m, c in zip(measures, _sum_cols(measures))
-    ]
+    an existing view commits a fresh version with an empty ledger.
+
+    `distinct_cols` adds MERGEABLE approx-distinct measures: the view
+    stores a DataSketches HLL sketch per (key, col) — a fixed-size
+    binary — and each refresh UNIONs the delta batch's sketch partial
+    into it. This is how distinct counting stays incrementally
+    maintainable at 100 TB: the exact alternative (a distinct-keys
+    side table) grows with cardinality, while the sketch is O(2^lgK)
+    bytes per key forever. Insert-only by construction — HLL cannot
+    subtract (see refresh_agg_view)."""
+    aggs = (
+        [F.count(F.lit(1)).cast("long").alias("__cnt")]
+        + [
+            F.sum(F.col(m).cast("decimal(38,6)")).alias(c)
+            for m, c in zip(measures, _sum_cols(measures))
+        ]
+        + [
+            F.hll_sketch_agg(c).alias(h)
+            for c, h in zip(distinct_cols or [], _hll_cols(distinct_cols))
+        ]
+    )
     ddir = _commit_version(base.groupBy(*keys).agg(*aggs), view_path)
     return base.sparkSession.read.parquet(ddir)
 
@@ -112,6 +143,7 @@ def refresh_agg_view(
     measures: list[str],
     op_col: str | None = None,
     batch_id: int | str | None = None,
+    distinct_cols: list[str] | None = None,
 ) -> DataFrame:
     """Merge a change batch into the stored view.
 
@@ -126,6 +158,15 @@ def refresh_agg_view(
     the same rename that publishes the merged data, so a redelivered
     batch finds its id and no-ops instead of double-applying.
     """
+    if distinct_cols and op_col:
+        # HLL sketches are insert-only (a union can never forget an
+        # element); silently keeping a deleted element in the distinct
+        # estimate while the counts shrink would be a wrong answer, so
+        # the combination is rejected — same doctrine as MIN/MAX
+        raise ValueError(
+            "distinct_cols cannot be maintained under deletes (op_col): "
+            "HLL sketches are insert-only"
+        )
     if batch_id is not None and _ledger_has(view_path, batch_id):
         return spark.read.parquet(_current_data_dir(view_path))
     sign = (
@@ -134,11 +175,16 @@ def refresh_agg_view(
         else F.lit(1)
     )
     scols = _sum_cols(measures)
+    hcols = _hll_cols(distinct_cols)
     partial = delta.groupBy(*keys).agg(
         F.sum(sign).cast("long").alias("__d_cnt"),
         *[
             F.sum(sign * F.col(m).cast("decimal(38,6)")).alias(f"__d_{c}")
             for m, c in zip(measures, scols)
+        ],
+        *[
+            F.hll_sketch_agg(c).alias(f"__d_{h}")
+            for c, h in zip(distinct_cols or [], hcols)
         ],
     )
     cur_dir = _current_data_dir(view_path)
@@ -151,6 +197,7 @@ def refresh_agg_view(
         *[F.col(k).alias(f"__p_{k}") for k in keys],
         "__d_cnt",
         *[F.col(f"__d_{c}") for c in _sum_cols(measures)],
+        *[F.col(f"__d_{h}") for h in hcols],
     )
     cond = None
     for k in keys:
@@ -173,6 +220,10 @@ def refresh_agg_view(
                     + F.coalesce(F.col(f"__d_{c}"), F.lit(0).cast("decimal(38,6)"))
                 ).alias(c)
                 for c in scols
+            ],
+            *[
+                _merge_hll(old[h], F.col(f"__d_{h}")).alias(h)
+                for h in hcols
             ],
         )
         .filter(F.col("__cnt") > 0)
@@ -220,10 +271,15 @@ def read_agg_view(
     view_path: str,
     measures: list[str],
     avg_scale: int = 6,
+    distinct_cols: list[str] | None = None,
 ) -> DataFrame:
     """Serve the view with derived averages: (keys..., cnt,
     sum_<m>, avg_<m>). AVG comes from the maintained sum/count, so it
-    is exactly the full-recompute average at every refresh point."""
+    is exactly the full-recompute average at every refresh point.
+    `distinct_cols` views additionally serve `approx_distinct_<c>`
+    from the maintained HLL sketch — identical to the estimate a
+    one-shot `hll_sketch_agg` over all inserted rows would produce
+    (sketch union is lossless at a fixed lgConfigK)."""
     v = spark.read.parquet(_current_data_dir(view_path))
     out = v.withColumnRenamed("__cnt", "cnt")
     for m, c in zip(measures, _sum_cols(measures)):
@@ -233,6 +289,10 @@ def read_agg_view(
                 (F.col(c) / F.col("cnt")).cast("double"), avg_scale
             ),
         ).drop(c)
+    for c, h in zip(distinct_cols or [], _hll_cols(distinct_cols)):
+        out = out.withColumn(
+            f"approx_distinct_{c}", F.hll_sketch_estimate(F.col(h))
+        ).drop(h)
     return out
 
 
@@ -243,6 +303,7 @@ def maintain_view_stream(
     measures: list[str],
     op_col: str | None = None,
     checkpoint_dir: str | None = None,
+    distinct_cols: list[str] | None = None,
 ):
     """Continuous view maintenance: drive `refresh_agg_view` from a
     Structured Streaming CDC feed via `foreachBatch` — each micro-batch
@@ -266,7 +327,7 @@ def maintain_view_stream(
             return
         refresh_agg_view(
             spark, view_path, batch_df, keys, measures, op_col=op_col,
-            batch_id=_batch_id,
+            batch_id=_batch_id, distinct_cols=distinct_cols,
         )
 
     writer = delta_stream.writeStream.foreachBatch(_merge).trigger(

@@ -366,3 +366,61 @@ def ivm_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("long").alias("cnt"),
         F.col("sum_o_totalprice").alias("sum_price"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# IVM with MERGEABLE approx-distinct measures: the view stores one
+# fixed-size HLL sketch per (priority), and each incremental refresh
+# UNIONs the delta batch's sketch partial into it — distinct counting
+# that stays maintainable at 100 TB where an exact distinct-keys side
+# table would grow with cardinality. Insert-only (HLL cannot subtract;
+# the operator raises on delete feeds). The oracle pins the exact
+# per-priority distinct counts plus tolerance verdicts over the
+# maintained estimate; the maintained sketch is union-lossless, so
+# the estimate equals a one-shot hll_sketch_agg over all rows
+# (pinned bit-for-bit by tests/test_ivm.py).
+# ---------------------------------------------------------------------------
+@register(
+    "ivm_sketch_distinct",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS within_tol
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ivm_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators import ivm
+
+    t = load_tables(spark, sf_dir)
+    base = t.orders.filter(F.col("o_orderdate") < _IVM_SPLIT)
+    delta = t.orders.filter(F.col("o_orderdate") >= _IVM_SPLIT)
+    path = tempfile.mkdtemp(prefix="hrdp_ivm_hll_") + "/view"
+    keys, meas, dcols = ["o_orderpriority"], ["o_totalprice"], ["o_custkey"]
+    ivm.init_agg_view(base, path, keys, meas, distinct_cols=dcols)
+    ivm.refresh_agg_view(
+        spark, path, delta, keys, meas, batch_id=1, distinct_cols=dcols
+    )
+    served = ivm.read_agg_view(spark, path, meas, distinct_cols=dcols)
+    exact = t.orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custs")
+    )
+    tol = F.greatest(F.round(F.col("exact_custs") * 0.05, 0), F.lit(8.0))
+    return (
+        served.join(F.broadcast(exact), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("exact_custs").cast("long").alias("exact_custs"),
+            (
+                F.abs(F.col("approx_distinct_o_custkey") - F.col("exact_custs"))
+                <= tol
+            ).alias("within_tol"),
+        )
+        .orderBy("o_orderpriority")
+    )

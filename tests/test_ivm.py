@@ -178,3 +178,71 @@ def test_view_readable_through_crashed_refresh_attempt(spark, tmp_path):
     # the commit expired the superseded version; exactly one data dir
     dirs = [n for n in os.listdir(path) if n.startswith("v=")]
     assert dirs == ["v=2"]
+
+
+def test_sketch_view_matches_one_shot_estimate(spark, tmp_path):
+    # mergeable approx-distinct: three incremental refreshes must end
+    # at EXACTLY the estimate a one-shot hll_sketch_agg over all rows
+    # gives (sketch union is lossless at fixed lgConfigK), and the
+    # exactly-once ledger must hold for sketch measures too
+    path = str(tmp_path / "view_hll")
+
+    def rows(lo, hi):
+        return spark.createDataFrame(
+            [(("a" if i % 2 == 0 else "b"), float(i % 13), i % 29)
+             for i in range(lo, hi)],
+            "k string, v double, u int",
+        )
+
+    ivm.init_agg_view(rows(0, 40), path, ["k"], ["v"], distinct_cols=["u"])
+    ivm.refresh_agg_view(
+        spark, path, rows(40, 80), ["k"], ["v"],
+        batch_id=1, distinct_cols=["u"],
+    )
+    ivm.refresh_agg_view(
+        spark, path, rows(80, 120), ["k"], ["v"],
+        batch_id=2, distinct_cols=["u"],
+    )
+    # redelivery no-ops for sketches exactly like sums
+    ivm.refresh_agg_view(
+        spark, path, rows(40, 80), ["k"], ["v"],
+        batch_id=1, distinct_cols=["u"],
+    )
+    got = {
+        r["k"]: (r["cnt"], r["approx_distinct_u"])
+        for r in ivm.read_agg_view(
+            spark, path, ["v"], distinct_cols=["u"]
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["cnt"], r["est"])
+        for r in rows(0, 120)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("est"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the true distinct is 29 per key here; the estimate must be sane
+    for cnt, est in got.values():
+        assert cnt == 60 and abs(est - 29) <= 3
+
+
+def test_sketch_view_rejects_deletes(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "view_hll_del")
+    ivm.init_agg_view(
+        _rows_df(spark, [("a", 1.0)]), path, ["k"], ["v"],
+        distinct_cols=None,
+    )
+    with _pytest.raises(ValueError, match="insert-only"):
+        ivm.refresh_agg_view(
+            spark, path,
+            spark.createDataFrame(
+                [("a", 1.0, "D")], "k string, v double, op string"
+            ),
+            ["k"], ["v"], op_col="op", distinct_cols=["v"],
+        )
