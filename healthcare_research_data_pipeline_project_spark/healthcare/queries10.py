@@ -746,13 +746,37 @@ HC_QUERIES = {
 }
 
 
-def _make_runner(template):
+#: Spark-side CTE materialization list: Spark INLINES a CTE once per
+#: reference, so a CTE consumed by several later CTEs re-runs its
+#: whole subtree per consumer (hc_q5's CurrentInpatients fed three —
+#: three fact_encounters scans at any scale). Materializing it as a
+#: cached temp view makes the fact scan run once; the DuckDB oracle
+#: text is untouched (DuckDB evaluates a multiply-referenced CTE
+#: once on its own), so semantics stay pinned by the same oracle.
+MATERIALIZE: dict[str, set[str]] = {
+    "hc_q5_hai_surveillance": {"CurrentInpatients"},
+}
+
+
+def _make_runner(name, template):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..caching import track_persist
+
         # warehouse tables resolve as persisted temp views (built once
         # per session+sf_dir); only query-local CTEs stay in the text
         ensure_warehouse(spark, sf_dir)
         ctes, select = template(SPARK)
-        return spark.sql(query_with(ctes) + select)
+        mat = MATERIALIZE.get(name, set())
+        remaining: list[tuple[str, str]] = []
+        for cte_name, cte_sql in ctes:
+            if cte_name in mat:
+                # earlier CTEs this one references are already either
+                # materialized views or in `remaining` (prepended)
+                df = spark.sql(query_with(remaining) + cte_sql)
+                track_persist(df).createOrReplaceTempView(cte_name)
+            else:
+                remaining.append((cte_name, cte_sql))
+        return spark.sql(query_with(remaining) + select)
 
     return run
 
@@ -765,4 +789,4 @@ def _oracle_text(template) -> str:
 
 
 for _name, _template in HC_QUERIES.items():
-    register(_name, _oracle_text(_template))(_make_runner(_template))
+    register(_name, _oracle_text(_template))(_make_runner(_name, _template))

@@ -246,3 +246,51 @@ def test_sketch_view_rejects_deletes(spark, tmp_path):
             ),
             ["k"], ["v"], op_col="op", distinct_cols=["v"],
         )
+
+
+def test_sketch_view_streaming_maintainer(spark, tmp_path):
+    # continuous maintenance of the approx-distinct sketch measure:
+    # after draining an insert-only stream, the view's estimate equals
+    # the one-shot sketch estimate over everything streamed
+    import time as _time
+
+    src = str(tmp_path / "ins")
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        spark.createDataFrame(
+            [("a" if i % 2 == 0 else "b", float(i), i % 17)
+             for i in range(lo, hi)],
+            "k string, v double, u int",
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    path = str(tmp_path / "sview_hll")
+    empty = spark.createDataFrame([], "k string, v double, u int")
+    ivm.init_agg_view(empty, path, ["k"], ["v"], distinct_cols=["u"])
+    stream = (
+        spark.readStream.schema("k string, v double, u int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ivm.maintain_view_stream(
+        stream, path, ["k"], ["v"],
+        checkpoint_dir=str(tmp_path / "ckpt_hll"),
+        distinct_cols=["u"],
+    )
+    q.awaitTermination()
+    got = {
+        r["k"]: (r["cnt"], r["approx_distinct_u"])
+        for r in ivm.read_agg_view(
+            spark, path, ["v"], distinct_cols=["u"]
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["cnt"], r["est"])
+        for r in spark.read.parquet(src)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("u")).alias("est"),
+        )
+        .collect()
+    }
+    assert got == want
