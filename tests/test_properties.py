@@ -199,3 +199,65 @@ def test_rate_limiter_matches_reference_model(calls):
                 pass
         else:
             assert rl.check(str(key)) == count
+
+
+@given(
+    n=st.integers(1, 60),
+    b=st.integers(1, 9),
+    seed=st.integers(0, 10**6),
+)
+@SETTINGS
+def test_ntile_closed_form_matches_formula(n, b, seed):
+    # the closed-form NTILE bucket ds_length_buckets applies over its
+    # prefix_sum exact rank must equal SQL NTILE for every (N, B):
+    # base = N div B, rem = N mod B, first `rem` buckets take base+1
+    base, rem = divmod(n, b)
+
+    def bucket(rank):
+        if rank <= rem * (base + 1):
+            return (rank + base) // (base + 1)
+        return rem + (rank - rem * (base + 1) + base - 1) // base
+
+    # python reference NTILE (ANSI semantics)
+    want = []
+    r = 1
+    for i in range(1, b + 1):
+        size = base + (1 if i <= rem else 0)
+        want.extend([i] * size)
+    got = [bucket(rank) for rank in range(1, n + 1)]
+    assert got == want
+    assert len(got) == n
+
+
+def test_ntile_closed_form_matches_spark_window(spark):
+    # one end-to-end pin against Spark's own ntile on an awkward size
+    # (N % B != 0, ties in the order key broken by id)
+    from healthcare_research_data_pipeline_project_spark.operators.scale import (
+        prefix_sum,
+    )
+
+    n, b = 37, 8
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 5) for i in range(n)], "id long, v long"
+    )
+    ranked = prefix_sum(df, ["v", "id"], {"rank": F.lit(1)}, num_partitions=5)
+    base, rem = divmod(n, b)
+    got = {
+        r["id"]: r["bkt"]
+        for r in ranked.selectExpr(
+            "id",
+            f"CASE WHEN rank <= {rem} * ({base} + 1)"
+            f" THEN (rank + {base}) div ({base} + 1)"
+            f" ELSE {rem} + (rank - {rem} * ({base} + 1) + {base} - 1)"
+            f" div {base} END AS bkt",
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    want = {
+        r["id"]: r["bkt"]
+        for r in df.withColumn(
+            "bkt", F.ntile(b).over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
