@@ -77,7 +77,11 @@ GATE_PRIORITY = [
     "j9_cte_join",
     "a1_agg_battery",
     "a8_percentiles",
-    "a9_iqr_outliers",
+    # a9_iqr_outliers rotated OUT r5 (exact-quantile evidence stays
+    # via a8_percentiles in this window; a9 stays green in
+    # MIRROR.json) for ivm_sketch_distinct — incremental
+    # approx-distinct view maintenance with mergeable HLL sketches.
+    "ivm_sketch_distinct",
     "a10_zscore_outliers",
     "a11_correlation",
     # a12_distribution_pct rotated OUT r4 for ds_zorder_layout: the
@@ -96,7 +100,11 @@ GATE_PRIORITY = [
     # top-3 in this window) for stat_mannwhitney_u — the r4
     # value-histogram rank statistic.
     "stat_mannwhitney_u",
-    "w4_latest_per_entity",
+    # w4_latest_per_entity rotated OUT r5 (latest-per-entity argmax
+    # stays evidenced by hc_q7's latest-A1C in this window; w4 stays
+    # green in MIRROR.json) for a2c_sketch_rollup — the mergeable-HLL
+    # rollup whose global estimate unions per-group sketch partials.
+    "a2c_sketch_rollup",
     # f_date_functions rotated OUT r5 (date add/diff/trunc/format stay
     # evidenced by hc_q8 + exec_summary's relative-date filter) for
     # dq_k_anonymity — the r4 privacy-audit battery.
