@@ -378,7 +378,11 @@ def ivm_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-priority distinct counts plus tolerance verdicts over the
 # maintained estimate; the maintained sketch is union-lossless, so
 # the estimate equals a one-shot hll_sketch_agg over all rows
-# (pinned bit-for-bit by tests/test_ivm.py).
+# (pinned bit-for-bit by tests/test_ivm.py). Reference parity: the
+# reference recomputes its distinct-count endpoints from the RDBMS on
+# every call (healthcare-api-main.py:471-545, quality-metrics
+# distincts); this is what replaces those full rescans when the fact
+# outgrows one Postgres.
 # ---------------------------------------------------------------------------
 @register(
     "ivm_sketch_distinct",

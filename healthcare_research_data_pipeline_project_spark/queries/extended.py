@@ -478,7 +478,10 @@ def a2b_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merged estimate tracks the true global distinct (~1.5k), NOT the
 # sum of per-group distincts (~6.5k) — the oracle pins exact counts
 # at both levels plus tolerance verdicts that a broken merge (or a
-# sum-not-union regression) would flip.
+# sum-not-union regression) would flip. Reference parity: extends the
+# COUNT(DISTINCT ...) family (healthcare-sql-analytics.sql:174,181,
+# 310-311 and SURVEY §2.4 A2) with the re-aggregatable form its
+# RDBMS could not provide.
 # ---------------------------------------------------------------------------
 @register(
     "a2c_sketch_rollup",
