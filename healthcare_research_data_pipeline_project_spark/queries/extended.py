@@ -527,6 +527,47 @@ def a2c_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A2d: mergeable frequency top-k — the accumulate / combine / estimate
+# protocol (Spark 4.1's approx_top_k sketch family). Per-shard sketch
+# partials (here: one per order status) COMBINE into the global top-k
+# without re-touching the fact — the companion of a2c's HLL merge for
+# the "serve every rollup from sketch partials" pattern. With
+# maxItemsTracked above the key cardinality the sketch is EXACT
+# (degenerates to full counting), so the oracle pins the merged
+# estimates value-for-value against exact GROUP BY counts — any
+# combine/estimate defect shifts a count and fails the hash. k equals
+# the full key domain, so no tie-at-the-boundary nondeterminism.
+# Extends SURVEY §2.4 A2/W3 (distinct counts, top-N) with the
+# re-aggregatable form; reference anchor healthcare-sql-analytics.sql
+# :196-208 (the priority-volume rollups this replaces at scale).
+# ---------------------------------------------------------------------------
+@register(
+    "a2d_topk_sketch_merge",
+    """
+    SELECT o_orderpriority AS item,
+           CAST(COUNT(*) AS BIGINT) AS est_cnt
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY est_cnt DESC, item
+    """,
+)
+def a2d_topk_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    acc = t.orders.groupBy("o_orderstatus").agg(
+        F.expr("approx_top_k_accumulate(o_orderpriority, 16)").alias("sk")
+    )
+    # the global sketch merges the per-status partials — the fact is
+    # never rescanned for the global view
+    glob = acc.agg(F.expr("approx_top_k_combine(sk, 16)").alias("sk"))
+    est = glob.select(
+        F.explode(F.expr("approx_top_k_estimate(sk, 5)")).alias("e")
+    )
+    return est.select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("long").alias("est_cnt"),
+    ).orderBy(F.desc("est_cnt"), "item")
+
+
+# ---------------------------------------------------------------------------
 # W6: rolling window frame (RANGE BETWEEN N PRECEDING) — trailing
 # 7-day order revenue per priority. The frame is keyed on an integer
 # day column so Spark's rangeBetween and SQL RANGE frames agree
