@@ -109,3 +109,85 @@ def test_heavy_hitters_drops_null_keys(spark, tmp_path):
     assert all(r["key"] is not None for r in out)
     assert {r["key"] for r in out} == {7}
     assert max(r["est"] for r in out) == 10
+
+
+# ---------------------------------------------------------------------------
+# Streaming PSI drift monitor (streaming/drift.py): the windowed twin
+# of dq_psi_drift — stream-vs-batch equivalence and drift ordering.
+# ---------------------------------------------------------------------------
+def test_streaming_psi_drift_matches_batch_and_ranks_shift(spark, tmp_path):
+    import datetime as dt
+    import time as _time
+
+    from healthcare_research_data_pipeline_project_spark.streaming import (
+        drift as DR,
+        surveillance as sv,
+    )
+
+    src = str(tmp_path / "drift_src")
+    t0 = dt.datetime(2024, 1, 1)
+    # window 1 (minute 0-9): values match the reference band;
+    # window 2 (minute 10-19): values shifted up — real drift
+    rows = []
+    eid = 0
+    for i in range(300):
+        rows.append((eid, t0 + dt.timedelta(seconds=i * 2), 1, "view",
+                     float((i * 37) % 200), "{}"))
+        eid += 1
+    for i in range(300):
+        rows.append((eid, t0 + dt.timedelta(minutes=10, seconds=i * 2), 1,
+                     "view", 300.0 + float((i * 37) % 200), "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    # reference profile: same generator as window 1
+    ref_rows = [(i, t0, 1, "view", float((i * 37) % 200), "{}")
+                for i in range(300)]
+    reference = DR.psi_reference_profile(
+        spark.createDataFrame(
+            ref_rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+    )
+
+    stream = spark.readStream.schema(sv.EVENT_SCHEMA).parquet(src)
+    counts_rows = sv.run_available_now(
+        DR.windowed_bucket_counts(stream, window="10 minutes"),
+        "t_drift_counts",
+        output_mode="complete",
+    )
+    counts = spark.createDataFrame(
+        counts_rows,
+        "win_start timestamp, win_end timestamp, event_type string,"
+        " bucket long, cur_cnt long",
+    )
+    psi = {
+        (r["win_start"].minute, r["event_type"]): r["psi"]
+        for r in DR.psi_from_bucket_counts(counts, reference).collect()
+    }
+    assert set(psi) == {(0, "view"), (10, "view")}
+    # in-band window: tiny PSI; shifted window: strong drift signal
+    assert psi[(0, "view")] < 0.1
+    assert psi[(10, "view")] > 0.5
+
+    # stream counts == batch counts over the same rows (equivalence)
+    batch = spark.read.parquet(src)
+    from pyspark.sql import functions as F2
+    want = {
+        (r["w"]["start"].minute, r["event_type"], r["bucket"]): r["c"]
+        for r in batch.groupBy(
+            F2.window("ts", "10 minutes").alias("w"),
+            "event_type",
+            DR.value_bucket().alias("bucket"),
+        ).agg(F2.count(F2.lit(1)).alias("c")).collect()
+    }
+    got = {
+        (r["win_start"].minute, r["event_type"], r["bucket"]): r["cur_cnt"]
+        for r in counts.collect()
+    }
+    assert got == want
