@@ -88,6 +88,19 @@ def serve_api(spark, host: str, port: int, n_patients: int) -> None:
     from .healthcare import etl, generator, security
     from .healthcare.http_api import HealthcareApi, serve
 
+    cache = None
+    if os.environ.get("CACHE_HOST"):
+        # the compose `redis` service (or any RESP2 server): RCA
+        # results are then shared across api replicas with server-side
+        # TTL, matching the reference's Redis cache
+        from .sources.external_cache import RedisResultCache, RespClient
+
+        cache = RedisResultCache(
+            RespClient(
+                os.environ["CACHE_HOST"],
+                int(os.environ.get("CACHE_PORT", "6379")),
+            )
+        )
     patients = security.mask_pii_columns(
         etl.transform_patient_data(generator.generate_patients(spark, n_patients))
     )
@@ -102,6 +115,7 @@ def serve_api(spark, host: str, port: int, n_patients: int) -> None:
         labs,
         allowed_origins=os.environ.get("ALLOWED_ORIGINS", "*").split(","),
         allowed_hosts=os.environ.get("ALLOWED_HOSTS", "*").split(","),
+        cache=cache,
     )
     server = serve(app, host=host, port=port)
     log.info("serving on %s:%s", *server.server_address)

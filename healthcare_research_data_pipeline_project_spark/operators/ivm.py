@@ -81,23 +81,39 @@ def _commit_version(
     is FULLY written before the single atomic manifest rename, so the
     ledger and the data commit together (the exactly-once guarantee)
     and a crash at any point leaves the previous version current.
-    Superseded versions are expired only after the flip."""
+
+    Version dirs are allocated PAST every existing `v=<k>` dir (never
+    reused) and written with `errorifexists`, so two concurrent
+    refreshes that race to the same number fail loudly instead of one
+    silently clobbering the other's in-flight write. Retention after
+    the flip keeps the immediately-previous served version alongside
+    the new one (keep_last=2): a lazy DataFrame handed out by
+    `read_agg_view`/`refresh_agg_view` before this flip still resolves
+    its files through one subsequent refresh. Everything older — and
+    any crashed uncommitted attempt below the previous version, which
+    no reader could ever have resolved — is removed."""
     root = view_path.rstrip("/")
     os.makedirs(root, exist_ok=True)
     prev = current_version(root)
-    v = prev + 1
+    leftover = [
+        int(n.split("=", 1)[1])
+        for n in os.listdir(root)
+        if n.startswith("v=")
+    ]
+    v = max([prev, *leftover], default=prev) + 1
     ddir = _data_dir(root, v)
-    shutil.rmtree(ddir, ignore_errors=True)  # a crashed earlier attempt
-    df.write.mode("overwrite").parquet(ddir)
+    df.write.mode("errorifexists").parquet(ddir)
     if batch_id is not None:
         _ledger_copy_into(root, ddir, batch_id)
     tmp = _manifest_path(root) + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"version": v}, f)
     os.rename(tmp, _manifest_path(root))  # the atomic commit point
-    for name in os.listdir(root):  # expire everything superseded
-        if name.startswith("v=") and int(name.split("=", 1)[1]) < v:
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    for name in os.listdir(root):  # expire all but {prev, v}
+        if name.startswith("v="):
+            k = int(name.split("=", 1)[1])
+            if k < v and k != prev:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     return ddir
 
 
@@ -189,6 +205,19 @@ def refresh_agg_view(
     )
     cur_dir = _current_data_dir(view_path)
     old = spark.read.parquet(cur_dir)
+    # the stored schema IS the view definition — refreshing with
+    # different keys/measures/distinct_cols would silently project
+    # away maintained columns (e.g. drop the __hll_* sketches and
+    # destroy the distinct estimates), so any mismatch is an error
+    stored = set(old.columns)
+    want = set(keys) | {"__cnt"} | set(scols) | set(hcols)
+    if stored != want:
+        raise ValueError(
+            f"{view_path}: refresh arguments do not match the stored view "
+            f"schema (stored-but-unrequested: {sorted(stored - want)}; "
+            f"requested-but-missing: {sorted(want - stored)}) — pass the "
+            "same keys/measures/distinct_cols the view was initialized with"
+        )
     # null-safe key equality: a NULL grouping key is one group in the
     # aggregation, so it must be ONE row in the merge too (plain `=`
     # never matches NULLs and would fork a duplicate null-key row per

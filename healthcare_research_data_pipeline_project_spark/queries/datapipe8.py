@@ -51,6 +51,23 @@ from . import register
 
 _TOKS = DUCK_TOKENS.format(text="text")
 
+# IVM demo views live in ONE driver tempdir per (app, sf_dir, kind),
+# reused across invocations (bench best-of-N, mirror, tests): each call
+# re-inits + refreshes into new versions of the SAME root, and the
+# commit protocol's keep_last=2 retention bounds the footprint — no
+# per-call directory-tree leak (ADVICE r5). The returned frame stays
+# backed by the root, which outlives the call by construction.
+_IVM_VIEW_ROOTS: dict[tuple[str, str, str], str] = {}
+
+
+def _ivm_view_path(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _IVM_VIEW_ROOTS:
+        _IVM_VIEW_ROOTS[key] = tempfile.mkdtemp(prefix=f"hrdp_{kind}_") + "/view"
+    return _IVM_VIEW_ROOTS[key]
+
 
 # ---------------------------------------------------------------------------
 # First-order Markov transitions over per-user event streams.
@@ -343,17 +360,12 @@ _IVM_SPLIT = "2000-01-01"
     """,
 )
 def ivm_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..operators import ivm
 
-    # the view lives in a fresh driver tempdir (the returned frame
-    # stays backed by it, so it must outlive the call — OS tempdir
-    # policy reclaims it, same contract as the iterative graph ops)
     t = load_tables(spark, sf_dir)
     base = t.orders.filter(F.col("o_orderdate") < _IVM_SPLIT)
     delta = t.orders.filter(F.col("o_orderdate") >= _IVM_SPLIT)
-    path = tempfile.mkdtemp(prefix="hrdp_ivm_") + "/view"
+    path = _ivm_view_path(spark, sf_dir, "ivm")
     ivm.init_agg_view(
         base, path, ["o_orderpriority"], ["o_totalprice"]
     )
@@ -397,14 +409,12 @@ def ivm_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ivm_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..operators import ivm
 
     t = load_tables(spark, sf_dir)
     base = t.orders.filter(F.col("o_orderdate") < _IVM_SPLIT)
     delta = t.orders.filter(F.col("o_orderdate") >= _IVM_SPLIT)
-    path = tempfile.mkdtemp(prefix="hrdp_ivm_hll_") + "/view"
+    path = _ivm_view_path(spark, sf_dir, "ivm_hll")
     keys, meas, dcols = ["o_orderpriority"], ["o_totalprice"], ["o_custkey"]
     ivm.init_agg_view(base, path, keys, meas, distinct_cols=dcols)
     ivm.refresh_agg_view(

@@ -158,8 +158,8 @@ def test_null_grouping_key_merges_as_one_group(spark, tmp_path):
 
 def test_view_readable_through_crashed_refresh_attempt(spark, tmp_path):
     # manifest-pointer commit: a half-written next version that never
-    # flipped the manifest is invisible to readers, and the next
-    # refresh recovers by overwriting the crashed attempt
+    # flipped the manifest is invisible to readers; the next refresh
+    # allocates PAST it (never reuses a dir) and expires the junk
     import os
 
     path = str(tmp_path / "view6")
@@ -175,9 +175,60 @@ def test_view_readable_through_crashed_refresh_attempt(spark, tmp_path):
         spark, path, _rows_df(spark, [("a", 2.0)]), ["k"], ["v"]
     )
     assert _got(spark, path) == _expect(spark, [("a", 1.0), ("a", 2.0)])
-    # the commit expired the superseded version; exactly one data dir
-    dirs = [n for n in os.listdir(path) if n.startswith("v=")]
-    assert dirs == ["v=2"]
+    # retention keeps the new current AND the previously-served
+    # version (a lazy reader frame survives one refresh); the crashed
+    # v=2 junk — never readable — is gone, and the commit went to v=3
+    dirs = sorted(n for n in os.listdir(path) if n.startswith("v="))
+    assert dirs == ["v=1", "v=3"]
+
+
+def test_retention_keeps_previous_served_version(spark, tmp_path):
+    # a lazy frame obtained BEFORE a refresh must still collect after
+    # it (the ADVICE race: expiring the superseded version under a
+    # mid-scan or lazily-held reader). keep_last=2 makes one refresh
+    # safe; the version before that IS expired.
+    import os
+
+    path = str(tmp_path / "view7")
+    ivm.init_agg_view(_rows_df(spark, [("a", 1.0)]), path, ["k"], ["v"])
+    held = ivm.read_agg_view(spark, path, ["v"])  # lazy, backed by v=1
+    ivm.refresh_agg_view(
+        spark, path, _rows_df(spark, [("a", 2.0)]), ["k"], ["v"]
+    )
+    assert held.collect()[0]["sum_v"] == 1.0  # v=1 still resolvable
+    ivm.refresh_agg_view(
+        spark, path, _rows_df(spark, [("a", 4.0)]), ["k"], ["v"]
+    )
+    dirs = sorted(n for n in os.listdir(path) if n.startswith("v="))
+    assert dirs == ["v=2", "v=3"]  # v=1 expired two refreshes later
+
+
+def test_refresh_schema_mismatch_raises(spark, tmp_path):
+    # refreshing WITHOUT distinct_cols on a view initialized WITH them
+    # must raise instead of silently projecting away the maintained
+    # __hll_* sketch columns (ADVICE r5)
+    import pytest as _pytest
+
+    path = str(tmp_path / "view8")
+    ivm.init_agg_view(
+        spark.createDataFrame([("a", 1.0, 3)], "k string, v double, u int"),
+        path, ["k"], ["v"], distinct_cols=["u"],
+    )
+    d = spark.createDataFrame([("a", 2.0, 5)], "k string, v double, u int")
+    with _pytest.raises(ValueError, match="stored-but-unrequested"):
+        ivm.refresh_agg_view(spark, path, d, ["k"], ["v"])
+    with _pytest.raises(ValueError, match="requested-but-missing"):
+        ivm.refresh_agg_view(
+            spark, path, d, ["k"], ["v", "u"], distinct_cols=["u"]
+        )
+    # the matching call still works
+    ivm.refresh_agg_view(
+        spark, path, d, ["k"], ["v"], distinct_cols=["u"]
+    )
+    row = ivm.read_agg_view(
+        spark, path, ["v"], distinct_cols=["u"]
+    ).collect()[0]
+    assert row["cnt"] == 2 and row["approx_distinct_u"] == 2.0
 
 
 def test_sketch_view_matches_one_shot_estimate(spark, tmp_path):
