@@ -172,7 +172,29 @@ def main() -> None:
     )
     with open(local_path, "w") as f:
         json.dump(payload, f, indent=1)
-    print(json.dumps(payload))
+    # the final stdout line must PARSE inside the driver's 2 KB tail
+    # window (five rounds of `parsed: null` said the full 156-query map
+    # does not) — so the line carries summary + headline only and
+    # points at BENCH_LOCAL.json for the full per-query map
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": payload["headline"],
+        "sf": sf_val,
+        "n_queries": payload["n_queries"],
+        "wall_sec": payload["wall_sec"],
+        "median_sec": median,
+        "slowest": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+        ),
+        "full_map": "BENCH_LOCAL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 2000:  # never regress back past the tail window
+        compact.pop("slowest", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

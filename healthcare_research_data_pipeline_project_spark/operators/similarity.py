@@ -122,6 +122,148 @@ def embedding_near_dup_pairs(
     )
 
 
+def tfidf_knn_posting(
+    docs: DataFrame,
+    k: int = 3,
+    df_max: int = 50,
+    df_max_pct: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k nearest documents by TF-IDF cosine via an inverted
+    (posting-list) index — text similarity WITHOUT embeddings.
+
+    Candidate pairs form only through shared low-df tokens: the df cap
+    is `df <= greatest(df_max, df_max_pct% of n_docs)`. The ABSOLUTE
+    term is the scale bound — total candidate pairs are at most
+    df_max × posting_rows, linear in the corpus for a fixed cap — and
+    on a power-law vocabulary it is the binding term at scale. The
+    RELATIVE term (sklearn's max_df convention, integer-exact as
+    df*100 <= n_docs*pct so both engines compare the same integers) is
+    the small/degenerate-corpus knob: on a tiny vocabulary even
+    discriminative tokens outgrow any fixed cap as the corpus grows,
+    which would silently empty the candidate set. Tokens above the cap
+    carry near-zero idf, so the recall cost is small (pinned by
+    tests/test_tfidf_knn_recall.py on a Zipf corpus).
+
+    Each posting row carries its document's FULL-vocabulary norm² (one
+    window over the doc partition), so the cosine denominator needs no
+    pair-cardinality join afterwards — at scale the pair frame is the
+    largest intermediate, and joining norms onto it twice (the r5
+    shape) was the dominant post-join cost.
+
+    Exactness doctrine: idf rounded to 6 dp once per token, weights
+    DECIMAL(12,6) — dots and norms² accumulate as exact decimals
+    (order-independent, hash-stable across engines); the only float op
+    is the final sqrt + divide, rounded to 4 dp.
+    """
+    from ..functions.text import tokens
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tc = track_persist(tc)  # feeds n_docs + the df/weight pipeline
+    nd = tc.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # df via a token-partitioned window: one exchange on token computes
+    # df in place (a streaming count per token group, never a global
+    # sort); the doc-partitioned n2 window then carries the norm onto
+    # every posting row
+    wv = (
+        tc.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+                ).cast("decimal(12,6)")
+            )
+            .cast("decimal(12,6)")
+            .alias("w"),
+            "df",
+            "n_docs",
+        )
+    )
+    wv = wv.withColumn(
+        "n2", F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc_id"))
+    )
+    posting = track_persist(
+        wv.filter(
+            F.col("df") * 100
+            <= F.greatest(
+                F.lit(100 * df_max), F.col("n_docs") * F.lit(df_max_pct)
+            )
+        ).select("doc_id", "token", "w", "n2")
+    )
+    a = posting.select(
+        F.col("doc_id").alias("id_a"),
+        "token",
+        F.col("w").alias("wa"),
+        F.col("n2").alias("n2a"),
+    )
+    b = posting.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("token").alias("token_b"),
+        F.col("w").alias("wb"),
+        F.col("n2").alias("n2b"),
+    )
+    # n2a/n2b ride as grouping keys — functionally dependent on the id,
+    # so group cardinality is unchanged and no norm join is needed
+    cosns = (
+        a.join(
+            b,
+            (F.col("token") == F.col("token_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b", "n2a", "n2b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("n2a").cast("double") * F.col("n2b").cast("double")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("cos_sim"),
+        )
+    )
+    # symmetric expansion via explode, not UNION ALL: a union of two
+    # selects over `cosns` would evaluate the pair aggregate twice
+    # (exchange reuse saves the shuffle but not the post-shuffle agg);
+    # the 2-element explode emits both directions in one pass
+    sym = cosns.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc_id"),
+                    F.col("id_b").alias("nbr_id"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc_id"),
+                    F.col("id_a").alias("nbr_id"),
+                ),
+            )
+        ).alias("e"),
+        "cos_sim",
+    ).select("e.doc_id", "e.nbr_id", "cos_sim")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cos_sim"), "nbr_id")
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "nbr_id", "cos_sim", "rank")
+    )
+
+
 def _plane_component(plane: int, dim_idx: str) -> str:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     derived from md5(plane:dim) — engine-portable, no RNG state."""

@@ -189,7 +189,15 @@ def t_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Inverted-index TF-IDF k-nearest documents.
 # ---------------------------------------------------------------------------
 _KNN_K = 3
-_KNN_DF_MAX = 50  # posting-list cap: tokens in more docs carry ~no idf
+# posting-list cap: df <= greatest(abs, pct% of n_docs). The absolute
+# term bounds candidate pairs (<= df_max x posting_rows, linear at a
+# fixed cap); the relative term (sklearn max_df) keeps the candidate
+# set non-empty on this corpus's degenerate 31-token vocabulary, where
+# the one discriminative planted token ('dup', df = 5% of docs) would
+# outgrow any fixed cap as the corpus scales — with the r5 absolute-50
+# cap the sf0.1 bench was timing an EMPTY pipeline.
+_KNN_DF_MAX = 50
+_KNN_DF_PCT = 6
 
 
 @register(
@@ -204,11 +212,13 @@ _KNN_DF_MAX = 50  # posting-list cap: tokens in more docs carry ~no idf
       SELECT tc.doc_id, tc.token,
              CAST(tc.tf * CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / df), 6)
                                AS DECIMAL(12,6)) AS DECIMAL(12,6)) AS w,
-             df
+             df, n_docs
       FROM tc JOIN dfreq USING (token), nd
     ),
     nrm AS (SELECT doc_id, SUM(w * w) AS n2 FROM wv GROUP BY doc_id),
-    posting AS (SELECT doc_id, token, w FROM wv WHERE df <= {_KNN_DF_MAX}),
+    posting AS (SELECT doc_id, token, w FROM wv
+                WHERE df * 100 <= GREATEST({100 * _KNN_DF_MAX},
+                                           n_docs * {_KNN_DF_PCT})),
     dots AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
       FROM posting a JOIN posting b
@@ -237,100 +247,16 @@ _KNN_DF_MAX = 50  # posting-list cap: tokens in more docs carry ~no idf
     """,
 )
 def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # core op: operators/similarity.py::tfidf_knn_posting (carried
+    # norms, hybrid df cap) — the query binds the corpus + constants
+    from ..operators.similarity import tfidf_knn_posting
+
     t = load_tables(spark, sf_dir)
-    tok = t.documents.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    )
-    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    tc = track_persist(tc)  # feeds n_docs + the df/weight pipeline
-    nd = tc.agg(F.countDistinct("doc_id").alias("n_docs"))
-    # df via a token-partitioned window instead of a separate
-    # aggregate + shuffle join: one exchange on token computes df in
-    # place, and — decisive for the self-join below — the persisted wv
-    # frame REMAINS token-partitioned, so both posting sides of the
-    # pair join read the cache with no further exchange. (A window
-    # over a token frame is group-cardinality per partition — the df
-    # cap doctrine bounds any hot token's frame downstream, and the
-    # window itself is a streaming count, never a sort of the corpus.)
-    wv = (
-        tc.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
-        )
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            "token",
-            (
-                F.col("tf")
-                * F.round(
-                    F.log(F.col("n_docs").cast("double") / F.col("df")), 6
-                ).cast("decimal(12,6)")
-            )
-            .cast("decimal(12,6)")
-            .alias("w"),
-            "df",
-        )
-    )
-    wv = track_persist(wv)  # feeds norms + both posting sides
-    nrm = wv.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    posting = wv.filter(F.col("df") <= _KNN_DF_MAX).select(
-        "doc_id", "token", "w"
-    )
-    a = posting.select(
-        F.col("doc_id").alias("id_a"), "token", F.col("w").alias("wa")
-    )
-    b = posting.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("token").alias("token_b"),
-        F.col("w").alias("wb"),
-    )
-    dots = (
-        a.join(
-            b,
-            (F.col("token") == F.col("token_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
-    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("n2a"))
-    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("n2b"))
-    cosns = (
-        # norms are corpus-cardinality — shuffle joins, never
-        # broadcast (the candidate-pair side is the df-capped small
-        # side at scale)
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("dot").cast("double")
-                / F.sqrt(
-                    F.col("n2a").cast("double") * F.col("n2b").cast("double")
-                ),
-                4,
-            )
-            .cast("double")
-            .alias("cos_sim"),
-        )
-    )
-    sym = cosns.select(
-        F.col("id_a").alias("doc_id"),
-        F.col("id_b").alias("nbr_id"),
-        "cos_sim",
-    ).unionByName(
-        cosns.select(
-            F.col("id_b").alias("doc_id"),
-            F.col("id_a").alias("nbr_id"),
-            "cos_sim",
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("cos_sim"), "nbr_id")
-    return (
-        sym.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _KNN_K)
-        .select("doc_id", "nbr_id", "cos_sim", "rank")
+    return tfidf_knn_posting(
+        t.documents,
+        k=_KNN_K,
+        df_max=_KNN_DF_MAX,
+        df_max_pct=_KNN_DF_PCT,
     )
 
 
