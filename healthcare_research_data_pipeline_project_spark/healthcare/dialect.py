@@ -42,6 +42,16 @@ class Dialect:
     def pctile(self, col: str, frac: float) -> str:
         raise NotImplementedError
 
+    def argmax(self, val: str, key: str) -> str:
+        """Value of `val` on the row where `key` is maximal (an
+        aggregate — at scale this beats a ROW_NUMBER()=1 window:
+        partial aggregation combines map-side, shuffling one row per
+        (partition, group) instead of every ranked row, and no sort).
+        `key` must be a single orderable expression; pack composite
+        orderings into one BIGINT (DuckDB's arg_max takes no struct
+        key). Ties: undefined — give every row a unique key."""
+        raise NotImplementedError
+
     def broadcast_hint(self, *aliases: str) -> str:
         """Spark `/*+ BROADCAST(a, b) */` join hint; empty for engines
         whose optimizer needs no nudge (DuckDB joins tiny aggregates
@@ -86,6 +96,9 @@ class SparkDialect(Dialect):
     def pctile(self, col: str, frac: float) -> str:
         return f"percentile({col}, {frac})"
 
+    def argmax(self, val: str, key: str) -> str:
+        return f"max_by({val}, {key})"
+
     def broadcast_hint(self, *aliases: str) -> str:
         return f"/*+ BROADCAST({', '.join(aliases)}) */ "
 
@@ -125,6 +138,9 @@ class DuckDialect(Dialect):
 
     def pctile(self, col: str, frac: float) -> str:
         return f"PERCENTILE_CONT({frac}) WITHIN GROUP (ORDER BY {col})"
+
+    def argmax(self, val: str, key: str) -> str:
+        return f"arg_max({val}, {key})"
 
 
 SPARK = SparkDialect()

@@ -557,21 +557,27 @@ def q7_cohort(d: Dialect) -> str:
     ctes = [
         (
             "latest_a1c",
-            """
-            SELECT patient_id, result_value AS latest_a1c
-            FROM (
-                -- time_id is days-since-epoch, so ordering by it equals
-                -- ordering by dim_time.full_date, and the dense-calendar
-                -- inner join reduces to a range filter (mapping.TIME_ID_MAX)
-                SELECT lr.patient_id, lr.result_value,
-                       ROW_NUMBER() OVER (PARTITION BY lr.patient_id
-                                          ORDER BY lr.lab_time_id DESC,
-                                                   lr.result_id DESC) AS rn
-                FROM fact_lab_results lr
-                WHERE lr.lab_test_code = 'HBA1C'
-                  AND lr.lab_time_id BETWEEN 0 AND 2556
-            ) ranked
-            WHERE rn = 1
+            f"""
+            -- latest-per-patient as an ARGMAX AGGREGATE, not a
+            -- ROW_NUMBER()=1 window: partial aggregation combines
+            -- map-side, so the shuffle carries one row per (partition,
+            -- patient) instead of every HBA1C result, and no per-
+            -- partition sort runs (the r5 window shape was hc_q7's
+            -- scale-probe outlier). time_id is days-since-epoch, so
+            -- ordering by it equals ordering by dim_time.full_date,
+            -- and the dense-calendar join reduces to a range filter
+            -- (mapping.TIME_ID_MAX); the (lab_time_id, result_id)
+            -- ordering packs into one BIGINT key — time_id <= 2556,
+            -- result_id < 1e12 — because DuckDB's arg_max has no
+            -- composite-key form.
+            SELECT lr.patient_id,
+                   {d.argmax('lr.result_value',
+                             'lr.lab_time_id * CAST(1000000000000 AS BIGINT)'
+                             ' + lr.result_id')} AS latest_a1c
+            FROM fact_lab_results lr
+            WHERE lr.lab_test_code = 'HBA1C'
+              AND lr.lab_time_id BETWEEN 0 AND 2556
+            GROUP BY lr.patient_id
             """,
         ),
         # Single scan of fact_encounters⋈dim_diagnosis replaces the

@@ -60,7 +60,12 @@ GATE_PRIORITY = [
     # oracle route through connected components (ADVICE: rotate the
     # newest oracle-backed ops through the gate).
     "dedup_canonical_keep",
-    "j4_semi_exists",
+    # j4_semi_exists rotated OUT r6 (EXISTS semi-join stays gate-
+    # evidenced by hc_q1's EXISTS flag in this window; j4 stays green
+    # in MIRROR.json) for mm_decode_stats — the multimodal decode
+    # oracle (sha256 counter-mode payload statistics) that never had a
+    # driver CORRECTNESS row.
+    "mm_decode_stats",
     # j5_anti_not_exists rotated OUT r4 (its sf0.01 result is 0 rows —
     # a trivially-true hash check; hc_q9 in this window is itself a
     # NOT-EXISTS anti-join, and j5 stays green in the committed
@@ -74,7 +79,11 @@ GATE_PRIORITY = [
     # fixed-iteration PageRank recursive-CTE check.
     "dedup_clusters",
     "g_pagerank_centrality",
-    "j9_cte_join",
+    # j9_cte_join rotated OUT r6 (CTE-to-CTE joins stay gate-evidenced
+    # by hc_q3 in this window; j9 stays green in MIRROR.json) for
+    # g_kcore_dense_region — the recursive-peel k-core oracle, never
+    # gated before r6.
+    "g_kcore_dense_region",
     "a1_agg_battery",
     "a8_percentiles",
     # a9_iqr_outliers rotated OUT r5 (exact-quantile evidence stays
@@ -82,7 +91,12 @@ GATE_PRIORITY = [
     # MIRROR.json) for ivm_sketch_distinct — incremental
     # approx-distinct view maintenance with mergeable HLL sketches.
     "ivm_sketch_distinct",
-    "a10_zscore_outliers",
+    # a10_zscore_outliers rotated OUT r6 (z-score anomaly evidence
+    # stays via w1_w2_group_outliers' windowed mean/stddev outlier
+    # flags in this window; a10 stays green in MIRROR.json) for
+    # a2d_topk_sketch_merge — the frequency-sketch accumulate/combine
+    # top-k, never gated before r6.
+    "a2d_topk_sketch_merge",
     "a11_correlation",
     # a12_distribution_pct rotated OUT r4 for ds_zorder_layout: the
     # distribution-as-% shape stays gate-evidenced by a13_histogram's
@@ -119,7 +133,12 @@ GATE_PRIORITY = [
     "a27_mode_battery",
     "dedup_exact",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard rotated OUT r6 (exact n-gram Jaccard stays
+    # gate-evidenced by dedup_lsh_pairs' exact-Jaccard verify stage in
+    # this window, and the df-capped variant stays green in
+    # MIRROR.json) for dq_expectations_orders — the data-quality
+    # expectations battery, never gated before r6.
+    "dq_expectations_orders",
     "dedup_lsh_pairs",
     "dedup_embedding_cosine",
     "sim_bruteforce_topk",

@@ -846,15 +846,35 @@ def g_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Trained coarse quantizer: distributed Lloyd's k-means over the
 # embedding corpus (operators/clustering.py) — the real version of the
-# label stand-in the IVF/near-dup blocks use. Per-cluster population
-# and dispersion summary. Iterative float fixpoint (not
-# SQL-expressible): rows-only check; tests/test_clustering.py pins
-# blob recovery, inertia monotonicity, nearest-centroid consistency,
-# and partition invariance.
+# label stand-in the IVF/near-dup blocks use. The trained-float
+# iterate itself is not SQL-expressible (float summation order drifts
+# centroids across engines), but its RESULT obeys cross-engine
+# invariants the oracle pins (r5 verdict #3, same doctrine as the
+# a2b tolerance verdicts and the PageRank tol=0 oracle):
+#   - every corpus vector is assigned to exactly one cell
+#     (n_assigned = the oracle's own COUNT(*) over the parquet)
+#   - all 8 cells are non-empty on this blob corpus
+#   - total inertia < total sum-of-squares around the GLOBAL mean
+#     (a k=8 Lloyd's partition beats the k=1 trivial clustering;
+#     SS_total is computed Spark-side from the raw embeddings,
+#     independent of the clustering, via SS = sum||x||^2 - ||sum x||^2/n)
+# Per-cluster dispersion detail stays pytest-pinned
+# (tests/test_clustering.py: blob recovery, inertia monotonicity,
+# nearest-centroid consistency, partition invariance).
 # ---------------------------------------------------------------------------
 
 
-@register("ml_kmeans_summary")
+@register(
+    "ml_kmeans_summary",
+    """
+    SELECT CAST(8 AS INT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           TRUE AS all_cells_nonempty,
+           TRUE AS inertia_under_global_ss,
+           CAST(4 AS INT) AS n_iters
+    FROM embeddings
+    """,
+)
 def ml_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import assign, kmeans
     from ..operators.scale import hash_sample
@@ -866,15 +886,37 @@ def ml_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = hash_sample(t.embeddings, "vec_id", pct=25, salt="km")
     _, centroids, history = kmeans(sample, k=8, max_iter=4)
     assigned = assign(t.embeddings, centroids)
-    return (
-        assigned.groupBy("cid")
+    summary = assigned.agg(
+        F.countDistinct("cid").alias("n_clusters"),
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        F.sum("dist").alias("inertia"),
+    )
+    # SS around the global mean, from the raw embeddings only:
+    # SS = sum||x||^2 - sum_d (S_d^2) / n  with S_d = sum of dim d
+    dims = t.embeddings.select(
+        F.posexplode("embedding").alias("d", "x")
+    )
+    ss = (
+        dims.groupBy("d")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.round(F.avg("dist"), 4).cast("double").alias("avg_sq_dist"),
-            F.round(F.max("dist"), 4).cast("double").alias("max_sq_dist"),
+            F.sum(F.col("x") * F.col("x")).alias("sq"),
+            F.sum("x").alias("s"),
+            F.count(F.lit(1)).alias("n"),
         )
-        .withColumn("n_iters", F.lit(len(history)).cast("int"))
-        .orderBy("cid")
+        .agg(
+            (
+                F.sum("sq") - F.sum(F.col("s") * F.col("s") / F.col("n"))
+            ).alias("global_ss")
+        )
+    )
+    return summary.crossJoin(F.broadcast(ss)).select(
+        F.col("n_clusters").cast("int").alias("n_clusters"),
+        "n_assigned",
+        (F.col("n_clusters") == 8).alias("all_cells_nonempty"),
+        (F.col("inertia") < F.col("global_ss")).alias(
+            "inertia_under_global_ss"
+        ),
+        F.lit(len(history)).cast("int").alias("n_iters"),
     )
 
 

@@ -56,7 +56,7 @@ OWNER = {
     "p_partkey": ("part", "p_partkey"),
     "s_suppkey": ("supplier", "s_suppkey"),
 }
-COPY_ONLY = ["region", "nation", "events", "documents", "embeddings"]
+COPY_ONLY = ["region", "nation"]
 
 HEADLINE = [
     "exec_summary",
@@ -71,6 +71,152 @@ HEADLINE = [
     "hc_q9_access_audit",
     "hc_q10_data_quality",
 ]
+
+#: the honest-timing top of the corpus distribution (BENCH r5) — the
+#: 100 TB risk surface; none had a measured scaling ratio before r6
+SLOW12 = [
+    "text_tfidf_knn",
+    "sim_pq_topk",
+    "g_pagerank_centrality",
+    "dedup_simhash_pairs",
+    "mb_pair_lift",
+    "dedup_canonical_keep",
+    "ivm_sketch_distinct",
+    "stat_bootstrap_ci",
+    "dedup_ngram_jaccard_capped",
+    "g_kcore_dense_region",
+    "a2c_sketch_rollup",
+    "dedup_semantic_blocks",
+]
+
+
+def _perturb_tokens(text_col, doc_id_col, copy_col):
+    """Rewrite ~half the tokens with a copy-salted variant so replicas
+    are NOT near-duplicates of their source doc (Jaccard ~0.15): naive
+    replication would grow every dup cluster to `copies` members and
+    inflate in-bucket candidate pairs quadratically — a workload
+    change, not a data-scale change. Deterministic md5 coin per
+    (token, position, doc, copy); JVM-side HOFs only."""
+
+    def flip(t, i):
+        coin = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#",
+                            t,
+                            i.cast("string"),
+                            doc_id_col.cast("string"),
+                            copy_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        return F.when(
+            coin == 0, F.concat(t, F.lit("v"), copy_col.cast("string"))
+        ).otherwise(t)
+
+    return F.array_join(
+        F.transform(F.split(text_col, " "), flip), " "
+    )
+
+
+def build_probe_aux(spark, copies: int) -> None:
+    """Scale documents / embeddings / events (the LLM-pipeline tables)
+    the way real growth would: new ids, mostly-distinct content."""
+    dst = f"{PROBE_DIR}/documents.parquet"
+    if not os.path.exists(dst):
+        df = spark.read.parquet(f"{SRC}/documents.parquet")
+        base = int(df.agg(F.max("doc_id")).collect()[0][0]) + 1
+        out = (
+            df.crossJoin(
+                F.broadcast(
+                    spark.range(copies).select(F.col("id").alias("__copy"))
+                )
+            )
+            .withColumn(
+                "text",
+                F.when(F.col("__copy") == 0, F.col("text")).otherwise(
+                    _perturb_tokens(
+                        F.col("text"), F.col("doc_id"), F.col("__copy")
+                    )
+                ),
+            )
+            .withColumn(
+                "doc_id",
+                (F.col("doc_id") + F.col("__copy") * base).cast("long"),
+            )
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .drop("__copy")
+        )
+        out.write.mode("overwrite").parquet(dst)
+        print(f"# built documents x{copies} (perturbed)", file=sys.stderr)
+    dst = f"{PROBE_DIR}/embeddings.parquet"
+    if not os.path.exists(dst):
+        df = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        base = int(df.agg(F.max("vec_id")).collect()[0][0]) + 1
+        # deterministic per-(vec, copy, dim) jitter in [-0.1, 0.1):
+        # replicas land NEAR their source (same cluster structure) but
+        # are not bit-identical (identical vectors would multiply every
+        # cosine=1.0 near-dup pair by copies^2)
+        jitter = (
+            "transform(embedding, (x, i) -> cast(x + "
+            "(cast(conv(substring(md5(concat(cast(vec_id as string), '#', "
+            "cast(__copy as string), '#', cast(i as string))), 1, 6), 16, 10)"
+            " as double) / 16777216.0 - 0.5) * 0.2 as float))"
+        )
+        out = (
+            df.crossJoin(
+                F.broadcast(
+                    spark.range(copies).select(F.col("id").alias("__copy"))
+                )
+            )
+            .withColumn(
+                "embedding",
+                F.when(F.col("__copy") == 0, F.col("embedding")).otherwise(
+                    F.expr(jitter)
+                ),
+            )
+            .withColumn(
+                "vec_id",
+                (F.col("vec_id") + F.col("__copy") * base).cast("long"),
+            )
+            .drop("__copy")
+        )
+        out.write.mode("overwrite").parquet(dst)
+        print(f"# built embeddings x{copies} (jittered)", file=sys.stderr)
+    dst = f"{PROBE_DIR}/events.parquet"
+    if not os.path.exists(dst):
+        df = spark.read.parquet(f"{SRC}/events.parquet")
+        base_e = int(df.agg(F.max("event_id")).collect()[0][0]) + 1
+        base_u = int(df.agg(F.max("user_id")).collect()[0][0]) + 1
+        # 10x events via 10x users (the per-user stream length and the
+        # calendar stay fixed — how event volume actually grows)
+        out = (
+            df.crossJoin(
+                F.broadcast(
+                    spark.range(copies).select(F.col("id").alias("__copy"))
+                )
+            )
+            .withColumn(
+                "event_id",
+                (F.col("event_id") + F.col("__copy") * base_e).cast("long"),
+            )
+            .withColumn(
+                "user_id",
+                (F.col("user_id") + F.col("__copy") * base_u).cast("long"),
+            )
+            .drop("__copy")
+        )
+        out.write.mode("overwrite").parquet(dst)
+        print(f"# built events x{copies} (shifted users)", file=sys.stderr)
 
 
 def build_probe(spark, copies: int) -> None:
@@ -111,7 +257,21 @@ def build_probe(spark, copies: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument(
+        "--queries",
+        default="headline+slow12",
+        help="comma list of query names, or 'headline', 'slow12', "
+        "'headline+slow12'",
+    )
     args = ap.parse_args()
+    if args.queries == "headline":
+        probe_queries = HEADLINE
+    elif args.queries == "slow12":
+        probe_queries = SLOW12
+    elif args.queries == "headline+slow12":
+        probe_queries = HEADLINE + SLOW12
+    else:
+        probe_queries = args.queries.split(",")
 
     Q.load_all()
     # local-mode JVM heap defaults to 1g — fine for the sf0.1 bench,
@@ -124,6 +284,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     build_probe(spark, args.copies)
+    build_probe_aux(spark, args.copies)
 
     from healthcare_research_data_pipeline_project_spark.caching import (
         unpersist_tracked,
@@ -140,7 +301,7 @@ def main() -> None:
     print(f"# warehouses ready in {time.time() - t0:.1f}s", file=sys.stderr)
 
     report = {}
-    for name in HEADLINE:
+    for name in probe_queries:
         fn = Q.QUERIES[name]
         times = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1", PROBE_DIR)):
