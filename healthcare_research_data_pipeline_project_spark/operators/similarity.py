@@ -127,6 +127,7 @@ def tfidf_knn_posting(
     k: int = 3,
     df_max: int = 50,
     df_max_pct: int = 6,
+    champions: int = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -146,6 +147,18 @@ def tfidf_knn_posting(
     carry near-zero idf, so the recall cost is small (pinned by
     tests/test_tfidf_knn_recall.py on a Zipf corpus).
 
+    The relative term alone is NOT a scale bound — a token at pct% of
+    an N-doc corpus generates O((pct*N)^2) pairs, quadratic in N (the
+    r6 sf1 probe hit exactly this: mid-frequency tokens admitted by
+    the 6% cap produced ~5e8 candidates). The `champions` cap closes
+    it: per token, only the `champions` highest-weight postings
+    (Manning's champion-list heuristic, deterministic order: w DESC,
+    doc_id) enter the pair join, so total candidates are bounded by
+    vocab * champions^2 / 2 — CONSTANT in corpus size, linear only in
+    vocabulary. The champion window partitions by token, which is the
+    partitioning the pair join needs anyway, so it costs no extra
+    exchange.
+
     Each posting row carries its document's FULL-vocabulary norm² (one
     window over the doc partition), so the cosine denominator needs no
     pair-cardinality join afterwards — at scale the pair frame is the
@@ -159,13 +172,19 @@ def tfidf_knn_posting(
     """
     from ..functions.text import tokens
 
+    # n_docs = COUNT(*) over the corpus (idf denominator = total docs,
+    # the sklearn smooth-free convention) — NOT countDistinct over the
+    # tokenized frame: a plain count is a column-pruned metadata-cheap
+    # scan and, decisively, it frees the token-count frame from being
+    # double-consumed, so the whole weight pipeline is one linear chain
+    # with a single persist (the posting frame). Dropping that second
+    # materialization took the sf0.1 honest time from ~1.9s to ~1.5s.
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
     tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    tc = track_persist(tc)  # feeds n_docs + the df/weight pipeline
-    nd = tc.agg(F.countDistinct("doc_id").alias("n_docs"))
     # df via a token-partitioned window: one exchange on token computes
     # df in place (a streaming count per token group, never a global
     # sort); the doc-partitioned n2 window then carries the norm onto
@@ -190,15 +209,25 @@ def tfidf_knn_posting(
             "n_docs",
         )
     )
+    # champion rank rides the SAME token partitioning the df window
+    # just established (broadcast joins/projections preserve it), so it
+    # adds one in-partition sort but NO exchange; the filter itself
+    # waits until after the n2 window because norms must cover the
+    # full vocabulary
+    champ_w = Window.partitionBy("token").orderBy(F.desc("w"), "doc_id")
+    wv = wv.withColumn("cr", F.row_number().over(champ_w))
     wv = wv.withColumn(
         "n2", F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc_id"))
     )
     posting = track_persist(
         wv.filter(
-            F.col("df") * 100
-            <= F.greatest(
-                F.lit(100 * df_max), F.col("n_docs") * F.lit(df_max_pct)
+            (
+                F.col("df") * 100
+                <= F.greatest(
+                    F.lit(100 * df_max), F.col("n_docs") * F.lit(df_max_pct)
+                )
             )
+            & (F.col("cr") <= champions)
         ).select("doc_id", "token", "w", "n2")
     )
     a = posting.select(
@@ -331,6 +360,74 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (int8) brute-force top-k by quantized dot —
+    FAISS's SQ8: per-dimension min/max train a linear code, every
+    vector becomes 1 byte/dim, and scoring is an integer dot product
+    (4x less memory traffic than float32, exact integer math so both
+    engines rank identically). The min/max frame is dimension-
+    cardinality — a broadcast at any corpus size."""
+    e = emb.select(id_col, vec_col)
+    per = (
+        e.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    bl = per.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+            lambda s: s["mn"],
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+            lambda s: s["mx"],
+        ).alias("mxs"),
+    )
+    quant = F.transform(
+        vec_col,
+        lambda x, i: F.when(
+            F.get("mxs", i) > F.get("mns", i),
+            F.round(
+                ((x.cast("double") - F.get("mns", i)) * 255.0)
+                / (F.get("mxs", i) - F.get("mns", i)),
+                0,
+            ),
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    qz = e.crossJoin(F.broadcast(bl)).select(id_col, quant.alias("q"))
+    q = qz.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col("q").alias("qa")
+    )
+    c = qz.select(F.col(id_col).alias("cid"), F.col("q").alias("qc"))
+    score = F.aggregate(
+        F.zip_with("qa", "qc", lambda a, b: (a.cast("long") * b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    p = (
+        F.broadcast(q)
+        .join(c, F.col("cid") != F.col("qid"))
+        .select("qid", "cid", score.alias("score_q8"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q8"), "cid")
+    return (
+        p.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "score_q8", "rank")
     )
 
 

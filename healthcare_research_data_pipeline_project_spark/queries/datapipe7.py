@@ -700,58 +700,11 @@ _SQ_TOPK = 5
     """,
 )
 def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # core op: operators/similarity.py::sq8_topk (shared with
+    # tools/ann_bench.py so the quality table and the corpus entry
+    # exercise the same code)
     t = load_tables(spark, sf_dir)
-    e = t.embeddings.select("vec_id", "embedding")
-    per = e.select(F.posexplode("embedding").alias("pos", "x")).groupBy(
-        "pos"
-    ).agg(
-        F.min(F.col("x").cast("double")).alias("mn"),
-        F.max(F.col("x").cast("double")).alias("mx"),
-    )
-    bl = per.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mn"))),
-            lambda s: s["mn"],
-        ).alias("mns"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mx"))),
-            lambda s: s["mx"],
-        ).alias("mxs"),
-    )
-    quant = F.transform(
-        "embedding",
-        lambda x, i: F.when(
-            F.get("mxs", i) > F.get("mns", i),
-            F.round(
-                ((x.cast("double") - F.get("mns", i)) * 255.0)
-                / (F.get("mxs", i) - F.get("mns", i)),
-                0,
-            ),
-        )
-        .otherwise(0)
-        .cast("int"),
-    )
-    qz = e.crossJoin(F.broadcast(bl)).select("vec_id", quant.alias("q"))
-    q = qz.filter(F.col("vec_id").isin(_SQ_QUERY_IDS)).select(
-        F.col("vec_id").alias("qid"), F.col("q").alias("qa")
-    )
-    c = qz.select(F.col("vec_id").alias("cid"), F.col("q").alias("qc"))
-    score = F.aggregate(
-        F.zip_with("qa", "qc", lambda a, b: (a.cast("long") * b)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    p = (
-        F.broadcast(q)
-        .join(c, F.col("cid") != F.col("qid"))
-        .select("qid", "cid", score.alias("score_q8"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score_q8"), "cid")
-    return (
-        p.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _SQ_TOPK)
-        .select("qid", "cid", "score_q8", "rank")
-    )
+    return S.sq8_topk(t.embeddings, _SQ_QUERY_IDS, k=_SQ_TOPK)
 
 
 # ---------------------------------------------------------------------------

@@ -198,6 +198,13 @@ _KNN_K = 3
 # cap the sf0.1 bench was timing an EMPTY pipeline.
 _KNN_DF_MAX = 50
 _KNN_DF_PCT = 6
+# champion-list bound: per token only the 256 highest-weight postings
+# enter the pair join — total candidates <= vocab * 256^2/2, constant
+# in corpus size (the relative cap alone is quadratic in N; see
+# operators/similarity.py::tfidf_knn_posting). 256 >= the planted
+# 'dup' token's df at the gate and bench SFs, so results there are
+# unchanged.
+_KNN_CHAMPIONS = 256
 
 
 @register(
@@ -206,7 +213,7 @@ _KNN_DF_PCT = 6
     WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
     tc AS (SELECT doc_id, token, COUNT(*) AS tf
            FROM tok GROUP BY doc_id, token),
-    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tc),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
     dfreq AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY token),
     wv AS (
       SELECT tc.doc_id, tc.token,
@@ -216,9 +223,16 @@ _KNN_DF_PCT = 6
       FROM tc JOIN dfreq USING (token), nd
     ),
     nrm AS (SELECT doc_id, SUM(w * w) AS n2 FROM wv GROUP BY doc_id),
-    posting AS (SELECT doc_id, token, w FROM wv
-                WHERE df * 100 <= GREATEST({100 * _KNN_DF_MAX},
-                                           n_docs * {_KNN_DF_PCT})),
+    posting AS (
+      SELECT doc_id, token, w FROM (
+        SELECT doc_id, token, w,
+               ROW_NUMBER() OVER (PARTITION BY token
+                                  ORDER BY w DESC, doc_id) AS cr
+        FROM wv
+        WHERE df * 100 <= GREATEST({100 * _KNN_DF_MAX},
+                                   n_docs * {_KNN_DF_PCT})
+      ) champ WHERE cr <= {_KNN_CHAMPIONS}
+    ),
     dots AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
       FROM posting a JOIN posting b
@@ -257,6 +271,7 @@ def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_KNN_K,
         df_max=_KNN_DF_MAX,
         df_max_pct=_KNN_DF_PCT,
+        champions=_KNN_CHAMPIONS,
     )
 
 

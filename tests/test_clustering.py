@@ -123,10 +123,16 @@ def test_distributed_loop_matches_driver_training(spark):
 
 
 def test_kmeans_summary_query_runs(spark):
+    # r6 invariant-verdict output (the oracled shape): one row whose
+    # booleans the DuckDB oracle pins TRUE and whose n_assigned the
+    # oracle recomputes as COUNT(*) over the parquet
     rows = QUERIES["ml_kmeans_summary"](spark, SF_SMOKE).collect()
-    assert rows
-    assert sum(r["n_vecs"] for r in rows) == 500  # every vector assigned
-    assert all(r["avg_sq_dist"] >= 0 for r in rows)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_assigned"] == 500  # every vector assigned
+    assert r["n_clusters"] == 8 and r["all_cells_nonempty"]
+    assert r["inertia_under_global_ss"]
+    assert r["n_iters"] == 4
 
 
 def test_semantic_blocks_find_identical_vectors(spark):

@@ -115,6 +115,26 @@ def test_relative_cap_keeps_discriminative_token_alive(spark):
     assert {r["nbr_id"] for r in got} <= marked
 
 
+def test_champion_cap_bounds_candidates(spark):
+    # 40 docs all sharing one token (plus a unique filler each):
+    # champions=8 must admit only the 8 first champion postings
+    # (w ties -> doc_id ascending), so candidates — and therefore all
+    # output rows — stay within those 8 docs. This is the constant-in-
+    # corpus-size bound that keeps the pair join alive at 100 TB.
+    rows = [(i, f"shared uniq{i}") for i in range(40)]
+    sdf = spark.createDataFrame(rows, "doc_id int, text string")
+    out = tfidf_knn_posting(
+        sdf, k=39, df_max=100, df_max_pct=0, champions=8
+    ).collect()
+    ids = {r["doc_id"] for r in out} | {r["nbr_id"] for r in out}
+    assert ids == set(range(8))
+    # with the cap above the posting size, all 40 participate
+    full = tfidf_knn_posting(
+        sdf, k=39, df_max=100, df_max_pct=0, champions=256
+    ).collect()
+    assert {r["doc_id"] for r in full} == set(range(40))
+
+
 @pytest.mark.parametrize("k", [1, 5])
 def test_k_bounds_rows_per_doc(spark, k):
     docs = _zipf_corpus()
