@@ -122,6 +122,102 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_banded(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    bands: int = 4,
+    planes_per_band: int = 3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs via banded hyperplane LSH inside coarse
+    blocks — sub-blocked candidate generation for
+    `embedding_near_dup_pairs`.
+
+    Each vector emits `bands` (band_idx, band_hash) keys from
+    md5-derived hyperplane sign bits (deterministic — both engines
+    reproduce the identical buckets, same scheme as `lsh_bucket`);
+    candidates need block + band + hash equality, and every candidate
+    is verified with the exact rounded cosine before thresholding.
+    Recall is the standard banded curve P(candidate) = 1-(1-p^r)^b
+    with p = 1 - theta/pi: at bands=4, r=3, cos 0.9 -> ~0.97,
+    cos 0.35 (borderline) -> ~0.65. Pinned by
+    tests/test_dedup_similarity.py's banded tests.
+
+    MEASURED LIMIT (r6 probe): when the block IS a tight cluster — a
+    class label over blob data, any true near-dup neighborhood — LSH
+    cannot split it: similar vectors share sign bits by construction,
+    so in-block bucket populations stay concentrated and the 10x
+    corpus bought only ~1.3-1.5x. Use this operator when blocks are
+    heterogeneous (mixed-similarity populations, where hashing
+    genuinely partitions); when the quadratic lives in the TRUE edge
+    set of a near-dup cluster, the scalable composition is
+    canonicalize-first (minhash + connected components, then graph
+    analytics on representatives) or a bounded-degree kNN graph —
+    see the scale note in queries/datapipe7.py.
+    """
+    n_planes = bands * planes_per_band
+    projs = "array(" + ", ".join(
+        _proj_expr(vec_col, p) for p in range(n_planes)
+    ) + ")"
+    band_hashes = "array(" + ", ".join(
+        "concat("
+        + ", ".join(
+            f"CASE WHEN pr[{b * planes_per_band + j}] >= 0"
+            " THEN '1' ELSE '0' END"
+            for j in range(planes_per_band)
+        )
+        + ")"
+        for b in range(bands)
+    ) + ")"
+    d = (
+        emb.withColumn("pr", F.expr(projs))
+        .select(
+            F.col(id_col),
+            F.col(block_col).alias("block"),
+            F.col(vec_col).alias("v"),
+            F.sqrt(_dot(vec_col, vec_col)).alias("nrm"),
+            F.expr(band_hashes).alias("bhs"),
+        )
+        .select(
+            id_col, "block", "v", "nrm",
+            F.posexplode("bhs").alias("band", "bh"),
+        )
+    )
+    d = track_persist(d)  # both self-join sides branch from this node
+    a = d.select(
+        F.col(id_col).alias("id_a"), "block", "band", "bh",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = d.select(
+        F.col(id_col).alias("id_b"), F.col("block").alias("block_b"),
+        F.col("band").alias("band_b"), F.col("bh").alias("bh_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("block") == F.col("block_b"))
+        & (F.col("band") == F.col("band_b"))
+        & (F.col("bh") == F.col("bh_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    cos = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 4).cast(
+        "double"
+    )
+    # score + threshold BEFORE the dedup so the distinct shuffles only
+    # (ids, block, cos) — a pair caught by several bands carries the
+    # identical rounded cosine, so distinct() collapses it exactly
+    return (
+        pairs.select(
+            "id_a", "id_b", F.col("block").alias(block_col),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 def tfidf_knn_posting(
     docs: DataFrame,
     k: int = 3,

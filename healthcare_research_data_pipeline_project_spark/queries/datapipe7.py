@@ -151,6 +151,26 @@ def _tri_dot(a: str, b: str) -> str:
     )
 
 
+# Scale note (r6 probe finding, SCALE_PROBE.json): the similarity-
+# graph family (g_triangle_count / g_pagerank_centrality /
+# g_kcore_dense_region) generates candidate pairs within FIXED-
+# cardinality label blocks, so candidates grow quadratically with the
+# corpus — the 10x probe measured 43-46x time. Banded hyperplane LSH
+# (operators/similarity.py::embedding_near_dup_pairs_banded) was
+# measured as a sub-blocking layer and bought only ~1.3-1.5x at sf1:
+# a label block IS a tight cluster, and LSH by construction cannot
+# split genuinely-similar vectors into different buckets, so in-block
+# bucket populations stay concentrated. The quadratic here is in the
+# EDGE SET itself (a threshold graph over a near-dup cluster has
+# O(M^2) true edges); the production-scale composition is therefore
+# different operators, not a faster pair join: collapse duplicate
+# neighborhoods FIRST (dedup_canonical_keep — minhash bands + CC,
+# linear), run graph analytics on canonical representatives, and use
+# bounded-degree kNN graphs where a similarity graph is still needed.
+# These three queries keep the exact oracled threshold-graph
+# semantics at test scale and carry this documented ceiling.
+
+
 def _tri_edges_sql(threshold: float | None = None) -> str:
     cos = (
         f"CAST(ROUND({_tri_dot('a.embedding', 'b.embedding')} /"
@@ -916,8 +936,21 @@ def dedup_semantic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scale import hash_sample
 
     t = load_tables(spark, sf_dir)
+    # DATA-ADAPTIVE cell count (r6): k grows with the corpus so the
+    # per-cell population — and with it the quadratic in-cell pair
+    # work — stays bounded (~640 vectors/cell), the FAISS nlist
+    # doctrine. A constant k is the fixed-cardinality-block trap the
+    # r6 sf1 probe measured at 27.7x for 10x data; unlike hash
+    # sub-blocking, trained cells are data-adaptive, so raising k
+    # genuinely splits the population (Lloyd's partitions each dense
+    # region spatially) while true near-dups still land in one cell
+    # (identical/near-identical vectors -> identical/near distances ->
+    # same argmin). Boundary pairs are the standard IVF recall
+    # tradeoff (production adds soft multi-assignment).
+    n = t.embeddings.count()
+    k_cells = max(8, n // 640)
     sample = hash_sample(t.embeddings, "vec_id", pct=25, salt="km")
-    _, centroids, _ = kmeans(sample, k=8, max_iter=4)
+    _, centroids, _ = kmeans(sample, k=k_cells, max_iter=4)
     cells = assign(t.embeddings, centroids).select("vec_id", "cid")
     blocked = t.embeddings.join(cells, "vec_id")
     return S.embedding_near_dup_pairs(

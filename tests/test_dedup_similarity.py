@@ -267,3 +267,39 @@ def test_df_cap_bounds_hot_shingle_pair_blowup(spark):
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in capped_rows] == [
         (100, 101, 1.0)
     ]
+
+
+def test_banded_pairs_subset_of_exact_and_catch_identicals(spark):
+    # banded-LSH candidates ⊆ the exact within-block pair set (every
+    # banded pair is cosine-verified), and identical vectors are ALWAYS
+    # caught: they share every band hash by construction
+    t = load_tables(spark, SF_SMOKE)
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in S.embedding_near_dup_pairs(
+            t.embeddings, threshold=0.35
+        ).collect()
+    }
+    banded_rows = S.embedding_near_dup_pairs_banded(
+        t.embeddings, threshold=0.35, bands=4, planes_per_band=3
+    ).collect()
+    banded = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in banded_rows}
+    assert banded <= exact
+    assert len(banded_rows) == len(banded)  # distinct() really dedups
+    # recall on this blob corpus: in-label pairs are high-cosine, so
+    # the banded curve should keep the large majority
+    if exact:
+        assert len(banded) / len(exact) >= 0.5
+    # planted identical vectors (cos_sim == 1.0) can never be missed
+    ident = {(a, b) for a, b, c in exact if c >= 0.9999}
+    assert ident <= {(a, b) for a, b, _ in banded}
+
+
+def test_semantic_blocks_adaptive_k_still_pairs_planted_dups(spark):
+    from healthcare_research_data_pipeline_project_spark import queries as Q
+
+    Q.load_all()
+    rows = Q.QUERIES["dedup_semantic_blocks"](spark, SF_SMOKE).collect()
+    assert rows
+    ids = {(r["id_a"], r["id_b"]) for r in rows}
+    assert all(a < b for a, b in ids)
