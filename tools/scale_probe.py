@@ -318,13 +318,20 @@ def main() -> None:
         print(f"# {name}: {times['sf0.1']}s -> {times['sf1']}s ({ratio}x)",
               file=sys.stderr)
 
+    # MERGE into the committed artifact: a partial re-probe (one
+    # changed query) must not discard the other rows
+    path = os.path.join(REPO, "SCALE_PROBE.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f).get("queries", {})
+    merged.update(report)
     out = {
         "copies": args.copies,
         "probe_rows_lineitem": args.copies * 600_000,
-        "queries": report,
-        "max_ratio": max(r["ratio"] for r in report.values()),
+        "queries": merged,
+        "max_ratio": max(r["ratio"] for r in merged.values()),
     }
-    path = os.path.join(REPO, "SCALE_PROBE.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
