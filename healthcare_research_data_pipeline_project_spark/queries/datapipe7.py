@@ -43,10 +43,11 @@ rounded to integer micro-nats (the decimal-contribution doctrine of
 join is a broadcast after a min-df cut.
 
 `sim_sq8_topk`: scalar-quantized (int8) brute-force top-k — FAISS's
-SQ8 baseline: per-dimension min/max → 0..255 codes, integer dot
-products. 4× less memory/IO than float32 and the integer score is
-bit-exact across engines, so unlike float cosine the ranking needs no
-rounding hedge. The quantization bounds are a dim-sized broadcast.
+SQ8 baseline: per-dimension min/max → 0..255 codes, ranking by the
+dot of the DEQUANTIZED reconstructions (4× less memory/IO than
+float32; r6 fixed the r4-r5 raw-code-dot ranking, which the affine
+per-dim offsets make non-monotone in the true dot — 0/5 true-top-5
+overlap measured). The quantization bounds are a dim-sized broadcast.
 
 Reference parity: extends the statistics family
 (healthcare-data-pipeline-main.py:319-338 detect_anomalies,
@@ -675,10 +676,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Scalar-quantized (int8) brute-force top-k: per-dim min/max bounds
-# (dim-sized broadcast) → 0..255 codes → exact integer dot-product
-# ranking. The quantization expression is structurally identical in
-# both engines (same float ops, same order), so codes — and therefore
-# scores and ranks — are bit-identical with no rounding hedge.
+# (dim-sized broadcast) -> 0..255 codes -> ranking by the dot of the
+# DEQUANTIZED reconstructions x_hat_i = mn_i + q_i*(mx_i-mn_i)/255 —
+# the FAISS SQ semantics. (r6 fix: ranking by the raw integer code
+# dot, the r4-r5 form, is non-monotone in the true dot because of the
+# per-dimension affine offsets — its top-5 overlapped the true top-5
+# in 0/5 at sf0.1. Codes and reconstructions use structurally
+# identical float expressions in both engines; the score rounds to
+# 4 dp with a cid tie-break, the cosine doctrine.)
 # ---------------------------------------------------------------------------
 _SQ_QUERY_IDS = list(range(8))
 _SQ_TOPK = 5
@@ -704,18 +709,25 @@ _SQ_TOPK = 5
                       ELSE 0 END AS INT)) AS q
       FROM e, bl
     ),
+    xr AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(q)),
+               i -> mns[i] + CAST(q[i] AS DOUBLE) * (mxs[i] - mns[i])
+                    / 255.0) AS xr
+      FROM qz, bl
+    ),
     p AS (
       SELECT a.vec_id AS qid, b.vec_id AS cid,
-             CAST(list_sum(list_transform(generate_series(1, len(a.q)),
-                    i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT)
-               AS score_q8
-      FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+             CAST(ROUND(list_sum(list_transform(
+                    generate_series(1, len(a.xr)),
+                    i -> a.xr[i] * b.xr[i])), 4) AS DOUBLE) AS score_sq8
+      FROM xr a JOIN xr b ON b.vec_id <> a.vec_id
       WHERE a.vec_id IN ({", ".join(map(str, _SQ_QUERY_IDS))})
     ),
     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-                                       ORDER BY score_q8 DESC, cid) AS rn
+                                       ORDER BY score_sq8 DESC, cid) AS rn
           FROM p)
-    SELECT qid, cid, score_q8, CAST(rn AS INT) AS rank
+    SELECT qid, cid, score_sq8, CAST(rn AS INT) AS rank
     FROM r WHERE rn <= {_SQ_TOPK}
     """,
 )

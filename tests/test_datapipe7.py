@@ -241,8 +241,11 @@ def test_unigram_logprob_rare_tokens_score_worse(spark):
 # sim_sq8_topk
 # ---------------------------------------------------------------------------
 def test_sq8_quantization_and_ranking(spark):
-    # dims span [0, 2] → codes: v0 [0,0], v1 [255,0], v2 [128,128],
-    # v3 [0,255]; integer dot products rank candidates exactly
+    # dims span [0, 2] -> codes: v0 [0,0], v1 [255,0], v2 [128,128],
+    # v3 [0,255]; reconstructions are ~exact here (bounds hit the
+    # grid), so the score is the true dot of the dequantized vectors.
+    # code 128 reconstructs to 128*2/255 = 1.0039..., so q1*v2 =
+    # 2 * 1.0039 = 2.0078
     emb = spark.createDataFrame(
         [
             (0, [0.0, 0.0]),
@@ -254,13 +257,36 @@ def test_sq8_quantization_and_ranking(spark):
     )
     rows = _with_tables(spark, {"embeddings": emb}, "sim_sq8_topk")
     got = {(r["qid"], r["rank"]): r for r in rows}
-    # q1's nearest by quantized dot: v2 (255·128 = 32640), then ties
-    # at 0 broken by cid (v0 before v3)
-    assert got[(1, 1)]["cid"] == 2 and got[(1, 1)]["score_q8"] == 32640
+    # q1's nearest by reconstructed dot: v2 (2 * 1.0039 = 2.0078),
+    # then ties at 0 broken by cid (v0 before v3)
+    assert got[(1, 1)]["cid"] == 2 and got[(1, 1)]["score_sq8"] == 2.0078
     assert got[(1, 2)]["cid"] == 0 and got[(1, 3)]["cid"] == 3
-    # q2 scores v1 and v3 equally (128·255) — tie broken by cid
-    assert got[(2, 1)]["cid"] == 1 and got[(2, 1)]["score_q8"] == 32640
-    assert got[(2, 2)]["cid"] == 3 and got[(2, 2)]["score_q8"] == 32640
+    # q2 scores v1 and v3 equally (1.0039 * 2) — tie broken by cid
+    assert got[(2, 1)]["cid"] == 1 and got[(2, 1)]["score_sq8"] == 2.0078
+    assert got[(2, 2)]["cid"] == 3 and got[(2, 2)]["score_sq8"] == 2.0078
+
+
+def test_sq8_ranking_tracks_true_dot_on_offset_data(spark):
+    # the r6 defect pin: with a large per-dim offset the RAW code dot
+    # ranks by the wrong thing entirely; the reconstructed dot must
+    # recover the true-dot ordering. Data: dim0 offset +100, candidates
+    # differ only in their true dot with q.
+    emb = spark.createDataFrame(
+        [
+            (0, [101.0, 1.0]),   # query
+            (1, [101.0, 1.0]),   # identical -> best
+            (2, [100.0, 0.0]),   # smallest
+            (3, [100.5, 0.5]),   # middle
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    from healthcare_research_data_pipeline_project_spark.operators import (
+        similarity as S2,
+    )
+
+    rows = S2.sq8_topk(emb, [0], k=3).collect()
+    order = [r["cid"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert order == [1, 3, 2]  # true-dot order: v1 > v3 > v2
 
 
 def test_sq8_runs_on_corpus_and_is_deterministic(spark):
