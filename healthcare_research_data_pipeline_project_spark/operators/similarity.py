@@ -122,6 +122,63 @@ def embedding_near_dup_pairs(
     )
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Directed k-nearest-neighbor graph within coarse blocks:
+    (src, dst, block, cos_sim, rank) with each node keeping its k
+    highest-cosine neighbors (deterministic ties: cos DESC, dst).
+
+    This is the BOUNDED-DEGREE alternative to the threshold similarity
+    graph: a threshold graph over a near-dup cluster of M docs has
+    O(M²) true edges — quadratic in the corpus under fixed-cardinality
+    blocks, the r6 scale-probe cliff — while the kNN graph has at most
+    N·k edges at any scale, so every DOWNSTREAM analytic (PageRank,
+    cores, components, community detection) is linear. It is how
+    production similarity-graph pipelines are actually built
+    (kNN-graph construction + graph analytics, never threshold
+    all-pairs). Candidate generation here is the exact within-block
+    ranking; at 100 TB you swap in an ANN route (LSH buckets /
+    IVF cells / PQ shortlists from this module) to propose candidates
+    and keep the same top-k contract."""
+    d = emb.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_dot(vec_col, vec_col)).alias("nrm"),
+    )
+    d = track_persist(d)  # both self-join sides branch from this node
+    a = d.select(
+        F.col(id_col).alias("src"), "block", F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = d.select(
+        F.col(id_col).alias("dst"), F.col("block").alias("block_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("block") == F.col("block_b"))
+        & (F.col("src") != F.col("dst")),
+    )
+    cos = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 4).cast(
+        "double"
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    return (
+        pairs.select(
+            "src", "dst", F.col("block").alias(block_col),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs_banded(
     emb: DataFrame,
     threshold: float = 0.35,

@@ -1044,3 +1044,95 @@ def g_kcore_dense_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-degree kNN similarity graph — the SCALABLE graph-construction
+# contract the threshold-graph scale note points at: each node keeps
+# its k highest-cosine neighbors (deterministic ties cos DESC, dst),
+# so the graph has at most N*k edges at ANY corpus size and every
+# downstream analytic over it is linear. The summary reports, per
+# label: node/edge counts, MUTUAL edges (i and j each in the other's
+# top-k — the strong-link criterion kNN-graph pipelines cluster on),
+# and the mean kept-neighbor cosine as an exact rational over integer
+# 1e-4 cosine units (float AVG would be summation-order-dependent
+# across engines).
+# ---------------------------------------------------------------------------
+_KNNG_K = 5
+
+
+def _knng_oracle() -> str:
+    cos = (
+        f"CAST(ROUND({_tri_dot('a.embedding', 'b.embedding')} /"
+        f" (sqrt({_tri_dot('a.embedding', 'a.embedding')}) *"
+        f" sqrt({_tri_dot('b.embedding', 'b.embedding')})), 4) AS DOUBLE)"
+    )
+    return f"""
+    WITH prs AS (
+      SELECT a.label, a.vec_id AS src, b.vec_id AS dst, {cos} AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    g AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                       ORDER BY cos_sim DESC, dst) AS rn
+          FROM prs),
+    e AS (SELECT label, src, dst, cos_sim FROM g WHERE rn <= {_KNNG_K}),
+    m AS (
+      SELECT e1.label, COUNT(*) AS n_mutual
+      FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+      WHERE e1.src < e1.dst
+      GROUP BY e1.label
+    ),
+    base AS (
+      SELECT label, COUNT(DISTINCT src) AS n_nodes, COUNT(*) AS n_edges,
+             SUM(CAST(ROUND(cos_sim * 10000, 0) AS BIGINT)) AS units
+      FROM e GROUP BY label
+    )
+    SELECT base.label,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(COALESCE(n_mutual, 0) AS BIGINT) AS n_mutual,
+           {duck_round_div('units', 'n_edges * 10000', 4)} AS avg_cos
+    FROM base LEFT JOIN m ON m.label = base.label
+    ORDER BY base.label
+    """
+
+
+@register("g_knn_graph", _knng_oracle())
+def g_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    g = S.knn_graph(t.embeddings, k=_KNNG_K)
+    g = track_persist(g)  # feeds the per-label agg + mutuality join
+    e2 = g.select(
+        F.col("src").alias("dst2"), F.col("dst").alias("src2")
+    )
+    mut = (
+        g.join(
+            e2,
+            (F.col("src") == F.col("src2"))
+            & (F.col("dst") == F.col("dst2")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_mutual"))
+    )
+    base = g.groupBy("label").agg(
+        F.countDistinct("src").cast("long").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(
+            F.round(F.col("cos_sim") * 10000, 0).cast("long")
+        ).alias("units"),
+    )
+    return (
+        base.join(mut, "label", "left")
+        .select(
+            "label",
+            "n_nodes",
+            "n_edges",
+            F.coalesce("n_mutual", F.lit(0)).cast("long").alias("n_mutual"),
+            round_div(
+                F.col("units"), F.col("n_edges") * 10000, "avg_cos", 4
+            ),
+        )
+        .orderBy("label")
+    )

@@ -303,3 +303,29 @@ def test_semantic_blocks_adaptive_k_still_pairs_planted_dups(spark):
     assert rows
     ids = {(r["id_a"], r["id_b"]) for r in rows}
     assert all(a < b for a, b in ids)
+
+
+def test_knn_graph_degree_bound_and_mutuality(spark):
+    # hand graph in one block: v0 and v1 are near-identical (mutual
+    # top-1), v2 is far from both; k=1 keeps exactly one out-edge per
+    # node and the only mutual pair is (0, 1)
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.99, 0.1, 0.0], 0),
+            (2, [0.0, 0.0, 1.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    g = S.knn_graph(emb, k=1).collect()
+    out = {r["src"]: (r["dst"], r["rank"]) for r in g}
+    assert len(g) == 3 and all(r["rank"] == 1 for r in g)
+    assert out[0][0] == 1 and out[1][0] == 0  # mutual strong link
+    # corpus: per-node out-degree never exceeds k, ranks are 1..k
+    t = load_tables(spark, SF_SMOKE)
+    gk = S.knn_graph(t.embeddings, k=3).collect()
+    from collections import Counter
+
+    deg = Counter(r["src"] for r in gk)
+    assert deg and max(deg.values()) <= 3
+    assert all(1 <= r["rank"] <= 3 for r in gk)
