@@ -39,7 +39,7 @@ import shutil
 import tempfile
 from urllib.parse import urlparse
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -227,17 +227,17 @@ def dedup_clusters(
             F.coalesce("component", F.col(id_col)).alias("cluster_id"),
         )
     )
-    sizes = labeled.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return (
-        labeled.join(sizes, "cluster_id")
-        .select(
-            id_col,
-            "cluster_id",
-            F.col("cluster_size").cast("long").alias("cluster_size"),
-            (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_keeper"),
-        )
+    # cluster_size via a window over the SAME key the size aggregate
+    # would shuffle on: one exchange + a streaming per-partition count,
+    # instead of aggregate + join (two more exchanges). A pathological
+    # mega-cluster makes a hot partition either way; AQE skew handling
+    # applies to the exchange, and the count frame needs no sort buffer.
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_keeper"),
     )
 
 
