@@ -40,6 +40,18 @@ EPOCH = "1995-01-01"
 #: they only need ordering/filtering on time_id.
 TIME_ID_MAX = 2556  # (date(2001,12,31) - date(1995,1,1)).days
 
+#: result_id/order_id are packed as l_orderkey * 8 + l_linenumber
+#: (`mapping_ctes` lab_key). Composite-argmax keys pack
+#: (lab_time_id, result_id) into ONE bigint as
+#: time_id * RESULT_ID_PACK + result_id, which is order-preserving
+#: only while result_id < RESULT_ID_PACK — i.e. l_orderkey below
+#: ~1.25e11, far past TPC-H sf100k. The bound is ASSERTED against the
+#: generated warehouse by tests/test_warehouse_mapping.py (and
+#: re-derivable here rather than a magic literal in query text), so
+#: an id-scheme change fails loudly instead of silently changing
+#: which row an argmax picks.
+RESULT_ID_PACK = 10**12
+
 ICD10_CODES = [
     "A41.0", "A41.9", "E11.9", "E11.21", "E11.36", "E11.40", "E11.51",
     "E11.65", "I10", "I25.1", "J44.1", "J44.9", "N18.3", "N18.5",

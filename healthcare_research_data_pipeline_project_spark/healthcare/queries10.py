@@ -30,6 +30,7 @@ from .mapping import (
     AGE_ANCHOR,
     ANALYSIS_YEAR,
     ANCHOR_DATE,
+    RESULT_ID_PACK,
     ensure_warehouse,
     query_with,
     with_clause,
@@ -568,11 +569,13 @@ def q7_cohort(d: Dialect) -> str:
             -- and the dense-calendar join reduces to a range filter
             -- (mapping.TIME_ID_MAX); the (lab_time_id, result_id)
             -- ordering packs into one BIGINT key — time_id <= 2556,
-            -- result_id < 1e12 — because DuckDB's arg_max has no
-            -- composite-key form.
+            -- result_id < mapping.RESULT_ID_PACK (the shared
+            -- constant; the bound is asserted against the generated
+            -- warehouse by tests/test_warehouse_mapping.py) —
+            -- because DuckDB's arg_max has no composite-key form.
             SELECT lr.patient_id,
                    {d.argmax('lr.result_value',
-                             'lr.lab_time_id * CAST(1000000000000 AS BIGINT)'
+                             f'lr.lab_time_id * CAST({RESULT_ID_PACK} AS BIGINT)'
                              ' + lr.result_id')} AS latest_a1c
             FROM fact_lab_results lr
             WHERE lr.lab_test_code = 'HBA1C'

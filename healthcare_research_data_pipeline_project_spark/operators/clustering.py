@@ -122,11 +122,25 @@ def _driver_kmeans(
     seeds = order[:k]
     cent = x[seeds].copy()
     history: list[float] = []
+    # The (n, k, dim) difference tensor is the memory cliff: with the
+    # data-adaptive k = n/640 a 100k-row sample at dim 31 would need
+    # ~15 GB. Chunk the distance pass over POINTS so peak extra memory
+    # is bounded (~256 MB) while the float op sequence per (point,
+    # centroid) — and therefore every label/inertia — is bit-identical
+    # to the unchunked form.
+    _budget_elems = 32_000_000  # float64s ≈ 256 MB
     for _ in range(max_iter):
-        # (n, k) squared distances; argmin ties break on lowest cid
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        lab = d2.argmin(axis=1)
-        inertia = float(d2[np.arange(len(x)), lab].sum())
+        step = max(1, _budget_elems // max(1, len(cent) * x.shape[1]))
+        lab = np.empty(len(x), dtype=np.int64)
+        mind = np.empty(len(x), dtype=np.float64)
+        for s in range(0, len(x), step):
+            blk = x[s:s + step]
+            # (chunk, k) squared distances; argmin ties -> lowest cid
+            d2 = ((blk[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            bl = d2.argmin(axis=1)
+            lab[s:s + step] = bl
+            mind[s:s + step] = d2[np.arange(len(blk)), bl]
+        inertia = float(mind.sum())
         for c in range(len(cent)):  # empty clusters keep their centroid
             m = lab == c
             if m.any():

@@ -82,38 +82,74 @@ def _commit_version(
     ledger and the data commit together (the exactly-once guarantee)
     and a crash at any point leaves the previous version current.
 
-    Version dirs are allocated PAST every existing `v=<k>` dir (never
-    reused) and written with `errorifexists`, so two concurrent
-    refreshes that race to the same number fail loudly instead of one
-    silently clobbering the other's in-flight write. Retention after
-    the flip keeps the immediately-previous served version alongside
-    the new one (keep_last=2): a lazy DataFrame handed out by
-    `read_agg_view`/`refresh_agg_view` before this flip still resolves
-    its files through one subsequent refresh. Everything older — and
-    any crashed uncommitted attempt below the previous version, which
-    no reader could ever have resolved — is removed."""
+    Concurrent refreshes are SERIALIZED by an O_CREAT|O_EXCL lockfile
+    held across the whole allocate→write→rename→expire sequence: the
+    `errorifexists` write alone is not enough (writer A could allocate
+    v, writer B commit v+1 and expire v, then A's later manifest
+    rename would both lose B's update and point readers at the deleted
+    v). A second committer finds the lock and raises immediately; a
+    crash mid-commit leaves the lockfile behind, and the raise names
+    it so an operator can remove the stale lock after verifying no
+    refresh is live (the manifest-pointer protocol itself guarantees
+    the crashed attempt was never visible). As a belt the manifest is
+    re-read under the lock right before the rename and the commit
+    aborts if another writer moved it. Retention after the flip keeps
+    the immediately-previous served version alongside the new one
+    (keep_last=2): a lazy DataFrame handed out by `read_agg_view`/
+    `refresh_agg_view` before this flip still resolves its files
+    through one subsequent refresh. Everything older — and any crashed
+    uncommitted attempt below the previous version, which no reader
+    could ever have resolved — is removed; versions NEWER than this
+    commit are never expired."""
     root = view_path.rstrip("/")
     os.makedirs(root, exist_ok=True)
-    prev = current_version(root)
-    leftover = [
-        int(n.split("=", 1)[1])
-        for n in os.listdir(root)
-        if n.startswith("v=")
-    ]
-    v = max([prev, *leftover], default=prev) + 1
-    ddir = _data_dir(root, v)
-    df.write.mode("errorifexists").parquet(ddir)
-    if batch_id is not None:
-        _ledger_copy_into(root, ddir, batch_id)
-    tmp = _manifest_path(root) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"version": v}, f)
-    os.rename(tmp, _manifest_path(root))  # the atomic commit point
-    for name in os.listdir(root):  # expire all but {prev, v}
-        if name.startswith("v="):
-            k = int(name.split("=", 1)[1])
-            if k < v and k != prev:
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    lock = os.path.join(root, "_commit.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"{root}: another refresh holds the commit lock ({lock}); "
+            "view commits are serialized — wait for it, or remove the "
+            "lockfile if its writer crashed (the crashed attempt was "
+            "never visible to readers)"
+        ) from None
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        prev = current_version(root)
+        leftover = [
+            int(n.split("=", 1)[1])
+            for n in os.listdir(root)
+            if n.startswith("v=")
+        ]
+        v = max([prev, *leftover], default=prev) + 1
+        ddir = _data_dir(root, v)
+        df.write.mode("errorifexists").parquet(ddir)
+        if batch_id is not None:
+            _ledger_copy_into(root, ddir, batch_id)
+        if current_version(root) != prev:  # belt: manifest moved under us
+            shutil.rmtree(ddir, ignore_errors=True)
+            raise RuntimeError(
+                f"{root}: manifest advanced past v={prev} during this "
+                "commit (a concurrent writer bypassed the lock); "
+                "aborting without publishing"
+            )
+        tmp = _manifest_path(root) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": v}, f)
+        os.rename(tmp, _manifest_path(root))  # the atomic commit point
+        for name in os.listdir(root):  # expire all but {prev, v}
+            if name.startswith("v="):
+                k = int(name.split("=", 1)[1])
+                if k < v and k != prev:
+                    shutil.rmtree(
+                        os.path.join(root, name), ignore_errors=True
+                    )
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
     return ddir
 
 

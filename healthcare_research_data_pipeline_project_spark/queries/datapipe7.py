@@ -856,7 +856,7 @@ def g_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_assigned,
            TRUE AS all_cells_nonempty,
            TRUE AS inertia_under_global_ss,
-           CAST(4 AS INT) AS n_iters
+           TRUE AS n_iters_in_range
     FROM embeddings
     """,
 )
@@ -901,7 +901,12 @@ def ml_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("inertia") < F.col("global_ss")).alias(
             "inertia_under_global_ss"
         ),
-        F.lit(len(history)).cast("int").alias("n_iters"),
+        # len(history) is an incidental implementation value, not a
+        # cross-engine invariant: kmeans(max_iter=4, tol=1e-6) may
+        # early-stop in 2-3 rounds on fast-converging data, so the
+        # oracle pins only the RANGE verdict (1..max_iter); the exact
+        # trajectory stays pytest-pinned (tests/test_clustering.py).
+        F.lit(1 <= len(history) <= 4).alias("n_iters_in_range"),
     )
 
 

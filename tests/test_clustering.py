@@ -132,7 +132,7 @@ def test_kmeans_summary_query_runs(spark):
     assert r["n_assigned"] == 500  # every vector assigned
     assert r["n_clusters"] == 8 and r["all_cells_nonempty"]
     assert r["inertia_under_global_ss"]
-    assert r["n_iters"] == 4
+    assert r["n_iters_in_range"]
 
 
 def test_semantic_blocks_find_identical_vectors(spark):
