@@ -292,6 +292,7 @@ def pagerank(
     tol: float = 1e-4,
     small_graph_threshold: int = 100_000,
     checkpoint_dir: str | None = None,
+    spill_every: int = 3,
 ) -> DataFrame:
     """Power-iteration PageRank over the directed graph `edges`.
     Returns (node, rank) with the Σrank = N convention (uniform graph
@@ -312,6 +313,21 @@ def pagerank(
     exhaustion returns the current ranks rather than raising; callers
     needing certification check the returned `converged` flag column
     is true (constant per run).
+
+    Per-iteration job accounting (the r6 sf1 probe measured ~6 s/round
+    of which most was fixed job overhead, not the join): the dangling-
+    mass collect is SKIPPED for graphs with no dangling nodes (one
+    upfront count decides — symmetric similarity graphs and kNN graphs
+    never have them); under fixed-iteration semantics (`tol <= 0`, the
+    oracle-parity mode) the L1-delta job is skipped too, and when both
+    scalars are gone `spill_every` logical iterations run inside ONE
+    materialization — the plan chain references the rank frame once
+    per round, so it grows linearly and the parquet ping-pong (the
+    lineage cut) is needed only every few rounds. 12 oracle iterations
+    then cost 4 write+read cycles and zero per-round driver jobs
+    instead of 36 jobs. `converged` is reported False in fixed-
+    iteration mode (nothing was certified — the caller asked for an
+    exact round count, which is what ran).
     """
     spark = edges.sparkSession
     # adaptive small-graph path (same doctrine as connected_components:
@@ -340,11 +356,17 @@ def pagerank(
         out_deg = e.groupBy(F.col("u").alias("node")).agg(
             F.count(F.lit(1)).alias("out_deg")
         )
-        # static per-node frame: node, out_deg (0 for dangling)
+        # static per-node frame: node, out_deg (0 for dangling); one
+        # job yields BOTH scalars (n, dangling-node count) and
+        # materializes the persist
         base_nodes = nodes.join(out_deg, "node", "left").select(
             "node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
         ).persist()
-        n = base_nodes.count()  # scalar; also materializes the persist
+        stats = base_nodes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("out_deg") == 0).cast("long")).alias("nd"),
+        ).collect()[0]
+        n, n_dangling = stats["n"], stats["nd"] or 0
         if n == 0:
             return spark.createDataFrame(
                 [], "node long, rank double, converged boolean"
@@ -354,23 +376,16 @@ def pagerank(
             "overwrite"
         ).parquet(ping[0])
         ranks = spark.read.parquet(ping[0])
+        fixed_iter = tol <= 0
 
-        converged = False
-        for i in range(max_iter):
-            # dangling nodes donate their whole mass to the teleport pool
-            dangling = (
-                ranks.filter(F.col("out_deg") == 0)
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .collect()[0][0]
-            )
+        def _step(r: DataFrame, teleport: float) -> DataFrame:
             contrib = (
-                ranks.filter(F.col("out_deg") > 0)
-                .join(e, ranks["node"] == e["u"])
+                r.filter(F.col("out_deg") > 0)
+                .join(e, r["node"] == e["u"])
                 .groupBy(F.col("v").alias("node"))
                 .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("flow"))
             )
-            teleport = (1.0 - damping) + damping * dangling / n
-            new_ranks = base_nodes.join(contrib, "node", "left").select(
+            return base_nodes.join(contrib, "node", "left").select(
                 "node",
                 "out_deg",
                 (
@@ -378,21 +393,59 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("flow", F.lit(0.0))
                 ).alias("rank"),
             )
-            dest = ping[(i + 1) % 2]
-            # carry |new - old| through the spill so the convergence
-            # check is a scan-aggregate over the just-written parquet
-            new_ranks.join(
-                ranks.select("node", F.col("rank").alias("old_rank")), "node"
-            ).select(
-                "node", "out_deg", "rank",
-                F.abs(F.col("rank") - F.col("old_rank")).alias("delta"),
-            ).write.mode("overwrite").parquet(dest)
-            materialized = spark.read.parquet(dest)
-            l1 = materialized.agg(F.sum("delta")).collect()[0][0]
-            ranks = materialized.drop("delta")
-            if l1 <= tol * n:
-                converged = True
-                break
+
+        converged = False
+        if fixed_iter and n_dangling == 0:
+            # zero per-round scalars -> batch `spill_every` rounds per
+            # materialization (linear plan growth: the chain references
+            # the rank frame once per round)
+            teleport = 1.0 - damping
+            done = 0
+            spill = 0
+            while done < max_iter:
+                steps = min(spill_every, max_iter - done)
+                for _ in range(steps):
+                    ranks = _step(ranks, teleport)
+                done += steps
+                spill += 1
+                dest = ping[spill % 2]
+                ranks.write.mode("overwrite").parquet(dest)
+                ranks = spark.read.parquet(dest)
+        else:
+            for i in range(max_iter):
+                if n_dangling:
+                    # dangling nodes donate their mass to the teleport
+                    # pool — the one per-round scalar this graph needs
+                    dangling = (
+                        ranks.filter(F.col("out_deg") == 0)
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                        .collect()[0][0]
+                    )
+                else:
+                    dangling = 0.0
+                teleport = (1.0 - damping) + damping * dangling / n
+                new_ranks = _step(ranks, teleport)
+                dest = ping[(i + 1) % 2]
+                if fixed_iter:
+                    new_ranks.write.mode("overwrite").parquet(dest)
+                    ranks = spark.read.parquet(dest)
+                    continue
+                # carry |new - old| through the spill so the
+                # convergence check is a scan-aggregate over the
+                # just-written parquet
+                new_ranks.join(
+                    ranks.select("node", F.col("rank").alias("old_rank")),
+                    "node",
+                ).select(
+                    "node", "out_deg", "rank",
+                    F.abs(F.col("rank") - F.col("old_rank")).alias("delta"),
+                ).write.mode("overwrite").parquet(dest)
+                materialized = spark.read.parquet(dest)
+                l1 = materialized.agg(F.sum("delta")).collect()[0][0]
+                ranks = materialized.drop("delta")
+                if l1 <= tol * n:
+                    converged = True
+                    break
         # the returned frame stays backed by the checkpoint parquet, so
         # the dir must outlive this call (own_dir tempdirs fall to the
         # OS tempdir policy; caller-supplied paths follow the caller's
@@ -477,6 +530,10 @@ def kcore(
             F.col("node").isNotNull()
         ).write.mode("overwrite").parquet(ping[0])
         alive = spark.read.parquet(ping[0])
+        # one count per round, not two: this round's survivor count is
+        # next round's "before" count (parquet row counts are footer
+        # metadata — cheap — but each is still a driver job)
+        n_old = alive.count()
         for i in range(max_iter):
             # surviving edges: both endpoints alive; recompute degree
             e = (
@@ -495,13 +552,13 @@ def kcore(
                 "overwrite"
             ).parquet(dest)
             new_alive = spark.read.parquet(dest)
-            n_old = alive.count()
             n_new = new_alive.count()
             alive = new_alive.select("node")
             if n_new == n_old:
                 return new_alive.select(
                     "node", F.col("d").cast("long").alias("core_degree")
                 )
+            n_old = n_new
         raise RuntimeError(
             f"kcore did not converge in {max_iter} rounds — raise "
             "max_iter; a truncated peel over-approximates the core"

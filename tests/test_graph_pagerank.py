@@ -90,6 +90,51 @@ def test_distributed_loop_matches_driver_path(spark):
         assert dist[node] == pytest.approx(fast[node], abs=1e-8)
 
 
+def test_fixed_iteration_batched_loop_matches_driver_path(spark):
+    # tol=0 on a dangling-free (symmetric) graph takes the r7 batched
+    # path: no per-round scalars, `spill_every` rounds per parquet
+    # materialization. Pin it against the driver fast path at the same
+    # fixed depth, across spill_every values that do and don't divide
+    # max_iter.
+    tri = [(0, 1), (1, 2), (2, 0), (0, 2), (2, 1), (1, 0), (3, 4), (4, 3)]
+    edges = _edges(spark, tri)
+    fast = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, tol=0.0, max_iter=7).collect()
+    }
+    for spill_every in (1, 3, 5):
+        dist = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                edges, tol=0.0, max_iter=7, small_graph_threshold=0,
+                spill_every=spill_every,
+            ).collect()
+        }
+        assert set(dist) == set(fast)
+        for node in fast:
+            assert dist[node] == pytest.approx(fast[node], abs=1e-9)
+
+
+def test_fixed_iteration_distributed_with_dangling(spark):
+    # tol=0 WITH dangling nodes exercises the per-round dangling
+    # scalar inside fixed-iteration mode (no L1 job, no batching)
+    e = [(0, 1), (1, 2)]  # node 2 dangles
+    edges = _edges(spark, e)
+    fast = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, tol=0.0, max_iter=5).collect()
+    }
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, tol=0.0, max_iter=5, small_graph_threshold=0
+        ).collect()
+    }
+    assert set(dist) == set(fast)
+    for node in fast:
+        assert dist[node] == pytest.approx(fast[node], abs=1e-9)
+
+
 def test_pagerank_centrality_query_runs(spark):
     rows = QUERIES["g_pagerank_centrality"](spark, SF_SMOKE).collect()
     assert rows
