@@ -1141,3 +1141,199 @@ def g_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the BOUNDED-DEGREE kNN graph — the scale-safe
+# composition the r6 scale note prescribes (threshold graphs over
+# near-dup clusters carry O(M²) true edges; the kNN graph carries at
+# most N·k at ANY corpus size, so PageRank/k-core stay linear at
+# 100 TB). These are the rows you would actually run at 100×; the
+# threshold-graph variants above keep their documented ceiling as the
+# exact-semantics references.
+#
+# g_pagerank_knn: PageRank over the UNION-symmetrized kNN graph
+# (W = max(A, Aᵀ), the standard spectral/UMAP symmetrization — an
+# edge survives if EITHER endpoint keeps the other in its top-k).
+# Symmetric ⇒ no dangling nodes and no zero-in-degree nodes, so the
+# fixed-depth recursive-CTE oracle (teleport = 1−d, same shape as
+# _pagerank_oracle) keeps every node, and the Spark loop rides the r7
+# batched fixed-iteration path (tol=0, zero per-round driver jobs).
+#
+# g_kcore_knn: k-core of the MUTUAL kNN graph (A ∧ Aᵀ — both
+# endpoints keep each other, the strong-link criterion kNN pipelines
+# cluster on): surviving nodes hold ≥ k mutual-similarity neighbors
+# after cascading removal. Same recursive-peel oracle doctrine as
+# _kcore_oracle.
+# ---------------------------------------------------------------------------
+_KNNPR_K = _KNNG_K  # neighbors per node in the analyzed kNN graph
+_KNN_CORE_K = 2
+
+
+def _knn_edges_sql() -> str:
+    """Shared oracle CTEs: the exact within-label kNN edge set
+    (identical semantics to _knng_oracle's prs/g/e chain)."""
+    cos = (
+        f"CAST(ROUND({_tri_dot('a.embedding', 'b.embedding')} /"
+        f" (sqrt({_tri_dot('a.embedding', 'a.embedding')}) *"
+        f" sqrt({_tri_dot('b.embedding', 'b.embedding')})), 4) AS DOUBLE)"
+    )
+    return f"""
+    prs AS (
+      SELECT a.label, a.vec_id AS src, b.vec_id AS dst, {cos} AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    gk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                        ORDER BY cos_sim DESC, dst) AS rn
+           FROM prs),
+    e AS (SELECT label, src, dst FROM gk WHERE rn <= {_KNNPR_K})"""
+
+
+def _pagerank_knn_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_knn_edges_sql().strip().lstrip()},
+    sym AS (SELECT DISTINCT src AS u, dst AS v FROM
+            (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+    deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+    pr(iter, node, rank) AS (
+      SELECT 0, u, CAST(1.0 AS DOUBLE) FROM deg
+      UNION ALL
+      SELECT pr.iter + 1, sym.v,
+             {1.0 - _PR_DAMP} + {_PR_DAMP} * SUM(pr.rank / deg.d)
+      FROM pr JOIN sym ON sym.u = pr.node JOIN deg ON deg.u = pr.node
+      WHERE pr.iter < {_PR_ITERS}
+      GROUP BY pr.iter, sym.v
+    ),
+    fin AS (SELECT node, rank FROM pr WHERE iter = {_PR_ITERS}),
+    lab AS (
+      SELECT emb.label, fin.node, ROUND(fin.rank, 4) AS r4
+      FROM embeddings emb JOIN fin ON emb.vec_id = fin.node
+    ),
+    rk AS (
+      SELECT label, node, r4,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY r4 DESC, node)
+               AS pos
+      FROM lab
+    )
+    SELECT label, CAST(node AS BIGINT) AS vec_id,
+           CAST(r4 AS DOUBLE) AS rank, CAST(pos AS INT) AS pos
+    FROM rk WHERE pos <= 3 ORDER BY label, pos
+    """
+
+
+def _g_pagerank_knn_impl(
+    spark: SparkSession, sf_dir: str, small_graph_threshold: int = 100_000
+) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    # persist: the symmetrizing union references the kNN pipeline (pair
+    # join + top-k window) twice — one materialization, two cache reads
+    g = track_persist(
+        S.knn_graph(t.embeddings, k=_KNNPR_K).select("src", "dst")
+    )
+    # union-symmetrize: distinct collapses mutual pairs seen twice
+    sym = g.union(
+        g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    pr = pagerank(
+        sym, damping=_PR_DAMP, max_iter=_PR_ITERS, tol=0.0,
+        small_graph_threshold=small_graph_threshold,
+    )
+    lab = t.embeddings.select(F.col("vec_id").alias("node"), "label")
+    return (
+        pr.join(lab, "node")
+        .withColumn("r4", F.round("rank", 4))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(F.desc("r4"), "node")
+            ),
+        )
+        .filter(F.col("pos") <= 3)
+        .select(
+            "label",
+            F.col("node").alias("vec_id"),
+            F.col("r4").cast("double").alias("rank"),
+            F.col("pos").cast("int").alias("pos"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@register("g_pagerank_knn", _pagerank_knn_oracle())
+def g_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _g_pagerank_knn_impl(spark, sf_dir)
+
+
+def _kcore_knn_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_knn_edges_sql().strip().lstrip()},
+    mu AS (
+      SELECT e1.src AS a, e1.dst AS b
+      FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+      WHERE e1.src < e1.dst
+    ),
+    sym AS (SELECT a AS u, b AS v FROM mu UNION ALL SELECT b, a FROM mu),
+    ealive(iter, u, v) AS (
+      SELECT 0, u, v FROM sym
+      UNION ALL
+      SELECT iter + 1, u, v FROM (
+        SELECT iter, u, v,
+               COUNT(*) OVER (PARTITION BY u) AS du,
+               COUNT(*) OVER (PARTITION BY v) AS dv
+        FROM ealive WHERE iter < {_KCORE_ROUNDS}
+      ) WHERE du >= {_KNN_CORE_K} AND dv >= {_KNN_CORE_K}
+    ),
+    core AS (
+      SELECT u AS node, COUNT(*) AS core_degree
+      FROM ealive WHERE iter = {_KCORE_ROUNDS} GROUP BY u
+    )
+    SELECT emb.label,
+           CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+           CAST(MIN(core.core_degree) AS BIGINT) AS min_core_degree,
+           CAST(MAX(core.core_degree) AS BIGINT) AS max_core_degree
+    FROM core JOIN embeddings emb ON emb.vec_id = core.node
+    GROUP BY emb.label ORDER BY emb.label
+    """
+
+
+def _g_kcore_knn_impl(
+    spark: SparkSession, sf_dir: str, small_graph_threshold: int = 100_000
+) -> DataFrame:
+    from ..operators.graph import kcore
+
+    t = load_tables(spark, sf_dir)
+    g = S.knn_graph(t.embeddings, k=_KNNPR_K).select("src", "dst")
+    g = track_persist(g)  # both sides of the mutuality self-join
+    rev = g.select(F.col("dst").alias("src2"), F.col("src").alias("dst2"))
+    mutual = (
+        g.join(
+            rev,
+            (F.col("src") == F.col("src2"))
+            & (F.col("dst") == F.col("dst2")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    core = kcore(
+        mutual, k=_KNN_CORE_K, max_iter=_KCORE_ROUNDS,
+        small_graph_threshold=small_graph_threshold,
+    )
+    lab = t.embeddings.select(F.col("vec_id").alias("node"), "label")
+    return (
+        core.join(lab, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_core_nodes"),
+            F.min("core_degree").cast("long").alias("min_core_degree"),
+            F.max("core_degree").cast("long").alias("max_core_degree"),
+        )
+        .orderBy("label")
+    )
+
+
+@register("g_kcore_knn", _kcore_knn_oracle())
+def g_kcore_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _g_kcore_knn_impl(spark, sf_dir)

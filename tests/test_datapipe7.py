@@ -295,3 +295,49 @@ def test_sq8_runs_on_corpus_and_is_deterministic(spark):
     key = lambda r: (r["qid"], r["rank"])
     assert sorted(a, key=key) == sorted(b, key=key)
     assert len(a) == 8 * 5
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph-backed analytics (r7): scale-safe PageRank / k-core
+# ---------------------------------------------------------------------------
+def test_pagerank_knn_well_formed_and_deterministic(spark):
+    rows = QUERIES["g_pagerank_knn"](spark, SF_SMOKE).collect()
+    assert rows
+    by_label: dict[int, list] = {}
+    for r in rows:
+        assert r["rank"] > 0
+        by_label.setdefault(r["label"], []).append(r["pos"])
+    for poss in by_label.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+        assert len(poss) <= 3
+    again = QUERIES["g_pagerank_knn"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pagerank_knn_forced_distributed_equivalence(spark):
+    # the corpus row rides the driver fast path at test scale; pin it
+    # against the batched distributed loop (the 100x path)
+    from healthcare_research_data_pipeline_project_spark.queries.datapipe7 import (
+        _g_pagerank_knn_impl,
+    )
+
+    fast = QUERIES["g_pagerank_knn"](spark, SF_SMOKE).collect()
+    dist = _g_pagerank_knn_impl(
+        spark, SF_SMOKE, small_graph_threshold=0
+    ).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, dist))
+
+
+def test_kcore_knn_forced_distributed_equivalence(spark):
+    from healthcare_research_data_pipeline_project_spark.queries.datapipe7 import (
+        _g_kcore_knn_impl,
+    )
+
+    fast = QUERIES["g_kcore_knn"](spark, SF_SMOKE).collect()
+    assert fast  # mutual-kNN cycles exist on the blob corpus
+    for r in fast:
+        assert r["min_core_degree"] >= 2
+    dist = _g_kcore_knn_impl(
+        spark, SF_SMOKE, small_graph_threshold=0
+    ).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, dist))
