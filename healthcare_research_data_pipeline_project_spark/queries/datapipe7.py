@@ -791,8 +791,9 @@ def _pagerank_oracle() -> str:
     """
 
 
-@register("g_pagerank_centrality", _pagerank_oracle())
-def g_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _g_pagerank_centrality_impl(
+    spark: SparkSession, sf_dir: str, small_graph_threshold: int = 100_000
+) -> DataFrame:
     from ..operators.graph import pagerank
 
     t = load_tables(spark, sf_dir)
@@ -804,7 +805,10 @@ def g_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     # tol=0.0: exactly _PR_ITERS iterations, the oracle's fixed depth
-    pr = pagerank(sym, damping=_PR_DAMP, max_iter=_PR_ITERS, tol=0.0)
+    pr = pagerank(
+        sym, damping=_PR_DAMP, max_iter=_PR_ITERS, tol=0.0,
+        small_graph_threshold=small_graph_threshold,
+    )
     lab = t.embeddings.select(
         F.col("vec_id").alias("node"), "label"
     )
@@ -826,6 +830,11 @@ def g_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@register("g_pagerank_centrality", _pagerank_oracle())
+def g_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _g_pagerank_centrality_impl(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -915,13 +924,52 @@ def ml_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vectors) + asymmetric-distance scoring via per-query lookup tables.
 # Codebooks are trained by the sampled in-memory Lloyd's (FAISS's own
 # training shape); encoding and scoring are pure Catalyst HOFs over a
-# broadcast codebook row. Approximate by construction (quantization
-# error) → rows-only check; tests/test_pq.py pins code well-formedness
-# and recall@k against the exact brute-force oracle.
+# broadcast codebook row. The trained-float shortlist routing is not
+# SQL-expressible, but the RESULT obeys cross-engine invariants the
+# oracle pins (r6 verdict #6, the k-means doctrine — rows-only
+# through r6):
+#   - every query returns exactly k neighbors with well-formed ranks
+#   - `true_kth_l2`: the exact k-th-best squared-L2 over the corpus,
+#     recomputed brute-force on BOTH sides (Spark HOFs vs DuckDB
+#     list_sum, identical fold order) — a genuine value equality
+#   - `within_slack`: the worst returned neighbor's EXACT distance is
+#     within _PQ_SLACK× the true k-th best — the quality contract an
+#     ANN route promises, with slack covering quantization error
+#     (measured worst ratio on all test SFs ≤ 1.07; see
+#     tests/test_pq.py for the recall pins)
+# The per-neighbor list itself stays pytest-pinned (tests/test_pq.py).
 # ---------------------------------------------------------------------------
+_PQ_SLACK = 1.25
 
 
-@register("sim_pq_topk")
+def _pq_l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+@register(
+    "sim_pq_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id IN ({", ".join(map(str, _SQ_QUERY_IDS))})),
+    p AS (
+      SELECT qid, b.vec_id AS cid,
+             {_pq_l2_sql('qe', 'b.embedding')} AS l2
+      FROM q JOIN embeddings b ON b.vec_id <> qid
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY l2, cid) AS rn
+          FROM p)
+    SELECT qid, CAST({_SQ_TOPK} AS INT) AS n_returned,
+           CAST(ROUND(l2, 4) AS DOUBLE) AS true_kth_l2,
+           TRUE AS ranks_wellformed,
+           TRUE AS within_slack
+    FROM r WHERE rn = {_SQ_TOPK} ORDER BY qid
+    """,
+)
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # m=16 4-dim subspaces × 32 centroids (16× compression) with a
@@ -929,9 +977,63 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IndexRefineFlat shape (near-dup-heavy corpora tie in code space;
     # the full-precision pass resolves them). Measured recall@5 vs
     # exact L2 at sf0.001: 0.93.
-    return S.pq_topk(
+    res = S.pq_topk(
         t.embeddings, _SQ_QUERY_IDS, k=_SQ_TOPK, m=16, ksub=32,
         refine=10 * _SQ_TOPK,
+    )
+    # audit summary: per query, the worst returned EXACT distance
+    # (refine mode re-ranks with exact L2, so `dist` IS exact) vs the
+    # true k-th best from an independent brute-force pass
+    got = res.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("int").alias("n_returned"),
+        F.max("dist").alias("worst_returned_l2"),
+        (
+            (F.min("rank") == 1)
+            & (F.max("rank") == _SQ_TOPK)
+            & (F.countDistinct("rank") == _SQ_TOPK)
+        ).alias("ranks_wellformed"),
+    )
+    q = t.embeddings.filter(F.col("vec_id").isin(_SQ_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = t.embeddings.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            "qe", "ce",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    kth = (
+        F.broadcast(q)
+        .join(c, F.col("cid") != F.col("qid"))
+        .select("qid", l2.alias("l2"), "cid")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("l2", "cid")
+            ),
+        )
+        .filter(F.col("rn") == _SQ_TOPK)
+        .select("qid", F.col("l2").alias("kth_l2"))
+    )
+    return (
+        got.join(kth, "qid")
+        .select(
+            "qid",
+            "n_returned",
+            F.round("kth_l2", 4).cast("double").alias("true_kth_l2"),
+            "ranks_wellformed",
+            (
+                F.col("worst_returned_l2")
+                <= F.col("kth_l2") * _PQ_SLACK + 1e-6
+            ).alias("within_slack"),
+        )
+        .orderBy("qid")
     )
 
 
@@ -941,14 +1043,42 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assignment"): train the coarse quantizer on a content-hash sample,
 # assign every vector a cell, and pair only within cells. Cell
 # boundaries come from float centroids (iterative training), so the
-# pair set is deterministic but not SQL-derivable: rows-only check;
-# tests pin that identical vectors always pair (they share a cell by
-# construction — identical distances, identical argmin).
+# PAIR SET is deterministic but not SQL-derivable — rows-only through
+# r6. The r7 corpus entry reports the AUDIT SUMMARY instead, whose
+# columns ARE cross-engine checkable (the k-means doctrine):
+#   - n_vectors / n_assigned: the oracle's own COUNT(*) — assignment
+#     covers the corpus exactly once
+#   - k_requested: the data-adaptive cell-count formula
+#     max(8, n // 640), recomputed by the oracle from its COUNT —
+#     pins the FAISS-nlist scaling contract itself
+#   - n_label_pairs: the label-blocked threshold pair count, an
+#     INDEPENDENT pair computation both engines run exactly (the
+#     dedup_embedding_cosine edge set) — genuine value equality
+#   - all_pairs_above_threshold / label_recall_ok: every emitted
+#     cell pair clears the cosine threshold, and the cell blocking
+#     recaptures ≥ _SEM_RECALL_FLOOR of the label-blocked pair set.
+#     The floor is deliberately low (0.2): at this corpus's weak
+#     similarity profile (label pairs sit at cos 0.35–0.6, no planted
+#     near-identical vectors — see testdata notes) trained cells and
+#     labels are genuinely DIFFERENT blockings, and the measured
+#     recapture is 0.28–0.5 across test SFs; true near-dups
+#     (cos ≥ 0.9) share a cell by construction (identical distances →
+#     identical argmin), which tests pin on hand data. The verdict
+#     exists to catch catastrophic regressions (cells collapsing →
+#     recapture ~0), not to promise cross-blocking equivalence.
+# The pair list itself stays pytest-pinned
+# (tests/test_clustering.py::test_semantic_blocks_*).
 # ---------------------------------------------------------------------------
+_SEM_RECALL_FLOOR = 0.2
 
 
-@register("dedup_semantic_blocks")
-def dedup_semantic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_block_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """The trained-cell near-dup pair frame (id_a, id_b, cid,
+    cos_sim), the (vec_id, cid) assignment frame, and (n_vectors,
+    k_cells) — shared by the audit query below and the pytest pins of
+    the pair-level semantics."""
     from ..operators.clustering import assign, kmeans
     from ..operators.scale import hash_sample
 
@@ -970,9 +1100,63 @@ def dedup_semantic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, centroids, _ = kmeans(sample, k=k_cells, max_iter=4)
     cells = assign(t.embeddings, centroids).select("vec_id", "cid")
     blocked = t.embeddings.join(cells, "vec_id")
-    return S.embedding_near_dup_pairs(
-        blocked, threshold=_TRI_T, block_col="cid"
-    ).orderBy("id_a", "id_b")
+    return (
+        S.embedding_near_dup_pairs(
+            blocked, threshold=_TRI_T, block_col="cid"
+        ),
+        cells,
+        n,
+        k_cells,
+    )
+
+
+@register(
+    "dedup_semantic_blocks",
+    f"""
+    WITH {_tri_edges_sql().strip().lstrip()}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_label_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_assigned,
+           (SELECT CAST(GREATEST(8, COUNT(*) // 640) AS INT)
+            FROM embeddings) AS k_requested,
+           TRUE AS all_pairs_above_threshold,
+           TRUE AS label_recall_ok
+    FROM e
+    """,
+)
+def dedup_semantic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    pairs, cells, n, k_cells = semantic_block_pairs(spark, sf_dir)
+    n_assigned = cells.count()  # one assignment row per vector
+    sem = track_persist(pairs.select("id_a", "id_b", "cos_sim"))
+    # independent label-blocked pair set — the oracle's exact twin
+    lbl = track_persist(
+        S.embedding_near_dup_pairs(t.embeddings, threshold=_TRI_T)
+        .select("id_a", "id_b")
+    )
+    n_label_pairs = lbl.count()
+    n_recaptured = sem.join(lbl, ["id_a", "id_b"], "left_semi").count()
+    min_cos = sem.agg(F.min("cos_sim")).collect()[0][0]
+    all_above = bool(min_cos is None or min_cos >= _TRI_T)
+    recall_ok = bool(
+        n_label_pairs == 0
+        or n_recaptured >= _SEM_RECALL_FLOOR * n_label_pairs
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_label_pairs,
+                n,
+                n_assigned,
+                k_cells,
+                all_above,
+                recall_ok,
+            )
+        ],
+        "n_label_pairs long, n_vectors long, n_assigned long, "
+        "k_requested int, all_pairs_above_threshold boolean, "
+        "label_recall_ok boolean",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1026,8 +1210,9 @@ def _kcore_oracle() -> str:
     """
 
 
-@register("g_kcore_dense_region", _kcore_oracle())
-def g_kcore_dense_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _g_kcore_dense_region_impl(
+    spark: SparkSession, sf_dir: str, small_graph_threshold: int = 100_000
+) -> DataFrame:
     from ..operators.graph import kcore
 
     t = load_tables(spark, sf_dir)
@@ -1037,7 +1222,10 @@ def g_kcore_dense_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_iter aligned with the oracle's fixed recursion depth: if the
     # peel ever needed more rounds, Spark raises rather than letting
     # the two engines certify different fixpoints
-    core = kcore(e, k=_KCORE_K, max_iter=_KCORE_ROUNDS)
+    core = kcore(
+        e, k=_KCORE_K, max_iter=_KCORE_ROUNDS,
+        small_graph_threshold=small_graph_threshold,
+    )
     lab = t.embeddings.select(F.col("vec_id").alias("node"), "label")
     return (
         core.join(lab, "node")
@@ -1049,6 +1237,11 @@ def g_kcore_dense_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register("g_kcore_dense_region", _kcore_oracle())
+def g_kcore_dense_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _g_kcore_dense_region_impl(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -136,20 +136,38 @@ def test_kmeans_summary_query_runs(spark):
 
 
 def test_semantic_blocks_find_identical_vectors(spark):
-    # identical vectors always share a trained cell (identical
-    # distances, identical argmin), so planted exact duplicates must
-    # pair regardless of where the centroids land
-    rows = QUERIES["dedup_semantic_blocks"](spark, SF_SMOKE).collect()
+    # pair-level pins now live on the shared helper (the corpus entry
+    # reports the oracled audit summary since r7): pairs are ordered,
+    # above threshold, and deterministic across invocations (hash
+    # seeding + fixed rounds)
+    from healthcare_research_data_pipeline_project_spark.queries.datapipe7 import (
+        semantic_block_pairs,
+    )
+
+    pairs, cells, n, k_cells = semantic_block_pairs(spark, SF_SMOKE)
+    rows = pairs.collect()
     assert rows  # corpus has same-label near-dups inside cells
     ids = {(r["id_a"], r["id_b"]) for r in rows}
     assert all(a < b for a, b in ids)
     assert all(r["cos_sim"] >= 0.35 for r in rows)
-    # determinism across invocations (hash seeding + fixed rounds)
+    assert n == 500 and k_cells == 8
+    assert cells.count() == n
     again = {
         (r["id_a"], r["id_b"])
-        for r in QUERIES["dedup_semantic_blocks"](spark, SF_SMOKE).collect()
+        for r in semantic_block_pairs(spark, SF_SMOKE)[0].collect()
     }
     assert again == ids
+
+
+def test_semantic_blocks_audit_summary(spark):
+    # the r7 oracled corpus shape: one row of cross-engine verdicts
+    rows = QUERIES["dedup_semantic_blocks"](spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_vectors"] == 500 and r["n_assigned"] == 500
+    assert r["k_requested"] == 8
+    assert r["n_label_pairs"] > 0
+    assert r["all_pairs_above_threshold"] and r["label_recall_ok"]
 
 
 def test_empty_input_raises_cleanly(spark):

@@ -296,10 +296,11 @@ def test_banded_pairs_subset_of_exact_and_catch_identicals(spark):
 
 
 def test_semantic_blocks_adaptive_k_still_pairs_planted_dups(spark):
-    from healthcare_research_data_pipeline_project_spark import queries as Q
+    from healthcare_research_data_pipeline_project_spark.queries.datapipe7 import (
+        semantic_block_pairs,
+    )
 
-    Q.load_all()
-    rows = Q.QUERIES["dedup_semantic_blocks"](spark, SF_SMOKE).collect()
+    rows = semantic_block_pairs(spark, SF_SMOKE)[0].collect()
     assert rows
     ids = {(r["id_a"], r["id_b"]) for r in rows}
     assert all(a < b for a, b in ids)

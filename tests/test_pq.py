@@ -85,11 +85,15 @@ def _exact_l2_top5(vecs, qid):
 
 
 def test_pq_refine_recall_vs_brute_force(spark, emb):
-    # the registered query runs the m=16/ksub=32/refine=50 two-stage
-    # pipeline: its recall@5 vs exact L2 must beat the raw code-space
-    # ranking and clear 0.8 on the (deterministic) smoke corpus
-    # (measured: 0.93 refined vs 0.125 raw m=8 codes)
-    refined = QUERIES["sim_pq_topk"](spark, SF_SMOKE).collect()
+    # the m=16/ksub=32/refine=50 two-stage pipeline (the registered
+    # query's route — the corpus entry reports the oracled audit
+    # summary since r7, so the pair-level pins live here): recall@5 vs
+    # exact L2 must beat the raw code-space ranking and clear 0.8 on
+    # the (deterministic) smoke corpus (measured: 0.93 refined vs
+    # 0.125 raw m=8 codes)
+    refined = S.pq_topk(
+        emb, list(range(8)), k=5, m=16, ksub=32, refine=50
+    ).collect()
     raw = S.pq_topk(emb, list(range(8)), k=5, m=8, ksub=16).collect()
     vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
             for r in emb.collect()}
@@ -117,3 +121,16 @@ def test_pq_train_empty_input_raises_cleanly(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="non-empty"):
         S.train_pq_codebooks(empty, m=8, ksub=16)
+
+
+def test_pq_query_audit_summary(spark):
+    # the r7 oracled corpus shape: per-query verdict row — exactly k
+    # returned, well-formed ranks, worst returned exact distance
+    # within slack of the true k-th best
+    rows = QUERIES["sim_pq_topk"](spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["n_returned"] == 5
+        assert r["ranks_wellformed"]
+        assert r["within_slack"]
+        assert r["true_kth_l2"] > 0

@@ -120,19 +120,27 @@ def bench_sf(spark, sf_dir: str) -> list[dict]:
             lambda: S.brute_force_topk(emb, QUERY_IDS, k=kmax),
         ),
         (
-            "LSH 8-plane",
+            "LSH auto (default: derived planes/nprobe)",
             exact_cos,
             False,
             lambda: S.lsh_topk(emb, QUERY_IDS, k=kmax),
         ),
         (
-            "LSH multi-probe (nprobe=3)",
+            "LSH 8-plane single-bucket (pre-r7 default)",
             exact_cos,
             False,
-            lambda: S.lsh_multiprobe_topk(emb, QUERY_IDS, k=kmax, nprobe=3),
+            lambda: S.lsh_topk(emb, QUERY_IDS, k=kmax, num_planes=8),
         ),
         (
-            "LSH 4-plane",
+            "LSH multi-probe (8 planes, nprobe=3)",
+            exact_cos,
+            False,
+            lambda: S.lsh_multiprobe_topk(
+                emb, QUERY_IDS, k=kmax, num_planes=8, nprobe=3
+            ),
+        ),
+        (
+            "LSH 4-plane single-bucket",
             exact_cos,
             False,
             lambda: S.lsh_topk(emb, QUERY_IDS, k=kmax, num_planes=4),
@@ -141,7 +149,9 @@ def bench_sf(spark, sf_dir: str) -> list[dict]:
             "LSH multi-probe (8 planes, nprobe=8)",
             exact_cos,
             False,
-            lambda: S.lsh_multiprobe_topk(emb, QUERY_IDS, k=kmax, nprobe=8),
+            lambda: S.lsh_multiprobe_topk(
+                emb, QUERY_IDS, k=kmax, num_planes=8, nprobe=8
+            ),
         ),
         (
             "SQ8 int8 dot",

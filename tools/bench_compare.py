@@ -2,6 +2,8 @@
 
     python tools/bench_compare.py BENCH_r03.json BENCH_r04.json
     python tools/bench_compare.py /tmp/before.json /tmp/after.json --pct 10
+    python tools/bench_compare.py BENCH_r06.json BENCH_r07.json \
+        --out BENCH_REGRESSIONS.json
 
 Reads the LAST JSON object line of each file (bench artifacts may be
 tail-truncated by the driver — the `headline` dict printed at the end
@@ -10,17 +12,40 @@ unparseable the headline is used instead). Prints regressions above
 `--pct`, improvements, and queries present on only one side, then
 exits 1 if any regression crossed the threshold — usable as a CI
 gate around performance work.
+
+Regression budget (r7 governance): any query regressing more than
+`--budget-pct` (default 40%) must carry an annotation in
+`tools/bench_annotations.json` ({query: reason}) naming the cause;
+an unannotated budget breach makes the exit code 1 regardless of
+`--pct`. `--out` writes the full regression table — every
+over-threshold delta with its annotation status — as a committed
+round artifact, so 150+ queries stay honest as the corpus grows:
+silent drift has to either be explained or fail the round summary.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+ANNOTATIONS = os.path.join(os.path.dirname(__file__), "bench_annotations.json")
 
 
 def load(path: str) -> dict[str, float]:
     last_err = None
+    # whole-file parse first: BENCH_LOCAL_r*.json is pretty-printed
+    # {"queries": {...}}; the driver's BENCH_r*.json wraps the compact
+    # stdout line under "parsed"
+    try:
+        d = json.load(open(path))
+        if isinstance(d, dict):
+            for cand in (d, d.get("parsed") or {}):
+                if isinstance(cand.get("queries"), dict) and cand["queries"]:
+                    return {k: float(v) for k, v in cand["queries"].items()}
+    except Exception as e:  # noqa: BLE001
+        last_err = e
     for line in reversed(open(path).read().strip().splitlines()):
         line = line.strip()
         # driver artifacts wrap the JSON line in a record; find the
@@ -48,8 +73,17 @@ def main() -> int:
     ap.add_argument("--floor", type=float, default=0.2,
                     help="ignore queries faster than this in BOTH runs "
                          "(noise floor, default 0.2s)")
+    ap.add_argument("--budget-pct", type=float, default=40.0,
+                    help="hard regression budget: a query over this "
+                         "without an annotation fails the run "
+                         "(default 40)")
+    ap.add_argument("--out", default=None,
+                    help="write the regression table (JSON) here")
     args = ap.parse_args()
     b, a = load(args.before), load(args.after)
+    notes: dict[str, str] = {}
+    if os.path.exists(ANNOTATIONS):
+        notes = json.load(open(ANNOTATIONS))
     common = sorted(set(b) & set(a))
     regs, imps = [], []
     for k in common:
@@ -63,14 +97,61 @@ def main() -> int:
     print(f"common queries: {len(common)}; "
           f"only-before: {sorted(set(b) - set(a))or '[]'}; "
           f"only-after: {sorted(set(a) - set(b)) or '[]'}")
+    breaches = []
     for delta, k in sorted(regs, reverse=True):
-        print(f"REGRESSION {delta:+7.1f}%  {k}: {b[k]:.2f}s -> {a[k]:.2f}s")
+        over = delta >= args.budget_pct
+        note = notes.get(k)
+        tag = ""
+        if over:
+            tag = (f"  [budget breach: {note}]" if note
+                   else "  [BUDGET BREACH — unannotated]")
+            if not note:
+                breaches.append(k)
+        print(f"REGRESSION {delta:+7.1f}%  {k}: "
+              f"{b[k]:.2f}s -> {a[k]:.2f}s{tag}")
     for delta, k in sorted(imps):
         print(f"improved   {delta:+7.1f}%  {k}: {b[k]:.2f}s -> {a[k]:.2f}s")
     print(f"{len(regs)} regressions >= {args.pct}%, "
           f"{len(imps)} improvements, "
-          f"{len(common) - len(regs) - len(imps)} within noise")
-    return 1 if regs else 0
+          f"{len(common) - len(regs) - len(imps)} within noise, "
+          f"{len(breaches)} unannotated budget breaches "
+          f">= {args.budget_pct}%")
+    if args.out:
+        table = {
+            "before": args.before,
+            "after": args.after,
+            "threshold_pct": args.pct,
+            "budget_pct": args.budget_pct,
+            "regressions": [
+                {
+                    "query": k,
+                    "pct": round(delta, 1),
+                    "before_s": round(b[k], 3),
+                    "after_s": round(a[k], 3),
+                    "over_budget": delta >= args.budget_pct,
+                    "annotation": notes.get(k),
+                }
+                for delta, k in sorted(regs, reverse=True)
+            ],
+            "improvements": [
+                {"query": k, "pct": round(delta, 1),
+                 "before_s": round(b[k], 3), "after_s": round(a[k], 3)}
+                for delta, k in sorted(imps)
+            ],
+            "unannotated_budget_breaches": breaches,
+        }
+        with open(args.out, "w") as f:
+            json.dump(table, f, indent=1)
+        print(f"# wrote {args.out}")
+    # exit contract: unannotated budget breaches always fail; plain
+    # over-`--pct` regressions fail only when the caller tightened the
+    # budget down to the report threshold (the strict-CI-gate mode:
+    # `--budget-pct` == `--pct`)
+    if breaches:
+        return 1
+    if regs and args.budget_pct <= args.pct:
+        return 1
+    return 0
 
 
 if __name__ == "__main__":

@@ -72,6 +72,46 @@ HEADLINE = [
     "hc_q10_data_quality",
 ]
 
+#: forced-distributed graph-loop probes (r6 verdict ask #2): the
+#: corpus queries ride the driver fast path at sf0.1 and the
+#: distributed loop at sf1, so their raw ratio conflates the regime
+#: change with the true asymptote. These variants pin
+#: small_graph_threshold=0 so BOTH legs ride the distributed loop —
+#: the ratio then measures the loop itself. Resolved lazily (after
+#: Q.load_all()).
+DIST_VARIANTS = {
+    "g_pagerank_knn_dist": (
+        "healthcare_research_data_pipeline_project_spark.queries.datapipe7",
+        "_g_pagerank_knn_impl",
+    ),
+    "g_kcore_knn_dist": (
+        "healthcare_research_data_pipeline_project_spark.queries.datapipe7",
+        "_g_kcore_knn_impl",
+    ),
+    "g_pagerank_centrality_dist": (
+        "healthcare_research_data_pipeline_project_spark.queries.datapipe7",
+        "_g_pagerank_centrality_impl",
+    ),
+    "g_kcore_dense_region_dist": (
+        "healthcare_research_data_pipeline_project_spark.queries.datapipe7",
+        "_g_kcore_dense_region_impl",
+    ),
+}
+
+
+def _resolve_query(name):
+    """Corpus query by name, or a forced-distributed graph variant."""
+    if name in DIST_VARIANTS:
+        import importlib
+
+        mod, fn = DIST_VARIANTS[name]
+        impl = getattr(importlib.import_module(mod), fn)
+        return lambda spark, sf_dir: impl(
+            spark, sf_dir, small_graph_threshold=0
+        )
+    return Q.QUERIES[name]
+
+
 #: the honest-timing top of the corpus distribution (BENCH r5) — the
 #: 100 TB risk surface; none had a measured scaling ratio before r6
 SLOW12 = [
@@ -302,7 +342,7 @@ def main() -> None:
 
     report = {}
     for name in probe_queries:
-        fn = Q.QUERIES[name]
+        fn = _resolve_query(name)
         times = {}
         for label, sf_dir in (("sf0.1", SRC), ("sf1", PROBE_DIR)):
             best = None
