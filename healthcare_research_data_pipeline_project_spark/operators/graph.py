@@ -125,13 +125,26 @@ def connected_components(
     base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_cc_")
     ping = [os.path.join(base, "labels_a"), os.path.join(base, "labels_b")]
 
+    # symmetrize via a 2-element explode, not a self-union: the union
+    # form references the caller's edge pipeline twice (for LSH dedup
+    # that is the whole minhash + banding computation, evaluated
+    # twice); the explode emits both directions in one pass
     sym = edges.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    )
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).cast("long").alias("u"),
+                    F.col(dst).cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.col(dst).cast("long").alias("u"),
+                    F.col(src).cast("long").alias("v"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     # materialize the edge list ONCE — without this every round's join
     # re-executes the whole upstream pipeline that produced the pairs
-    # (for LSH dedup that is the minhash + banding computation)
     sym = sym.persist()
     converged = False
     try:
@@ -518,12 +531,30 @@ def kcore(
     base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_kcore_")
     ping = [os.path.join(base, "alive_a"), os.path.join(base, "alive_b")]
 
-    sym = edges.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    ).filter(F.col("u") != F.col("v"))
-    sym = sym.union(
-        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().persist()
+    # explode-symmetrize (one pass over the caller's edge pipeline —
+    # see connected_components), dedup, persist for the peel rounds
+    sym = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("u"), F.col("b").alias("v")
+                    ),
+                    F.struct(
+                        F.col("b").alias("u"), F.col("a").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+        .persist()
+    )
     try:
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         deg.select(F.col("u").alias("node")).filter(

@@ -948,6 +948,7 @@ def pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     refine: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ-approximate top-k by squared L2 via asymmetric distance
     computation: candidates are scored through their m-byte codes; the
@@ -974,7 +975,12 @@ def pq_topk(
     if refine is not None and refine < k:
         raise ValueError("refine must be >= k")
     spark = emb.sparkSession
-    books = train_pq_codebooks(emb, vec_col, id_col, m=m, ksub=ksub)
+    # training is deterministic (hash-sampled seeding, fixed rounds),
+    # so callers serving many queries train ONCE and pass `codebooks`
+    # — the production shape (an index is built once, queried forever)
+    books = codebooks if codebooks is not None else train_pq_codebooks(
+        emb, vec_col, id_col, m=m, ksub=ksub
+    )
     encoded = pq_encode(emb, books, vec_col, id_col)
 
     # per-query LUTs (LUT[j][c] = ||q_sub_j − cb[j][c]||²), computed
@@ -1037,7 +1043,11 @@ def pq_topk(
 
     # exact re-rank of the |Q|·R shortlist: join the full-precision
     # vectors back for just those rows (broadcast — the shortlist and
-    # the query set are both tiny by construction)
+    # the query set are both tiny by construction). The shortlist is
+    # persisted first: the compressed scan (encode + ADC, the heavy
+    # HOF expressions) must run exactly once, not re-execute inside
+    # the broadcast-exchange job.
+    shortlist = track_persist(shortlist)
     qvec = emb.filter(
         F.col(id_col).isin([int(q) for q in query_ids])
     ).select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))

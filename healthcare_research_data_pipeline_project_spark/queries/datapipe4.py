@@ -251,6 +251,11 @@ def mb_pair_lift(
     # the oracle's HAVING) the prune removes nothing, so the expansion
     # reads `baskets` directly. pf/n_orders always come from the
     # UNPRUNED baskets (the lift denominators are corpus frequencies).
+    # NOTE (r7 tuning pass): an explicit REPARTITION hint on the
+    # expansion input was measured and REJECTED — it defeats AQE's
+    # coalescing but re-shuffles the basket arrays and re-runs the
+    # collect_set merge wider (5x the executor time for the same
+    # wall), so the size-based plan stands.
     if min_support > 2:
         exp_src = f"""
   SELECT l_orderkey, sort_array(collect_set(l_partkey)) AS ps
