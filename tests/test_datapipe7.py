@@ -341,3 +341,35 @@ def test_kcore_knn_forced_distributed_equivalence(spark):
         spark, SF_SMOKE, small_graph_threshold=0
     ).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, dist))
+
+
+def test_pagerank_canonical_ranks_only_keepers(spark):
+    # canonical-first composition: no non-keeper (a node whose CC
+    # component label differs from its id) may appear in the ranked
+    # representatives, and the output shape matches the other
+    # pagerank rows
+    from healthcare_research_data_pipeline_project_spark.operators import (
+        similarity as S,
+    )
+    from healthcare_research_data_pipeline_project_spark.operators.graph import (
+        connected_components,
+    )
+    from healthcare_research_data_pipeline_project_spark.tables import (
+        load_tables,
+    )
+
+    rows = QUERIES["g_pagerank_canonical"](spark, SF_SMOKE).collect()
+    assert rows
+    t = load_tables(spark, SF_SMOKE)
+    pairs = S.embedding_near_dup_pairs(t.embeddings, threshold=0.35)
+    comp = connected_components(pairs, "id_a", "id_b")
+    non_keepers = {
+        r["node"] for r in comp.collect() if r["node"] != r["component"]
+    }
+    assert non_keepers  # the corpus has near-dup pairs at this cut
+    assert all(r["vec_id"] not in non_keepers for r in rows)
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["pos"])
+    for poss in by_label.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
