@@ -113,22 +113,17 @@ def connected_components(
     # relative to the corpus (edges ∝ real duplication, not data size).
     # Below the threshold an exact driver-side union-find beats N
     # distributed rounds of joins; above it the O(log d) loop below is
-    # the only shape that scales. limit(threshold+1) bounds the probe —
-    # it short-circuits without scanning the full edge list.
-    probe = edges.select(
-        F.col(src).cast("long"), F.col(dst).cast("long")
-    ).limit(small_graph_threshold + 1).collect()
-    if len(probe) <= small_graph_threshold:
-        return _driver_union_find(spark, [(r[0], r[1]) for r in probe])
-
-    own_dir = checkpoint_dir is None
-    base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_cc_")
-    ping = [os.path.join(base, "labels_a"), os.path.join(base, "labels_b")]
-
-    # symmetrize via a 2-element explode, not a self-union: the union
-    # form references the caller's edge pipeline twice (for LSH dedup
-    # that is the whole minhash + banding computation, evaluated
-    # twice); the explode emits both directions in one pass
+    # the only shape that scales. The regime probe PERSISTS the
+    # symmetrized edge list and counts it, so the (possibly expensive)
+    # caller pipeline is evaluated exactly ONCE regardless of which
+    # path wins — the r6 form probed with limit+collect and then
+    # re-evaluated the pipeline inside the loop, paying the edge
+    # computation twice on the distributed path.
+    #
+    # Symmetrization is a 2-element explode, not a self-union: the
+    # union form references the caller's edge pipeline twice (for LSH
+    # dedup that is the whole minhash + banding computation); the
+    # explode emits both directions in one pass.
     sym = edges.select(
         F.explode(
             F.array(
@@ -143,9 +138,21 @@ def connected_components(
             )
         ).alias("e")
     ).select("e.u", "e.v")
-    # materialize the edge list ONCE — without this every round's join
-    # re-executes the whole upstream pipeline that produced the pairs
     sym = sym.persist()
+    # sym holds 2 rows per input edge, so compare against 2x threshold
+    if sym.count() <= 2 * small_graph_threshold:
+        try:
+            # u <= v keeps one orientation per undirected pair AND any
+            # self-loop rows (which register their node in union-find)
+            rows = sym.filter(F.col("u") <= F.col("v")).collect()
+            return _driver_union_find(spark, [(r[0], r[1]) for r in rows])
+        finally:
+            sym.unpersist()
+
+    own_dir = checkpoint_dir is None
+    base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_cc_")
+    ping = [os.path.join(base, "labels_a"), os.path.join(base, "labels_b")]
+
     converged = False
     try:
         # round-0 labels spilled up front: the loop body reads `labels`
@@ -346,20 +353,24 @@ def pagerank(
     # adaptive small-graph path (same doctrine as connected_components:
     # similarity graphs are duplication-sized, not corpus-sized): below
     # the threshold, N distributed rounds of join+spill lose to one
-    # exact driver iteration. limit() bounds the probe.
-    probe = edges.select(
-        F.col(src).cast("long"), F.col(dst).cast("long")
-    ).limit(small_graph_threshold + 1).collect()
-    if len(probe) <= small_graph_threshold:
-        return _driver_pagerank(
-            spark, [(r[0], r[1]) for r in probe], damping, max_iter, tol
-        )
-    base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_pr_")
-    ping = [os.path.join(base, "ranks_a"), os.path.join(base, "ranks_b")]
-
+    # exact driver iteration. The regime probe persists + counts the
+    # edge list, so the caller's (possibly expensive) edge pipeline is
+    # evaluated exactly once on EITHER path — the r6 limit+collect
+    # probe re-evaluated it inside the distributed loop.
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).persist()
+    if e.count() <= small_graph_threshold:
+        try:
+            rows = e.collect()
+            return _driver_pagerank(
+                spark, [(r[0], r[1]) for r in rows], damping, max_iter, tol
+            )
+        finally:
+            e.unpersist()
+    base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_pr_")
+    ping = [os.path.join(base, "ranks_a"), os.path.join(base, "ranks_b")]
+
     try:
         nodes = (
             e.select(F.col("u").alias("node"))
@@ -522,17 +533,10 @@ def kcore(
     other iterative graph ops), equivalence-tested against the forced
     distributed loop."""
     spark = edges.sparkSession
-    probe = edges.select(
-        F.col(src).cast("long"), F.col(dst).cast("long")
-    ).limit(small_graph_threshold + 1).collect()
-    if len(probe) <= small_graph_threshold:
-        return _driver_kcore(spark, [(r[0], r[1]) for r in probe], k)
-
-    base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_kcore_")
-    ping = [os.path.join(base, "alive_a"), os.path.join(base, "alive_b")]
-
     # explode-symmetrize (one pass over the caller's edge pipeline —
-    # see connected_components), dedup, persist for the peel rounds
+    # see connected_components), dedup, persist. The persisted frame
+    # doubles as the regime probe, so the edge pipeline is evaluated
+    # exactly once on either path.
     sym = (
         edges.select(
             F.col(src).cast("long").alias("a"),
@@ -555,6 +559,17 @@ def kcore(
         .distinct()
         .persist()
     )
+    # 2 rows per undirected edge -> compare against 2x threshold
+    if sym.count() <= 2 * small_graph_threshold:
+        try:
+            rows = sym.filter(F.col("u") < F.col("v")).collect()
+            return _driver_kcore(spark, [(r[0], r[1]) for r in rows], k)
+        finally:
+            sym.unpersist()
+
+    base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_kcore_")
+    ping = [os.path.join(base, "alive_a"), os.path.join(base, "alive_b")]
+
     try:
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         deg.select(F.col("u").alias("node")).filter(

@@ -1101,6 +1101,15 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     recapture ~0), not to promise cross-blocking equivalence.
 # The pair list itself stays pytest-pinned
 # (tests/test_clustering.py::test_semantic_blocks_*).
+#
+# Scale posture note: the PRODUCTION pipeline here is the adaptive-
+# cell pair set (k = max(8, n/640) keeps per-cell pair work bounded —
+# the r6 probe measured it 4.7x for 10x data). The AUDIT columns'
+# label-blocked reference pair set is fixed-cardinality blocking —
+# intentionally the quadratic baseline the trained cells fix — so the
+# probe ratio of THIS corpus entry tracks the audit's reference
+# computation, not the operator (r7 probe ~12x; the instrumentation,
+# not the product, is the quadratic part).
 # ---------------------------------------------------------------------------
 _SEM_RECALL_FLOOR = 0.2
 
