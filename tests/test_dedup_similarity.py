@@ -330,3 +330,28 @@ def test_knn_graph_degree_bound_and_mutuality(spark):
     deg = Counter(r["src"] for r in gk)
     assert deg and max(deg.values()) <= 3
     assert all(1 <= r["rank"] <= 3 for r in gk)
+
+
+def test_auto_lsh_params_model():
+    # the retention model: largest p with q^p + p*q^(p-1)*(1-q) >= 0.5
+    # at cos 0.4 is 4 -> (4 planes, nprobe 5) on every test-scale
+    # corpus; the bucket bound takes over only past ~131k rows
+    import math
+
+    from healthcare_research_data_pipeline_project_spark.operators.similarity import (
+        auto_lsh_params,
+    )
+
+    for n in (500, 2_000, 20_000, 131_000):
+        assert auto_lsh_params(n) == (4, 5)
+    # bucket bound engages for huge corpora: planes grow, recall
+    # degrades gracefully instead of the join exploding
+    p_big, np_big = auto_lsh_params(10_000_000)
+    assert p_big > 4 and np_big == p_big + 1
+    q = 1.0 - math.acos(0.4) / math.pi
+    keep4 = q**4 + 4 * q**3 * (1 - q)
+    keep5 = q**5 + 5 * q**4 * (1 - q)
+    assert keep4 >= 0.5 > keep5  # 4 is exactly the model's answer
+    # higher-similarity profiles admit more planes (fewer candidates)
+    p_hi, _ = auto_lsh_params(20_000, target_cos=0.9)
+    assert p_hi > 4

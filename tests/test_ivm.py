@@ -345,3 +345,36 @@ def test_sketch_view_streaming_maintainer(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_commit_lock_serializes_concurrent_refreshes(spark, tmp_path):
+    # r7 hardening: a second committer entering while the lock is held
+    # fails loudly instead of interleaving (the lost-update /
+    # expired-dir race the r6 advice described)
+    import os
+
+    import pytest as _pytest
+    from healthcare_research_data_pipeline_project_spark.operators import ivm
+
+    base = spark.createDataFrame(
+        [("A", 1.0), ("B", 2.0)], "k string, v double"
+    )
+    path = str(tmp_path / "locked_view")
+    ivm.init_agg_view(base, path, ["k"], ["v"])
+    lock = os.path.join(path, "_commit.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    try:
+        with _pytest.raises(RuntimeError, match="commit lock"):
+            ivm.refresh_agg_view(
+                spark, path, base, ["k"], ["v"]
+            )
+    finally:
+        os.unlink(lock)
+    # with the lock released the same refresh commits fine
+    ivm.refresh_agg_view(spark, path, base, ["k"], ["v"])
+    served = {
+        r["k"]: r["cnt"]
+        for r in ivm.read_agg_view(spark, path, ["v"]).collect()
+    }
+    assert served == {"A": 2, "B": 2}
