@@ -1380,17 +1380,20 @@ def _knng_oracle() -> str:
 def g_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     g = S.knn_graph(t.embeddings, k=_KNNG_K)
-    g = track_persist(g)  # feeds the per-label agg + mutuality join
-    e2 = g.select(
-        F.col("src").alias("dst2"), F.col("dst").alias("src2")
-    )
+    g = track_persist(g)  # feeds the per-label agg + mutuality agg
+    # mutual count WITHOUT a self-join: directed kNN edges are unique,
+    # so an unordered pair groups to count 2 exactly when both
+    # directions exist (both rows carry the same label — edges stay
+    # within a block)
     mut = (
-        g.join(
-            e2,
-            (F.col("src") == F.col("src2"))
-            & (F.col("dst") == F.col("dst2")),
+        g.select(
+            "label",
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
         )
-        .filter(F.col("src") < F.col("dst"))
+        .groupBy("label", "a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == 2)
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_mutual"))
     )
@@ -1589,15 +1592,18 @@ def _g_kcore_knn_impl(
 
     t = load_tables(spark, sf_dir)
     g = S.knn_graph(t.embeddings, k=_KNNPR_K).select("src", "dst")
-    g = track_persist(g)  # both sides of the mutuality self-join
-    rev = g.select(F.col("dst").alias("src2"), F.col("src").alias("dst2"))
+    # mutual edges WITHOUT a self-join: each directed kNN edge is
+    # unique, so grouping on the unordered pair counts 2 exactly when
+    # both directions exist — one exchange, one pass over g (which
+    # then has a single consumer, so no persist either)
     mutual = (
-        g.join(
-            rev,
-            (F.col("src") == F.col("src2"))
-            & (F.col("dst") == F.col("dst2")),
+        g.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
         )
-        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == 2)
         .select("src", "dst")
     )
     core = kcore(
