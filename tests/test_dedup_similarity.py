@@ -355,3 +355,56 @@ def test_auto_lsh_params_model():
     # higher-similarity profiles admit more planes (fewer candidates)
     p_hi, _ = auto_lsh_params(20_000, target_cos=0.9)
     assert p_hi > 4
+
+
+def test_knn_graph_ann_contract_and_recall(spark):
+    # the ANN construction path must honor the exact operator's
+    # contract (degree bound, deterministic ties, well-formed ranks)
+    # and recover a material fraction of the exact kNN edges through
+    # banded buckets alone
+    emb = load_tables(spark, SF_SMOKE).embeddings
+    exact = {
+        (r["src"], r["dst"]) for r in S.knn_graph(emb, k=3).collect()
+    }
+    ann_rows = S.knn_graph_ann(emb, k=3, bands=4, planes_per_band=3).collect()
+    by_src: dict[int, list] = {}
+    for r in ann_rows:
+        by_src.setdefault(r["src"], []).append(r)
+    for rows in by_src.values():
+        assert len(rows) <= 3
+        assert sorted(x["rank"] for x in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    ann = {(r["src"], r["dst"]) for r in ann_rows}
+    recall = len(exact & ann) / len(exact)
+    # banded curve at these knobs keeps a material share of true
+    # neighbors on the cos~0.4 corpus; the point is bounded candidate
+    # work, not exactness (measured ~0.4-0.6 here)
+    assert recall >= 0.3, recall
+    # determinism (md5 planes, fixed tie-breaks)
+    again = {
+        (r["src"], r["dst"])
+        for r in S.knn_graph_ann(
+            emb, k=3, bands=4, planes_per_band=3
+        ).collect()
+    }
+    assert again == ann
+
+
+def test_knn_graph_ann_candidates_are_bucket_bounded(spark):
+    # a vector sharing NO band bucket with its true neighbor must not
+    # produce that edge — i.e. candidates come only through buckets
+    # (hand case: orthogonal vectors land in different buckets with
+    # overwhelming probability; identical vectors share every bucket)
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [1.0, 1e-4, 0.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    g = S.knn_graph_ann(emb, k=2).collect()
+    pairs = {(r["src"], r["dst"]) for r in g}
+    # identical/near-identical vectors share every band bucket
+    assert (0, 1) in pairs and (1, 0) in pairs
