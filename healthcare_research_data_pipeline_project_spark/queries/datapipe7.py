@@ -1628,6 +1628,112 @@ def g_kcore_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _g_kcore_knn_impl(spark, sf_dir)
 
 
+def _triangle_knn_oracle() -> str:
+    return f"""
+    WITH {_knn_edges_sql().strip().lstrip()},
+    mu AS (
+      SELECT e1.label, e1.src AS a, e1.dst AS b
+      FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+      WHERE e1.src < e1.dst
+    ),
+    ends AS (
+      SELECT label, a AS node FROM mu
+      UNION ALL SELECT label, b FROM mu
+    ),
+    deg AS (SELECT label, node, COUNT(*) AS d FROM ends GROUP BY label, node),
+    base AS (
+      SELECT label,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg GROUP BY label
+    ),
+    tri AS (
+      SELECT x.label, COUNT(*) AS n_tri
+      FROM mu x
+      JOIN mu y ON y.label = x.label AND y.a = x.b
+      JOIN mu z ON z.label = x.label AND z.a = x.a AND z.b = y.b
+      GROUP BY x.label
+    )
+    SELECT base.label, n_nodes, n_edges, n_wedges,
+           CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_triangles,
+           {duck_round_div("3 * COALESCE(n_tri, 0)", "n_wedges", 6)}
+             AS clustering_coef
+    FROM base LEFT JOIN tri ON tri.label = base.label
+    ORDER BY base.label
+    """
+
+
+@register("g_triangle_knn", _triangle_knn_oracle())
+def g_triangle_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + clustering coefficient per label over the
+    MUTUAL kNN graph — the scale-safe twin of `g_triangle_count`
+    (whose threshold edge set is quadratic in near-dup cluster size):
+    mutual edges are ≤ N·k/2 at any corpus size, so the ordered
+    two-join triangle enumeration is degree-bounded. Same output
+    contract and exact-rational clustering coefficient."""
+    t = load_tables(spark, sf_dir)
+    g = S.knn_graph(t.embeddings, k=_KNNPR_K).select("label", "src", "dst")
+    # mutual edges via unordered-pair counts (see g_kcore_knn)
+    mu = track_persist(
+        g.select(
+            "label",
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .groupBy("label", "a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == 2)
+        .select("label", "a", "b")
+    )
+    ends = mu.select("label", F.col("a").alias("node")).unionByName(
+        mu.select("label", F.col("b").alias("node"))
+    )
+    deg = ends.groupBy("label", "node").agg(F.count(F.lit(1)).alias("d"))
+    base = deg.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias(
+            "n_wedges"
+        ),
+    )
+    x, y, z = mu.alias("x"), mu.alias("y"), mu.alias("z")
+    tri = (
+        x.join(
+            y,
+            (F.col("y.label") == F.col("x.label"))
+            & (F.col("y.a") == F.col("x.b")),
+        )
+        .join(
+            z,
+            (F.col("z.label") == F.col("x.label"))
+            & (F.col("z.a") == F.col("x.a"))
+            & (F.col("z.b") == F.col("y.b")),
+        )
+        .groupBy(F.col("x.label").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        base.join(tri, "label", "left")
+        .select(
+            "label",
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            round_div(
+                3 * F.coalesce(F.col("n_tri"), F.lit(0)),
+                F.col("n_wedges"),
+                "clustering_coef",
+                6,
+            ),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Canonical-dedup-FIRST graph analytics — the full production recipe
 # the threshold-graph scale note prescribes (queries/datapipe7.py

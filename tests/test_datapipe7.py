@@ -373,3 +373,15 @@ def test_pagerank_canonical_ranks_only_keepers(spark):
         by_label.setdefault(r["label"], []).append(r["pos"])
     for poss in by_label.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_triangle_knn_well_formed(spark):
+    # mutual-kNN triangles: wedges >= 3*triangles (every triangle has
+    # 3 wedges), degrees consistent, deterministic
+    rows = QUERIES["g_triangle_knn"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_edges"] <= r["n_nodes"] * 5 / 2  # mutual <= N*k/2
+        assert r["n_wedges"] >= 3 * r["n_triangles"]
+    again = QUERIES["g_triangle_knn"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
