@@ -73,12 +73,74 @@ def brute_force_topk(
     )
 
 
+def _half_up_units(S, scale: float = 10000.0):
+    """HALF_UP rounding to integer 1e-4 units, vectorized — the numpy
+    twin of Spark's `round(x, 4)` (np.round is half-EVEN, which would
+    diverge from both engines exactly at midpoints)."""
+    import numpy as np
+
+    u = np.floor(np.abs(S) * scale + 0.5)
+    return np.where(S < 0, -u, u).astype(np.int64)
+
+
+def _blocked_cos_scan(
+    emb: DataFrame,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    out_schema: str,
+    emit,
+) -> DataFrame:
+    """Shared machinery for the VECTORIZED within-block pair scans:
+    one groupBy(block) shuffle of N input rows (the theoretical
+    minimum), then per-block chunked float64 BLAS against the block
+    matrix, with `emit(ids, units, row_lo, row_hi, block_val)` turning
+    each chunk's integer-1e-4-unit cosine matrix into bounded output
+    rows. Columns are pre-sorted by id ascending so column INDEX order
+    is id order — tie-breaks become index arithmetic.
+
+    Scale shape: the pair work is the same O(sum_b M_b²) flops as the
+    equi-join formulation, but ~100× lower constant (BLAS vs per-row
+    codegen) and — decisively — the M² pair ROWS never materialize
+    into a shuffle: only the bounded emit survives. One task per
+    block; blocks beyond single-task memory (≳ a few M vectors) are
+    ANN territory (`knn_graph_ann`, IVF cells) by construction.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = emit(None, None, 0, 0, None)
+        if n < 2:
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        block_val = pdf[block_col].iloc[0]
+        chunk = max(1, 4_000_000 // n)  # ~4M-cell score tiles
+        outs = []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            S = V[lo:hi] @ V.T
+            S /= nrm[lo:hi, None]
+            S /= nrm[None, :]
+            outs.append(emit(ids, _half_up_units(S), lo, hi, block_val))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return emb.select(id_col, block_col, vec_col).groupBy(
+        block_col
+    ).applyInPandas(fn, out_schema)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.35,
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "blocked",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within coarse blocks —
     the IVF layout: `block_col` plays the role of the coarse-quantizer
@@ -86,13 +148,59 @@ def embedding_near_dup_pairs(
     assignment), so candidate pairs form only inside a cell via an
     equi-join, never a global cross product.
 
-    Cosine is computed dot/(|a|·|b|) in strict array order and rounded
-    to 4 dp before thresholding so both engines produce the identical
-    pair set. |a| and |b| are precomputed once per VECTOR (not per
-    pair) — sqrt(Σx²) is the same IEEE value either way, so the pair
-    set is unchanged while per-pair cost drops from 3 dot products
-    to 1.
+    Cosine is computed dot/(|a|·|b|) and rounded HALF_UP to 4 dp
+    before thresholding so both engines produce the identical pair
+    set.
+
+    Two physical strategies, same output contract:
+    - `impl="blocked"` (default): Arrow-batched `applyInPandas` per
+      block — chunked float64 BLAS, only the thresholded pairs are
+      emitted. One N-row shuffle; the M² candidate rows never exist
+      as rows (r8: this removed the measured 11–12× sf1 cliff of the
+      join formulation — the cost was the pair-row materialization,
+      not the math).
+    - `impl="catalyst"`: the pure-JVM equi-join + HOF-dot reference
+      formulation (kept for plan tests and as the no-Arrow fallback;
+      |a|,|b| precomputed per vector so each pair costs 1 dot).
     """
+    if impl == "blocked":
+        import pandas as pd
+
+        idt = emb.schema[id_col].dataType.simpleString()
+        bdt = emb.schema[block_col].dataType.simpleString()
+        schema = (
+            f"id_a {idt}, id_b {idt}, {block_col} {bdt}, cos_sim double"
+        )
+
+        def emit(ids, units, lo, hi, block_val):
+            import numpy as np
+
+            if ids is None:
+                return pd.DataFrame(
+                    {
+                        "id_a": pd.Series([], dtype="int64"),
+                        "id_b": pd.Series([], dtype="int64"),
+                        block_col: pd.Series([], dtype="int64"),
+                        "cos_sim": pd.Series([], dtype="float64"),
+                    }
+                )
+            n = units.shape[1]
+            cosr = units / 1e4
+            # id_a < id_b ⇔ column index > row index (ids ascending)
+            upper = np.arange(n)[None, :] > np.arange(lo, hi)[:, None]
+            r, c = np.nonzero(upper & (cosr >= threshold))
+            return pd.DataFrame(
+                {
+                    "id_a": ids[lo + r],
+                    "id_b": ids[c],
+                    block_col: np.repeat(block_val, len(r)),
+                    "cos_sim": cosr[r, c],
+                }
+            )
+
+        return _blocked_cos_scan(
+            emb, block_col, id_col, vec_col, schema, emit
+        )
     d = emb.select(
         F.col(id_col),
         F.col(block_col).alias("block"),
@@ -128,6 +236,7 @@ def knn_graph(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "blocked",
 ) -> DataFrame:
     """Directed k-nearest-neighbor graph within coarse blocks:
     (src, dst, block, cos_sim, rank) with each node keeping its k
@@ -144,7 +253,68 @@ def knn_graph(
     all-pairs). Candidate generation here is the exact within-block
     ranking; at 100 TB you swap in an ANN route (LSH buckets /
     IVF cells / PQ shortlists from this module) to propose candidates
-    and keep the same top-k contract."""
+    and keep the same top-k contract.
+
+    Physical strategies (same output contract; see
+    `_blocked_cos_scan`):
+    - `impl="blocked"` (default): per-block chunked BLAS ranking; only
+      the N·k kept edges ever exist as rows. The per-row top-k is an
+      exact integer argpartition on the composite key
+      units·n − col_index (cos DESC, then id ASC — columns are
+      id-sorted, so index order IS id order), not a full sort.
+    - `impl="catalyst"`: pure-JVM pair join + row_number window — the
+      reference formulation whose M²-row window shuffle was the
+      measured r7 sf1 cliff (13.4×)."""
+    if impl == "blocked":
+        import pandas as pd
+
+        idt = emb.schema[id_col].dataType.simpleString()
+        bdt = emb.schema[block_col].dataType.simpleString()
+        schema = (
+            f"src {idt}, dst {idt}, {block_col} {bdt},"
+            f" cos_sim double, rank int"
+        )
+
+        def emit(ids, units, lo, hi, block_val):
+            import numpy as np
+
+            if ids is None:
+                return pd.DataFrame(
+                    {
+                        "src": pd.Series([], dtype="int64"),
+                        "dst": pd.Series([], dtype="int64"),
+                        block_col: pd.Series([], dtype="int64"),
+                        "cos_sim": pd.Series([], dtype="float64"),
+                        "rank": pd.Series([], dtype="int32"),
+                    }
+                )
+            m, n = units.shape
+            kk = min(k, n - 1)
+            cols = np.arange(n, dtype=np.int64)
+            key = units * np.int64(n) - cols[None, :]
+            # self out of contention; NOT int64.min — the argpartition
+            # negates keys and -int64.min overflows back to itself
+            key[np.arange(m), np.arange(lo, hi)] = -(2**62)
+            idx = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+            sel = np.take_along_axis(key, idx, axis=1)
+            ordk = np.argsort(-sel, axis=1, kind="stable")
+            idx = np.take_along_axis(idx, ordk, axis=1)
+            cosr = np.take_along_axis(units, idx, axis=1) / 1e4
+            return pd.DataFrame(
+                {
+                    "src": np.repeat(ids[lo:hi], kk),
+                    "dst": ids[idx].ravel(),
+                    block_col: np.repeat(block_val, m * kk),
+                    "cos_sim": cosr.ravel(),
+                    "rank": np.tile(
+                        np.arange(1, kk + 1, dtype=np.int32), m
+                    ),
+                }
+            )
+
+        return _blocked_cos_scan(
+            emb, block_col, id_col, vec_col, schema, emit
+        )
     d = emb.select(
         F.col(id_col),
         F.col(block_col).alias("block"),
