@@ -75,8 +75,18 @@ def brute_force_topk(
 
 def _half_up_units(S, scale: float = 10000.0):
     """HALF_UP rounding to integer 1e-4 units, vectorized — the numpy
-    twin of Spark's `round(x, 4)` (np.round is half-EVEN, which would
-    diverge from both engines exactly at midpoints)."""
+    counterpart of Spark's `round(x, 4)` (np.round is half-EVEN, which
+    would diverge from both engines exactly at midpoints).
+
+    KNOWN DIVERGENCE CLASS (not a bit-exact twin): Spark rounds via
+    BigDecimal.valueOf(double) — the SHORTEST-DECIMAL rendering of the
+    double — while this path multiplies by 1e4 in binary; a value whose
+    shortest decimal is exactly …X.5e-4 but whose binary product lands
+    an ulp above/below the .5 can round differently. Pinned by
+    tests/test_blocked_parity.py: exact-midpoint doubles (where the
+    shortest decimal IS the .5) agree; the residual risk is confined to
+    non-representable near-midpoints reached via different op orders,
+    which the single-divide parity in `_blocked_cos_scan` minimizes."""
     import numpy as np
 
     u = np.floor(np.abs(S) * scale + 0.5)
@@ -90,6 +100,7 @@ def _blocked_cos_scan(
     vec_col: str,
     out_schema: str,
     emit,
+    max_block_rows: int = 2_000_000,
 ) -> DataFrame:
     """Shared machinery for the VECTORIZED within-block pair scans:
     one groupBy(block) shuffle of N input rows (the theoretical
@@ -99,12 +110,33 @@ def _blocked_cos_scan(
     rows. Columns are pre-sorted by id ascending so column INDEX order
     is id order — tie-breaks become index arithmetic.
 
+    Semantics contract (matches the catalyst equi-join twin and the
+    SQL oracles exactly):
+    - NULL blocks are dropped BEFORE the groupBy — an equi-join on the
+      block key never matches NULL against NULL, so the pandas path
+      must not form pairs inside the NULL group either.
+    - Cosine is ONE divide of the BLAS dot by the precomputed
+      |a|·|b| PRODUCT — the same op order as the catalyst
+      `dot / (na * nb)` and the oracle's `dot / (na * nb)`, so the
+      divide contributes no extra ulp step. The residual risk is the
+      dot itself (BLAS pairwise summation vs the oracle's array-order
+      fold), pinned on adversarial near-boundary vectors in
+      tests/test_blocked_parity.py.
+    - Zero-norm vectors have no defined cosine; the catalyst twin
+      emits NaN there (0/0) and Spark's NaN ordering would rank them
+      FIRST, silently. This path refuses instead: a zero-norm vector
+      raises with the offending block, making the policy explicit at
+      the operator boundary.
+
     Scale shape: the pair work is the same O(sum_b M_b²) flops as the
     equi-join formulation, but ~100× lower constant (BLAS vs per-row
     codegen) and — decisively — the M² pair ROWS never materialize
     into a shuffle: only the bounded emit survives. One task per
-    block; blocks beyond single-task memory (≳ a few M vectors) are
-    ANN territory (`knn_graph_ann`, IVF cells) by construction.
+    block; a block beyond `max_block_rows` (default 2M vectors ≈ 1 GiB
+    of float64 at dim 64 — past single-task memory) raises with
+    routing guidance instead of OOMing the executor: such corpora are
+    ANN territory (`knn_graph_ann`, IVF cells) by construction, the
+    same raise-don't-thrash doctrine as graph.py's driver-path bound.
     """
     import numpy as np
     import pandas as pd
@@ -114,24 +146,40 @@ def _blocked_cos_scan(
         empty = emit(None, None, 0, 0, None)
         if n < 2:
             return empty
+        if n > max_block_rows:
+            raise ValueError(
+                f"block {pdf[block_col].iloc[0]!r} has {n} rows, over the "
+                f"blocked-scan ceiling {max_block_rows}: the M^2 scan no "
+                "longer fits one task. Route this corpus through an ANN "
+                "candidate path (knn_graph_ann / ivf_topk) or sub-block "
+                "the key."
+            )
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
         ids = pdf[id_col].to_numpy()[order]
         V = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
         nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        if not np.all(nrm > 0.0):
+            bad = ids[nrm == 0.0][:5]
+            raise ValueError(
+                f"zero-norm embedding(s) {bad.tolist()} in block "
+                f"{pdf[block_col].iloc[0]!r}: cosine is undefined. Drop or "
+                "re-embed them upstream (catalyst impl would emit NaN and "
+                "Spark NaN-ordering would rank them first, silently)."
+            )
         block_val = pdf[block_col].iloc[0]
         chunk = max(1, 4_000_000 // n)  # ~4M-cell score tiles
         outs = []
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
-            S = V[lo:hi] @ V.T
-            S /= nrm[lo:hi, None]
-            S /= nrm[None, :]
+            # one divide by the precomputed |a|·|b| product — the
+            # catalyst/oracle op order (see contract above)
+            S = (V[lo:hi] @ V.T) / (nrm[lo:hi, None] * nrm[None, :])
             outs.append(emit(ids, _half_up_units(S), lo, hi, block_val))
         return pd.concat(outs, ignore_index=True) if outs else empty
 
-    return emb.select(id_col, block_col, vec_col).groupBy(
-        block_col
-    ).applyInPandas(fn, out_schema)
+    return emb.select(id_col, block_col, vec_col).filter(
+        F.col(block_col).isNotNull()
+    ).groupBy(block_col).applyInPandas(fn, out_schema)
 
 
 def embedding_near_dup_pairs(
@@ -141,6 +189,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "blocked",
+    max_block_rows: int = 2_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within coarse blocks —
     the IVF layout: `block_col` plays the role of the coarse-quantizer
@@ -199,7 +248,8 @@ def embedding_near_dup_pairs(
             )
 
         return _blocked_cos_scan(
-            emb, block_col, id_col, vec_col, schema, emit
+            emb, block_col, id_col, vec_col, schema, emit,
+            max_block_rows=max_block_rows,
         )
     d = emb.select(
         F.col(id_col),
@@ -237,6 +287,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "blocked",
+    max_block_rows: int = 2_000_000,
 ) -> DataFrame:
     """Directed k-nearest-neighbor graph within coarse blocks:
     (src, dst, block, cos_sim, rank) with each node keeping its k
@@ -313,7 +364,8 @@ def knn_graph(
             )
 
         return _blocked_cos_scan(
-            emb, block_col, id_col, vec_col, schema, emit
+            emb, block_col, id_col, vec_col, schema, emit,
+            max_block_rows=max_block_rows,
         )
     d = emb.select(
         F.col(id_col),

@@ -1817,49 +1817,77 @@ def _pagerank_canonical_oracle() -> str:
     """
 
 
+def _canonical_reps(
+    spark: SparkSession, nk_path: str, embeddings: DataFrame
+) -> DataFrame:
+    """Representatives = embeddings MINUS the parquet non-keeper
+    artifact, as a broadcast LEFT ANTI join: the corpus side never
+    shuffles, and no id list ever rides the driver (plan pinned in
+    tests/test_plans.py — split out so the test can assert on the
+    reps frame directly; the downstream pagerank's driver fast-path
+    rebuilds the final frame, hiding this join from its plan)."""
+    non_keepers = spark.read.parquet(nk_path).withColumnRenamed(
+        "node", "vec_id"
+    )
+    return embeddings.join(F.broadcast(non_keepers), "vec_id", "left_anti")
+
+
 @register("g_pagerank_canonical", _pagerank_canonical_oracle())
 def g_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components, pagerank
 
     t = load_tables(spark, sf_dir)
     # stage 1 — canonicalize: thresholded near-dup pairs → connected
-    # components → drop the non-keepers. The non-keeper set is
-    # duplication-sized — bounded by the near-dup pair count,
-    # independent of corpus size — so it travels as an isin literal
-    # (zero joins); a corpus with pathological mass duplication would
-    # switch this to the broadcast-join form.
+    # components → drop the non-keepers. The non-keeper set never
+    # touches the driver as rows: the component sweep WRITES it to a
+    # parquet artifact (one small distributed write) and stage 2
+    # consumes it through a broadcast LEFT ANTI join — at 100 TB the
+    # set is duplication-sized (bounded by the near-dup pair count)
+    # but even a pathological mass-duplication corpus stays a
+    # distributed join, never a driver list / IN-literal (the r8
+    # shape this replaces).
     # the canonical set is deterministic per corpus, so it is computed
     # once per (session, corpus) and served afterwards — the dedup
-    # sweep runs once, every downstream analytic consumes its result
+    # sweep runs once, every downstream analytic consumes its parquet
     # (the serve-don't-rebuild doctrine of the IVM/trained-artifact
     # entries; re-invocations measure the analytics-over-canonical
-    # path).
+    # path starting from a file scan).
     # Both stages ride the r8 BLOCKED scans (operators/similarity.py):
     # the pair rows never materialize into a shuffle, and restricting
-    # the kNN ranking to representatives is just a pre-scan filter on
-    # the N-row input (the oracle's reps-join-before-ROW_NUMBER,
+    # the kNN ranking to representatives is just a pre-scan anti-join
+    # on the N-row input (the oracle's reps-join-before-ROW_NUMBER,
     # expressed as a pushdown).
-    def _canonicalize():
+    def _canonicalize() -> str:
+        import hashlib
+        import os
+        import tempfile
+
         cc_edges = S.embedding_near_dup_pairs(
             t.embeddings, threshold=_TRI_T
         ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         comp = connected_components(cc_edges, "src", "dst")
-        return [
-            r["node"]
-            for r in comp.filter(F.col("component") != F.col("node"))
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"hrdp_artifacts_{spark.sparkContext.applicationId}",
+            f"canonical_nonkeepers_{tag}",
+        )
+        (
+            comp.filter(F.col("component") != F.col("node"))
             .select("node")
-            .collect()
-        ]
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return path
 
-    non_keepers = _trained_artifact(
-        spark, sf_dir, "canonical-nonkeepers", _canonicalize
+    nk_path = _trained_artifact(
+        spark, sf_dir, "canonical-nonkeepers-path", _canonicalize
     )
-    # stage 2 — bounded-degree kNN ranking restricted to the reps
-    reps = (
-        t.embeddings.filter(~F.col("vec_id").isin(non_keepers))
-        if non_keepers
-        else t.embeddings
-    )
+    # stage 2 — bounded-degree kNN ranking restricted to the reps:
+    # broadcast anti-join against the artifact (the embeddings side
+    # never shuffles; plan pinned in tests/test_plans.py)
+    reps = _canonical_reps(spark, nk_path, t.embeddings)
     e = S.knn_graph(reps, k=_KNNPR_K).select("src", "dst")
     sym = (
         e.select(

@@ -285,3 +285,25 @@ def test_degree_stats_single_grouping_sets_pass(spark):
     p = X.plan(df)
     assert p.count("Scan parquet spark_catalog.default") <= 2  # lineitem once
     assert "Expand" in p  # the GROUPING SETS fan-out
+
+
+def test_pagerank_canonical_reps_is_broadcast_anti_join(spark, tmp_path):
+    # the canonical non-keeper set must reach stage 2 as a distributed
+    # broadcast LEFT ANTI join against the parquet artifact — never a
+    # driver-collected IN-list over vec_id (the r8 shape: unbounded
+    # literal at 100 TB duplication rates)
+    from healthcare_research_data_pipeline_project_spark.queries.datapipe7 import (
+        _canonical_reps,
+    )
+
+    nk = str(tmp_path / "nk")
+    spark.createDataFrame([(3,), (7,)], "node long").write.parquet(nk)
+    emb = load_tables(spark, SF_ORACLE).embeddings
+    reps = _canonical_reps(spark, nk, emb)
+    p = X.plan(reps)
+    assert "LeftAnti" in p, "non-keepers must anti-join, got no LeftAnti"
+    assert "BroadcastHashJoin" in p
+    assert "vec_id IN (" not in p and "vec_id INSET" not in p, (
+        "driver-materialized IN-list over the canonical set"
+    )
+    assert reps.filter(F.col("vec_id").isin(3, 7)).count() == 0
