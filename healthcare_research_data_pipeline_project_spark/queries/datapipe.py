@@ -721,16 +721,85 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Multimodal plumbing: synthesized binary media → Arrow-batched feature
-# extraction (mapInPandas). Not SQL-expressible (binary payloads are
-# generated executor-side), so the driver records a rows-only check;
-# tests/test_pipeline_layer.py pins the sha256 feature values.
+# extraction (mapInPandas). ORACLE-CHECKED per row (was rows-only
+# through r8): every payload is a closed-form byte sequence — PPM =
+# ASCII header + sha256 counter-mode raster, WAV = the stdlib wave
+# module's fixed 44-byte RIFF header (reproduced byte-for-byte as hex
+# literals + two little-endian length fields) + counter-mode PCM, mp4
+# stub = digest repeats — so DuckDB rebuilds each payload as a HEX
+# STRING and recomputes byte_len and the distinct-byte entropy proxy
+# without ever holding a binary. The sha256 feature itself stays
+# pytest-pinned (tests/test_pipeline_layer.py): DuckDB's sha256() only
+# accepts VARCHAR, which cannot carry arbitrary bytes.
 # ---------------------------------------------------------------------------
-@register("mm_media_features")
+def _mm_features_oracle(n: int = 64, seed: int = 42) -> str:
+    import struct
+
+    def le32(expr: str) -> str:
+        return "||".join(
+            f"printf('%02x', (({expr}) >> {8 * k}) & 255)" for k in range(4)
+        )
+
+    # constant middle of the RIFF header: 'WAVEfmt ' + <IHHIIHH>
+    # (fmt size 16, PCM, mono, 8 kHz, 16 kB/s, block 2, 16-bit) + 'data'
+    fixed = (
+        b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+    ).hex()
+    chunks = (
+        f"unnest(generate_series(0, CAST(ceil(nb / 32.0) AS INT) - 1))"
+        f" AS ctr"
+    )
+    sh_agg = (
+        f"string_agg(substr(sha256('{seed}:' || CAST(i AS VARCHAR) || ':'"
+        f" || CAST(ctr AS VARCHAR)), 1, 2 * least(32, nb - ctr * 32)),"
+        f" '' ORDER BY ctr) AS sh"
+    )
+    return f"""
+    WITH ids AS (SELECT range AS i FROM range(0, {n})),
+    img AS (SELECT i, 32 + (i % 16) * 8 AS w, 32 + (i % 12) * 8 AS h,
+                   (32 + (i % 16) * 8) * (32 + (i % 12) * 8) * 3 AS nb
+            FROM ids WHERE i % 3 = 0),
+    imgch AS (SELECT i, w, h, nb, {chunks} FROM img),
+    imgst AS (SELECT i, w, h, nb, {sh_agg} FROM imgch GROUP BY i, w, h, nb),
+    imgph AS (SELECT i, 'image' AS kind,
+                     lower(hex('P6 ' || CAST(w AS VARCHAR) || ' '
+                               || CAST(h AS VARCHAR) || ' 255'
+                               || chr(10))) || sh AS ph
+              FROM imgst),
+    aud AS (SELECT i, (2000 + (i % 8) * 250) * 2 AS nb
+            FROM ids WHERE i % 3 = 1),
+    audch AS (SELECT i, nb, {chunks} FROM aud),
+    audst AS (SELECT i, nb, {sh_agg} FROM audch GROUP BY i, nb),
+    audph AS (SELECT i, 'audio' AS kind,
+                     lower(hex('RIFF')) || {le32('36 + nb')}
+                     || '{fixed}' || {le32('nb')} || sh AS ph
+              FROM audst),
+    vidph AS (SELECT i, 'video' AS kind,
+                     repeat(sha256('{seed}:' || CAST(i AS VARCHAR)),
+                            4 + i % 8) AS ph
+              FROM ids WHERE i % 3 = 2),
+    allph AS (SELECT * FROM imgph UNION ALL SELECT * FROM audph
+              UNION ALL SELECT * FROM vidph)
+    SELECT i AS media_id, kind,
+           CAST(length(ph) / 2 AS BIGINT) AS byte_len,
+           CAST(length(list_distinct(list_transform(
+                  generate_series(1, CAST(length(ph) / 2 AS INT)),
+                  k -> substr(ph, 2 * k - 1, 2)))) AS BIGINT)
+             AS entropy_proxy
+    FROM allph ORDER BY media_id
+    """
+
+
+@register("mm_media_features", _mm_features_oracle())
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal import binary_ops as mm
 
     media = mm.synthesize_media(spark, n=64)
-    return mm.extract_features(media)
+    return mm.extract_features(media).select(
+        "media_id", "kind", "byte_len", "entropy_proxy"
+    )
 
 
 # ---------------------------------------------------------------------------
