@@ -39,7 +39,7 @@ import shutil
 import tempfile
 from urllib.parse import urlparse
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -184,9 +184,12 @@ def connected_components(
             hop = labels.select(
                 F.col("node").alias("component"), F.col("component").alias("hop")
             )
-            # carry the changed-flag through the spill so convergence is
-            # a cheap scan-aggregate over the just-written parquet, not
-            # an extra old-vs-new join job per round
+            # the changed-count rides the WRITE job itself as an
+            # observed metric (CollectMetrics): one action per round,
+            # no post-write scan-aggregate job, and the spill carries
+            # only (node, component) — the r9 fold-the-convergence-
+            # check-into-the-iteration-job change (each extra job per
+            # round is ~fixed scheduling overhead at any scale)
             out = (
                 stepped.join(hop, "component", "left")
                 .select(
@@ -206,10 +209,12 @@ def connected_components(
             # the dir it is reading, and the round-before-last's copy is
             # reclaimed by the overwrite itself
             dest = ping[(i + 1) % 2]
-            out.write.mode("overwrite").parquet(dest)
-            materialized = spark.read.parquet(dest)
-            changed = materialized.agg(F.sum("chg")).collect()[0][0]
-            labels = materialized.drop("chg")
+            obs = Observation(f"cc_round_{i}")
+            out.observe(obs, F.sum("chg").alias("chg")).drop(
+                "chg"
+            ).write.mode("overwrite").parquet(dest)
+            changed = obs.get["chg"]
+            labels = spark.read.parquet(dest)
             if not changed:
                 converged = True
                 break
@@ -335,19 +340,21 @@ def pagerank(
     is true (constant per run).
 
     Per-iteration job accounting (the r6 sf1 probe measured ~6 s/round
-    of which most was fixed job overhead, not the join): the dangling-
-    mass collect is SKIPPED for graphs with no dangling nodes (one
-    upfront count decides — symmetric similarity graphs and kNN graphs
-    never have them); under fixed-iteration semantics (`tol <= 0`, the
-    oracle-parity mode) the L1-delta job is skipped too, and when both
-    scalars are gone `spill_every` logical iterations run inside ONE
-    materialization — the plan chain references the rank frame once
-    per round, so it grows linearly and the parquet ping-pong (the
-    lineage cut) is needed only every few rounds. 12 oracle iterations
-    then cost 4 write+read cycles and zero per-round driver jobs
-    instead of 36 jobs. `converged` is reported False in fixed-
-    iteration mode (nothing was certified — the caller asked for an
-    exact round count, which is what ran).
+    of which most was fixed job overhead, not the join): every
+    per-round scalar — dangling mass AND the L1 convergence delta —
+    rides the round's parquet WRITE as an observed metric
+    (CollectMetrics), so the general path runs exactly ONE action per
+    iteration; round 0's dangling mass is `n_dangling` by construction
+    (uniform initial ranks), costing no job at all. Under
+    fixed-iteration semantics (`tol <= 0`, the oracle-parity mode) on
+    a dangling-free graph, `spill_every` logical iterations run inside
+    ONE materialization — the plan chain references the rank frame
+    once per round, so it grows linearly and the parquet ping-pong
+    (the lineage cut) is needed only every few rounds: 12 oracle
+    iterations cost 4 write+read cycles and zero per-round driver
+    jobs. `converged` is reported False in fixed-iteration mode
+    (nothing was certified — the caller asked for an exact round
+    count, which is what ran).
     """
     spark = edges.sparkSession
     # adaptive small-graph path (same doctrine as connected_components:
@@ -436,37 +443,47 @@ def pagerank(
                 ranks.write.mode("overwrite").parquet(dest)
                 ranks = spark.read.parquet(dest)
         else:
+            # per-round scalars (dangling mass, L1 delta) ride the
+            # write job as OBSERVED metrics — exactly ONE action per
+            # iteration, never a separate rank-scan or old-vs-new
+            # aggregate job (the r9 change: at sf1 the extra jobs were
+            # ~2 s/round of pure scheduling overhead on the forced-
+            # distributed path, and at cluster scale each is a full
+            # stage barrier). Round 0's dangling mass needs no job at
+            # all: the initial ranks are uniformly 1.0, so it is
+            # exactly the dangling-node count.
+            dangling = float(n_dangling)
             for i in range(max_iter):
-                if n_dangling:
-                    # dangling nodes donate their mass to the teleport
-                    # pool — the one per-round scalar this graph needs
-                    dangling = (
-                        ranks.filter(F.col("out_deg") == 0)
-                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                        .collect()[0][0]
-                    )
-                else:
-                    dangling = 0.0
                 teleport = (1.0 - damping) + damping * dangling / n
                 new_ranks = _step(ranks, teleport)
                 dest = ping[(i + 1) % 2]
+                obs = Observation(f"pr_round_{i}")
+                dang_metric = F.sum(
+                    F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(
+                        0.0
+                    )
+                ).alias("dang")
                 if fixed_iter:
-                    new_ranks.write.mode("overwrite").parquet(dest)
+                    new_ranks.observe(obs, dang_metric).write.mode(
+                        "overwrite"
+                    ).parquet(dest)
+                    dangling = obs.get["dang"] or 0.0
                     ranks = spark.read.parquet(dest)
                     continue
-                # carry |new - old| through the spill so the
-                # convergence check is a scan-aggregate over the
-                # just-written parquet
-                new_ranks.join(
+                obs_frame = new_ranks.join(
                     ranks.select("node", F.col("rank").alias("old_rank")),
                     "node",
                 ).select(
                     "node", "out_deg", "rank",
                     F.abs(F.col("rank") - F.col("old_rank")).alias("delta"),
-                ).write.mode("overwrite").parquet(dest)
-                materialized = spark.read.parquet(dest)
-                l1 = materialized.agg(F.sum("delta")).collect()[0][0]
-                ranks = materialized.drop("delta")
+                )
+                obs_frame.observe(
+                    obs, F.sum("delta").alias("l1"), dang_metric
+                ).drop("delta").write.mode("overwrite").parquet(dest)
+                metrics = obs.get
+                l1 = metrics["l1"]
+                dangling = metrics["dang"] or 0.0
+                ranks = spark.read.parquet(dest)
                 if l1 <= tol * n:
                     converged = True
                     break
@@ -572,14 +589,17 @@ def kcore(
 
     try:
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        obs0 = Observation("kcore_round_init")
         deg.select(F.col("u").alias("node")).filter(
             F.col("node").isNotNull()
-        ).write.mode("overwrite").parquet(ping[0])
+        ).observe(obs0, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(ping[0])
         alive = spark.read.parquet(ping[0])
-        # one count per round, not two: this round's survivor count is
-        # next round's "before" count (parquet row counts are footer
-        # metadata — cheap — but each is still a driver job)
-        n_old = alive.count()
+        # survivor counts ride each WRITE as an observed metric — one
+        # action per round, no separate count job (even a footer-
+        # metadata count is a scheduled driver job per round)
+        n_old = obs0.get["n"]
         for i in range(max_iter):
             # surviving edges: both endpoints alive; recompute degree
             e = (
@@ -594,11 +614,12 @@ def kcore(
                 F.col("d") >= k
             )
             dest = ping[(i + 1) % 2]
-            surv.select(F.col("u").alias("node"), "d").write.mode(
-                "overwrite"
-            ).parquet(dest)
+            obs = Observation(f"kcore_round_{i}")
+            surv.select(F.col("u").alias("node"), "d").observe(
+                obs, F.count(F.lit(1)).alias("n")
+            ).write.mode("overwrite").parquet(dest)
             new_alive = spark.read.parquet(dest)
-            n_new = new_alive.count()
+            n_new = obs.get["n"]
             alive = new_alive.select("node")
             if n_new == n_old:
                 return new_alive.select(

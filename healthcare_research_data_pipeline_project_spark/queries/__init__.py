@@ -78,12 +78,20 @@ GATE_PRIORITY = [
     # the per-document connected-components assignment and the
     # fixed-iteration PageRank recursive-CTE check.
     "dedup_clusters",
-    "g_pagerank_centrality",
-    # j9_cte_join rotated OUT r6 (CTE-to-CTE joins stay gate-evidenced
-    # by hc_q3 in this window; j9 stays green in MIRROR.json) for
-    # g_kcore_dense_region — the recursive-peel k-core oracle, never
-    # gated before r6.
-    "g_kcore_dense_region",
+    # g_pagerank_centrality rotated OUT r9 (the recursive-CTE PageRank
+    # oracle stays green in MIRROR.json; PageRank stays gate-evidenced
+    # by g_pagerank_knn AND the new canonical row below) for
+    # g_pagerank_canonical — the canonicalize-then-rank composition
+    # whose r8 blocked-scan + r9 broadcast-anti-join refactor touched
+    # both stages (rotate refactored queries into the gate, VERDICT r8
+    # #2).
+    "g_pagerank_canonical",
+    # g_kcore_dense_region rotated OUT r9 (recursive-peel k-core stays
+    # gate-evidenced by g_kcore_knn in this window; the dense-region
+    # row stays green in MIRROR.json) for g_triangle_knn — triangle /
+    # clustering-coefficient over the mutual kNN graph, an r8
+    # blocked-scan consumer never driver-gated before.
+    "g_triangle_knn",
     "a1_agg_battery",
     "a8_percentiles",
     # a9_iqr_outliers rotated OUT r5 (exact-quantile evidence stays
@@ -130,8 +138,19 @@ GATE_PRIORITY = [
     # r4 sequence ops: event-pattern matching and the explicit
     # tie-break mode battery.
     "t_event_pattern_match",
-    "a27_mode_battery",
-    "dedup_exact",
+    # a27_mode_battery rotated OUT r9 (the explicit tie-break mode
+    # battery stays green in MIRROR.json) for mm_media_features — the
+    # per-row payload-reconstruction oracle added in r9 (the last
+    # rows-only corpus entry, now value-hashed; newest oracle routes
+    # get gate slots first, ADVICE r3).
+    "mm_media_features",
+    # dedup_exact rotated OUT r9 (exact hash-groupBy dedup stays gate-
+    # evidenced by dedup_canonical_keep's keeper logic in this window;
+    # the row stays green in MIRROR.json) for g_triangle_count —
+    # exact triangle count over the thresholded similarity graph,
+    # another r8 blocked-scan consumer whose operator changed two
+    # rounds running without a driver gate row.
+    "g_triangle_count",
     # dedup_simhash rotated OUT r7 (SimHash signatures stay green in
     # MIRROR.json alongside the blocked-Hamming pairs variant;
     # in-window hash evidence stays via f_case_mask_hash) for

@@ -184,3 +184,26 @@ def test_kcore_distributed_matches_driver(spark):
     dist = {r["node"]: r["core_degree"]
             for r in kcore(e, k=3, small_graph_threshold=0).collect()}
     assert fast == dist == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_convergence_loop_distributed_with_dangling(spark):
+    # tol>0 WITH dangling nodes exercises the r9 observed-metrics
+    # round shape: dangling mass + L1 delta both ride the round's
+    # write job (round 0's dangling is the node count — no job), so
+    # the convergence path runs ONE action per iteration. Pin against
+    # the driver fast path.
+    e = [(0, 1), (1, 2), (3, 2), (3, 0)]  # node 2 dangles
+    edges = _edges(spark, e)
+    fast = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, tol=1e-10, max_iter=100).collect()
+    }
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, tol=1e-10, max_iter=100, small_graph_threshold=0
+        ).collect()
+    }
+    assert set(dist) == set(fast)
+    for node in fast:
+        assert dist[node] == pytest.approx(fast[node], abs=1e-8)
