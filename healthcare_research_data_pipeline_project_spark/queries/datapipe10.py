@@ -344,6 +344,17 @@ def _simhash_pairs_oracle() -> str:
 
 @register("dedup_simhash_pairs", _simhash_pairs_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 60-bit signature travels the pair path as ONE BIGINT
+    (`conv(sig, 2, 10)`, once per document): block keys are
+    shift+mask extractions and the candidate verification is
+    `bit_count(sa ^ sb)` — one ALU op per pair instead of the r8
+    form's 60 per-pair `substr` comparisons, and the block-join
+    shuffle carries 8-byte longs instead of 60-char strings (the
+    pair frame is the fat intermediate at scale). The bit-STRING
+    doctrine stays at the boundary: the signature itself is computed
+    as the cross-engine bit string (dedup_simhash pins it), and the
+    DuckDB oracle keeps the character-math formulation — pinning
+    integer XOR/popcount == per-character Hamming."""
     from ..functions.text import simhash_bits_col, tokens
 
     t = load_tables(spark, sf_dir)
@@ -352,22 +363,31 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", simhash_bits_col("toks", _SH_BITS).alias("sig")
         )
+        .select(
+            "doc_id",
+            F.conv("sig", 2, 10).cast("long").alias("sn"),
+        )
     )
     # signature scan feeds both self-join sides
     d = track_persist(d)
+    mask = (1 << _SH_W) - 1
     blk = d.select(
         "doc_id",
-        "sig",
+        "sn",
         F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("bi"),
     ).withColumn(
-        "bv", F.expr(f"substr(sig, 1 + bi * {_SH_W}, {_SH_W})")
+        "bv",
+        F.expr(
+            f"shiftright(sn, ({_SH_BLOCKS - 1} - bi) * {_SH_W})"
+            f" & {mask}"
+        ),
     )
     a = blk.select(
-        F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"), "bi", "bv"
+        F.col("doc_id").alias("id_a"), F.col("sn").alias("sa"), "bi", "bv"
     )
     c = blk.select(
         F.col("doc_id").alias("id_b"),
-        F.col("sig").alias("sb"),
+        F.col("sn").alias("sb"),
         F.col("bi").alias("bi2"),
         F.col("bv").alias("bv2"),
     )
@@ -381,12 +401,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "sa", "sb")
         .distinct()
     )
-    ham = F.expr(
-        f"aggregate(sequence(1, {_SH_BITS}), 0, (acc, i) -> acc + "
-        f"IF(substr(sa, i, 1) <> substr(sb, i, 1), 1, 0))"
-    )
     return (
-        cand.withColumn("hamming", ham.cast("int"))
+        cand.withColumn(
+            "hamming",
+            F.expr("bit_count(sa ^ sb)").cast("int"),
+        )
         .filter(F.col("hamming") <= _SH_HAM)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
