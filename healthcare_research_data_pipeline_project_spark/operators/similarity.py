@@ -643,10 +643,17 @@ def tfidf_knn_posting(
     largest intermediate, and joining norms onto it twice (the r5
     shape) was the dominant post-join cost.
 
-    Exactness doctrine: idf rounded to 6 dp once per token, weights
-    DECIMAL(12,6) — dots and norms² accumulate as exact decimals
-    (order-independent, hash-stable across engines); the only float op
-    is the final sqrt + divide, rounded to 4 dp.
+    Exactness doctrine: idf is rounded ONCE per token to integer
+    MILLI-units (round(ln(N/df)·1000) — HALF_UP equals half-away-from-
+    zero on the non-negative idf, so both engines agree), weights are
+    plain BIGINTs (tf · idf_milli) — dots and norms² accumulate as
+    exact integers (order-independent, hash-stable across engines, and
+    ~2× cheaper per row than the r8 DECIMAL(12,6) accumulation in the
+    pair aggregate, the pipeline's dominant stage); the only float op
+    is the final sqrt + divide, rounded to 4 dp. Bound: w ≤ tf·idf_max
+    (~1.1e4·ln-range at milli scale) keeps Σw² under 2^63 for
+    documents to ~1e5 tokens — the same magnitude contract the
+    DECIMAL(12,6) form carried (its w capped at 1e6).
     """
     from ..functions.text import tokens
 
@@ -678,10 +685,12 @@ def tfidf_knn_posting(
             (
                 F.col("tf")
                 * F.round(
-                    F.log(F.col("n_docs").cast("double") / F.col("df")), 6
-                ).cast("decimal(12,6)")
+                    F.log(F.col("n_docs").cast("double") / F.col("df"))
+                    * 1000,
+                    0,
+                ).cast("long")
             )
-            .cast("decimal(12,6)")
+            .cast("long")
             .alias("w"),
             "df",
             "n_docs",

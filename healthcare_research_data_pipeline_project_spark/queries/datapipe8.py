@@ -21,11 +21,11 @@ form only through shared tokens, with a document-frequency cap
 dropping degenerate high-df tokens (the `dedup.py` df_max doctrine:
 a token in every doc makes its posting list quadratic; it also
 carries ~zero idf weight, so the cap costs little recall and bounds
-the join). Exactness doctrine for floats: idf is rounded to 6 dp
-once per token, weights are DECIMAL(12,6), so dot products and
-norms² accumulate as exact decimals (order-independent, hash-stable
-across engines); the only per-pair float op is the final
-sqrt+divide, rounded to 4 dp.
+the join). Exactness doctrine for floats: idf is rounded once per
+token to integer MILLI-units, weights are plain BIGINTs, so dot
+products and norms² accumulate as exact integers (order-independent,
+hash-stable across engines, cheaper than the r8 decimal form); the
+only per-pair float op is the final sqrt+divide, rounded to 4 dp.
 
 Reference parity: extends the cohort/flow family
 (healthcare-sql-analytics.sql:640-698 ED throughput, the reference's
@@ -217,8 +217,8 @@ _KNN_CHAMPIONS = 256
     dfreq AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY token),
     wv AS (
       SELECT tc.doc_id, tc.token,
-             CAST(tc.tf * CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / df), 6)
-                               AS DECIMAL(12,6)) AS DECIMAL(12,6)) AS w,
+             tc.tf * CAST(ROUND(ln(CAST(n_docs AS DOUBLE) / df) * 1000, 0)
+                          AS BIGINT) AS w,
              df, n_docs
       FROM tc JOIN dfreq USING (token), nd
     ),
