@@ -385,12 +385,29 @@ def j7_role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = t.nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
+    # dimension-first join order (written explicitly — Spark has no
+    # CBO reordering by default, so the as-written order IS the plan):
+    # the selective n1 broadcast prunes customer to 4/25 nations
+    # BEFORE any fact-sized join, which shrinks the orders join input
+    # and with it every downstream shuffle; the r8 form joined
+    # lineitem⋈orders⋈customer⋈supplier in full and only then dropped
+    # 84% of the rows at the nation filters (measured 7.9 s → see
+    # SCALE_PROBE at sf1 for the reordered plan).
+    cust = t.customer.join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key")
+    ).select("c_custkey", "cust_nation")
+    ords = t.orders.join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "cust_nation")
+    supp = t.supplier.join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")
+    ).select("s_suppkey", "supp_nation")
     return (
-        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        t.lineitem.select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("cust_nation", "supp_nation")
         .agg(
             F.count(F.lit(1)).alias("line_cnt"),
