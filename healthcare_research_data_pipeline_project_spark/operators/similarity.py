@@ -1281,6 +1281,64 @@ def pq_encode(
     )
 
 
+def pq_query_luts(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_ids: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query ADC lookup tables: (qid, qv, lut) with
+    LUT[j][c] = ||q_sub_j − cb[j][c]||², computed IN-PLAN against one
+    broadcast codebook row (the same doctrine as the encoder — no
+    driver collect jobs inside the query; the codebooks, a k·m·dsub
+    driver artifact from training, are the only literal). `qv` carries
+    the full-precision query vector for refine-mode exact re-ranking."""
+    spark = emb.sparkSession
+    dsub = len(codebooks[0][0])
+    crow = spark.createDataFrame(
+        [(codebooks,)], "__cb array<array<array<double>>>"
+    )
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+        lambda j: F.transform(
+            F.get(F.col("__cb"), j),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), j * dsub + 1, F.lit(dsub)),
+                    c,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    return (
+        emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .crossJoin(F.broadcast(crow))
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            lut.alias("lut"),
+        )
+    )
+
+
+def pq_adc_expr(lut_col: str = "lut", code_col: str = "code"):
+    """ADC distance expression: Σ_j LUT[j][code[j]] — m array lookups
+    per candidate row, the compressed-scan scoring kernel."""
+    return F.aggregate(
+        F.transform(
+            F.col(code_col),
+            lambda cj, j: F.get(F.get(F.col(lut_col), j), cj),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def pq_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -1291,6 +1349,7 @@ def pq_topk(
     id_col: str = "vec_id",
     refine: int | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-approximate top-k by squared L2 via asymmetric distance
     computation: candidates are scored through their m-byte codes; the
@@ -1323,36 +1382,15 @@ def pq_topk(
     books = codebooks if codebooks is not None else train_pq_codebooks(
         emb, vec_col, id_col, m=m, ksub=ksub
     )
-    encoded = pq_encode(emb, books, vec_col, id_col)
+    # the encoded codes ARE the index (what FAISS persists): callers
+    # serving many queries encode once, store the (id, code) table,
+    # and pass it back — the query path then scans m-byte codes, never
+    # re-runs the m·ksub argmin encode over the float corpus
+    if encoded is None:
+        encoded = pq_encode(emb, books, vec_col, id_col)
 
-    # per-query LUTs (LUT[j][c] = ||q_sub_j − cb[j][c]||²), computed
-    # IN-PLAN against the same broadcast codebook row the encoder uses
-    # — no driver collect jobs inside the query (the codebooks, a
-    # k·m·dsub driver artifact from training, are the only literal)
-    dsub = len(books[0][0])
-    crow = spark.createDataFrame(
-        [(books,)], "__cb array<array<array<double>>>"
-    )
-    lut = F.transform(
-        F.sequence(F.lit(0), F.lit(len(books) - 1)),
-        lambda j: F.transform(
-            F.get(F.col("__cb"), j),
-            lambda c: F.aggregate(
-                F.zip_with(
-                    F.slice(F.col(vec_col), j * dsub + 1, F.lit(dsub)),
-                    c,
-                    lambda x, y: (x.cast("double") - y)
-                    * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        ),
-    )
-    qdf = (
-        emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
-        .crossJoin(F.broadcast(crow))
-        .select(F.col(id_col).alias("qid"), lut.alias("lut"))
+    qdf = pq_query_luts(emb, books, query_ids, vec_col, id_col).select(
+        "qid", "lut"
     )
     scored = (
         F.broadcast(qdf)
@@ -1360,17 +1398,7 @@ def pq_topk(
         .select(
             "qid",
             F.col(id_col).alias("cid"),
-            F.round(
-                F.aggregate(
-                    F.transform(
-                        F.col("code"),
-                        lambda cj, j: F.get(F.get(F.col("lut"), j), cj),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ).alias("approx_dist"),
+            F.round(pq_adc_expr(), 6).alias("approx_dist"),
         )
     )
     w = Window.partitionBy("qid").orderBy("approx_dist", "cid")

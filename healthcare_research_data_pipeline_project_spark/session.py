@@ -42,6 +42,17 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        # local mode runs every executor thread inside the driver JVM,
+        # whose default heap is 1 GiB — 32 concurrent tasks in 1 GiB is
+        # a GC treadmill (measured: the bench corpus's 1.5-2.0 s band is
+        # GC-bound at the default). Size the heap like the executor it
+        # actually is; on a real cluster this knob is inert (driver does
+        # no task work) and executor sizing comes from the deploy config.
+        # Only effective if set before JVM launch — harmless afterwards.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # respect advisoryPartitionSizeInBytes when coalescing instead of

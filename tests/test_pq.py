@@ -134,3 +134,24 @@ def test_pq_query_audit_summary(spark):
         assert r["ranks_wellformed"]
         assert r["within_slack"]
         assert r["true_kth_l2"] > 0
+
+
+def test_pq_topk_precomputed_index_matches_fresh_encode(spark, emb):
+    # the index-reuse contract (r9): callers that persist the encoded
+    # (vec_id, code) table — what FAISS persists — and pass it back
+    # via `encoded=` must get bit-identical results to a fresh encode,
+    # because the codes are deterministic given the codebooks
+    books = S.train_pq_codebooks(emb, m=8, ksub=16)
+    codes = S.pq_encode(emb, books)
+    fresh = S.pq_topk(
+        emb, [0, 1, 2], k=5, m=8, ksub=16, codebooks=books
+    ).collect()
+    reused = S.pq_topk(
+        emb, [0, 1, 2], k=5, m=8, ksub=16, codebooks=books,
+        encoded=codes,
+    ).collect()
+    key = lambda r: (r["qid"], r["rank"])
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, reused))
+    assert {key(r) for r in fresh} == {
+        (q, rk) for q in (0, 1, 2) for rk in range(1, 6)
+    }
