@@ -235,17 +235,18 @@ def mb_pair_lift(
     import os
 
     t = load_tables(spark, sf_dir)
-    # raw scan (no _spread), then a 16-lane fan-out ONLY when the input
-    # is a single small file (local bench artifact); multi-split inputs
-    # — the 100 TB case — go straight to the basket shuffle.
-    li = t.raw("lineitem").select("l_orderkey", "l_partkey")
+    # parallel scan (split-layout cache), then fan out BY THE GROUPING
+    # KEY: HashPartitioning(l_orderkey) satisfies the basket groupBy's
+    # clustering requirement, so the collect_set aggregate runs
+    # directly on these lanes — one exchange total, versus round-
+    # robin's exchange + partial-agg + second hash exchange (measured
+    # 2.2x on the basket stage). Multi-split inputs — the 100 TB case
+    # — skip the explicit fan-out and go straight to the basket
+    # shuffle (partial collect_set on high-cardinality orderkeys is
+    # mostly pass-through; the agg's own exchange does the same work).
+    li = t.lineitem.select("l_orderkey", "l_partkey")
     path = os.path.join(sf_dir, "lineitem.parquet")
     if os.path.exists(path) and os.path.getsize(path) < 128 * 1024 * 1024:
-        # fan out BY THE GROUPING KEY: HashPartitioning(l_orderkey)
-        # satisfies the basket groupBy's clustering requirement, so the
-        # collect_set aggregate runs directly on these lanes — one
-        # exchange total, versus round-robin's exchange + partial-agg +
-        # second hash exchange (measured 2.2x on the basket stage)
         li = li.repartition(
             spark.sparkContext.defaultParallelism, "l_orderkey"
         )

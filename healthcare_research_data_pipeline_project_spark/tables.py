@@ -38,33 +38,83 @@ ALWAYS_BROADCAST = {"region", "nation"}
 #: tables large enough that downstream per-row work (derived-attribute
 #: hashing, shingling, vector math) dominates a scan. The driver's
 #: parquet files are written as a single row group, so Spark plans ONE
-#: scan task per file regardless of maxPartitionBytes — without an
-#: explicit repartition, every derived computation over them runs on
-#: one core. On a real warehouse the inputs arrive in many
-#: files/row-groups and this spread is a no-op (we skip it when the
-#: scan already has enough splits).
+#: scan task per file regardless of maxPartitionBytes — without
+#: intervention, every computation over them runs on one core. These
+#: tables are served through a one-time multi-file relayout
+#: (`_spread`'s split cache) so scans parallelize at the source with
+#: no per-query exchange. On a real warehouse the inputs arrive in
+#: many files/row-groups and the relayout never runs.
 #: dim-sized tables (customer/part/supplier) stay as-is: their derived-
-#: column work is microseconds and a repartition shuffle would cost
-#: more than it saves.
+#: column work is microseconds and any relayout would cost more than
+#: it saves.
 SPREAD_TABLES = {"orders", "lineitem", "events", "documents", "embeddings"}
+
+
+def _split_cache_dir(path: str, nparts: int) -> str:
+    """Content-keyed location of the multi-file relayout of `path`:
+    invalidated by source mtime/size (regenerated testdata) and by the
+    split count (different CPU budget)."""
+    import hashlib
+
+    st = os.stat(path)
+    spec = f"{os.path.abspath(path)}\x00{st.st_mtime_ns}\x00{st.st_size}\x00{nparts}"
+    key = hashlib.md5(spec.encode()).hexdigest()[:12]
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".split_cache",
+    )
+    return os.path.join(root, key)
 
 
 def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     # file smaller than one scan split (spark.sql.files.maxPartitionBytes,
-    # 128 MB default) → Spark plans a single scan task; fan it out.
-    # Bigger files get multiple byte-range splits from the scan itself.
+    # 128 MB default) → Spark plans a single scan task. Bigger files get
+    # multiple byte-range splits from the scan itself and pass through.
+    #
+    # The fix is a LAYOUT, not a shuffle: relayout the single-row-group
+    # file into `defaultParallelism` files ONCE (rename-committed cache,
+    # same protocol as healthcare/mapping.ensure_warehouse), then serve
+    # every query from the multi-file copy. Scans parallelize at the
+    # source with ZERO per-query exchange — the previous per-query
+    # round-robin repartition shuffled the full table through every
+    # plan that touched a fact (~0.4 s/query at sf0.1, and an extra
+    # exchange in every explain). On a real warehouse inputs arrive in
+    # many files/row-groups, `getsize >= 128 MB` short-circuits, and
+    # this path never runs — the cache exists only because the driver's
+    # testdata ships as one row group per table.
     if os.path.getsize(path) >= 128 * 1024 * 1024:
         return df
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    nparts = spark.sparkContext.defaultParallelism
+    cache = _split_cache_dir(path, nparts)
+    done = os.path.join(cache, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        # build into a pid-suffixed temp dir; atomic rename is the
+        # commit. If a concurrent process won the race, our rename
+        # fails onto the existing dir — discard our build and read
+        # the winner's (contents are equivalent by construction).
+        tmp = f"{cache}.building-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.repartition(nparts).write.mode("overwrite").parquet(tmp)
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        try:
+            os.rename(tmp, cache)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(done):
+                raise
+    # `_DONE` is invisible to the reader (files starting with `_` are
+    # metadata by parquet convention)
+    return spark.read.parquet(cache)
 
 
 def table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = True
 ) -> DataFrame:
-    """Load one table. `spread=False` skips the `_spread` fan-out
-    exchange — right for queries whose FIRST operation is itself a
-    shuffle (groupBy/repartition): the shuffle redistributes anyway, so
-    the extra round-robin exchange is a dead stage."""
+    """Load one table. `spread=False` reads the source file verbatim,
+    bypassing the split-layout cache — for consumers that must observe
+    the driver's file exactly (layout tests, cache-identity checks)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -124,8 +174,7 @@ class Tables:
         return self._cache[name]
 
     def raw(self, name: str) -> DataFrame:
-        """Scan without the `_spread` fan-out — for plans whose first
-        op is a shuffle (the shuffle repartitions anyway)."""
+        """Scan the source file verbatim (no split-layout cache)."""
         key = f"raw:{name}"
         if key not in self._cache:
             self._cache[key] = table(self._spark, self._sf_dir, name, spread=False)
