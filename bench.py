@@ -47,6 +47,34 @@ from healthcare_research_data_pipeline_project_spark.caching import (
 from healthcare_research_data_pipeline_project_spark.session import get_spark
 
 
+def _machine_canary() -> dict[str, float]:
+    """Fixed-work machine-speed probe, recorded alongside the timings.
+
+    The box this runs on is a shared guest: effective CPU throughput
+    drifts 1.5-2.5x across tens of minutes with no in-guest signal
+    (load average near zero, steal time unreported). Two fixed
+    workloads — a single-core pure-Python loop and a multi-core BLAS
+    matmul — timestamp the machine state of THIS run, so cross-round
+    comparisons can separate code regressions from host weather:
+    a corpus that got 20% slower while the canary got 20% slower is
+    the machine, not the code."""
+    import numpy as np
+
+    t0 = time.time()
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    py = time.time() - t0
+    a = np.arange(4_000_000, dtype=np.float64).reshape(2000, 2000) / 1e7
+    t0 = time.time()
+    (a @ a).sum()
+    blas = time.time() - t0
+    return {
+        "py_loop_sec": round(py, 3),
+        "blas_matmul_sec": round(blas, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -131,6 +159,7 @@ def main() -> None:
     # 1.8 s budget after two passes — the band where one decorrelated
     # sample changes the verdict; fast queries never pay it.
     best: dict[str, float] = {}
+    canaries = [_machine_canary()]
     loop_t0 = time.time()
     for pass_i in range(3):
         for name, fn in Q.QUERIES.items():
@@ -145,6 +174,7 @@ def main() -> None:
             # accounting boundary: cached blocks must not accumulate
             # across a 162-query pass and squeeze the storage pool
             unpersist_tracked()
+        canaries.append(_machine_canary())
     timings = {name: round(b, 3) for name, b in best.items()}
     total = sum(best.values())
     for name, b in best.items():
@@ -169,6 +199,7 @@ def main() -> None:
         "n_queries": len(timings),
         "wall_sec": round(wall, 3),
         "median_sec": median,
+        "machine_canary": canaries,
         "headline": {n: timings[n] for n in headline_names},
     }
     # the driver's bench artifact keeps only a 2 KB stdout tail, which
@@ -196,6 +227,13 @@ def main() -> None:
         "slowest": dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:5]
         ),
+        # fastest canary sample of this run (machine-state fingerprint;
+        # see _machine_canary — compare across rounds before reading a
+        # corpus-total delta as a code regression)
+        "canary": {
+            k: min(c[k] for c in canaries)
+            for k in ("py_loop_sec", "blas_matmul_sec")
+        },
         "full_map": "BENCH_LOCAL.json",
     }
     line = json.dumps(compact)

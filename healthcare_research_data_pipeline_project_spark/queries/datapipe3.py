@@ -444,14 +444,17 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Ordered funnel analysis: view → click → purchase, each step strictly
-# after the user's first occurrence of the previous step. Stage
-# frames are first-timestamp aggregates joined per step (each a
-# user_id-keyed shuffle that AQE coalesces; no window needed), and the
-# final result is a cross join of three one-row aggregates. The
+# after the user's first occurrence of the previous step. ONE scan of
+# events and ONE shuffle (hash on user_id): three whole-partition
+# window aggregates compute t0/t1/t2 in sequence over the same
+# partitioning (Catalyst pipelines the Window operators — no extra
+# exchange, each step's predicate referencing the previous step's
+# windowed column), then the per-user rollup reuses the window's
+# HashPartitioning exchange-free and a final single-row aggregate
+# emits the funnel. The r8 shape built each step as its own
+# aggregate-join (7 scans of events, 12 exchanges in the executed
+# plan); at 100 TB this shape shuffles events exactly once. The
 # time-to-convert average is exact integer microsecond arithmetic.
-# At 100 TB the step joins stay key-partitioned on user_id — the same
-# partitioning reused across all three steps, so stages 2-3 are
-# exchange-free after the first shuffle.
 # ---------------------------------------------------------------------------
 @register(
     "t_funnel_conversion",
@@ -483,33 +486,49 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    ev = t.events
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
+    ev = t.events.select("user_id", "event_type", "ts").filter(
+        F.col("event_type").isin("view", "click", "purchase")
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t0"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    w = Window.partitionBy("user_id")
+    ty = F.col("event_type")
+    # whole-partition windows, each step gated on the previous one: a
+    # NULL previous step makes `ts > prev` NULL, so the WHEN never
+    # fires — exactly the step-join semantics (no view ⇒ no click row)
+    s0 = ev.withColumn(
+        "t0", F.min(F.when(ty == "view", F.col("ts"))).over(w)
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    s1 = s0.withColumn(
+        "t1",
+        F.min(
+            F.when((ty == "click") & (F.col("ts") > F.col("t0")), F.col("ts"))
+        ).over(w),
     )
-    pv = p.join(v, "user_id").agg(
-        F.sum(F.unix_micros("t2") - F.unix_micros("t0")).alias("us_sum"),
-        F.count(F.lit(1)).alias("n_purchase"),
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (ty == "purchase") & (F.col("ts") > F.col("t1")), F.col("ts")
+            )
+        ).over(w),
     )
-    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
-    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
-    r = nv.crossJoin(nc).crossJoin(pv)
+    # per-user rollup rides the window's HashPartitioning (no exchange:
+    # every row of a user carries identical t0/t1/t2)
+    per_user = s2.groupBy("user_id").agg(
+        F.max("t0").alias("t0"),
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+    )
+    r = per_user.agg(
+        F.count("t0").alias("n_view"),
+        F.count("t1").alias("n_click"),
+        F.count("t2").alias("n_purchase"),
+        F.sum(
+            F.when(
+                F.col("t2").isNotNull(),
+                F.unix_micros("t2") - F.unix_micros("t0"),
+            )
+        ).alias("us_sum"),
+    )
     return r.select(
         F.col("n_view").cast("long").alias("n_view"),
         F.col("n_click").cast("long").alias("n_click"),

@@ -177,6 +177,21 @@ def test_ks_two_sample_scans_fact_once_in_final_plan(spark):
     assert "ReusedExchange" in final
 
 
+def test_funnel_single_scan_single_shuffle(spark):
+    # the r9 window formulation: events scanned ONCE, shuffled ONCE
+    # (hash on user_id); the three step windows and the per-user
+    # rollup all ride that single partitioning. The step-join shape
+    # this replaced scanned events 7x with 12 exchanges.
+    import re
+
+    df = Q.QUERIES["t_funnel_conversion"](spark, SF_ORACLE)
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    final = full.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, final
+    assert len(re.findall(r"Exchange (?!SinglePartition)", final)) == 1, final
+
+
 def test_df_capped_jaccard_has_no_join_in_pair_path(spark):
     # the capped path must be posting-list expansion (explode of array
     # combos), never a self-join of the inverted index: pair blowup is
