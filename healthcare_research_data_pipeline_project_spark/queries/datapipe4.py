@@ -232,24 +232,17 @@ def a24_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mb_pair_lift(
     spark: SparkSession, sf_dir: str, min_support: int = 2
 ) -> DataFrame:
-    import os
-
     t = load_tables(spark, sf_dir)
-    # parallel scan (split-layout cache), then fan out BY THE GROUPING
-    # KEY: HashPartitioning(l_orderkey) satisfies the basket groupBy's
-    # clustering requirement, so the collect_set aggregate runs
-    # directly on these lanes — one exchange total, versus round-
-    # robin's exchange + partial-agg + second hash exchange (measured
-    # 2.2x on the basket stage). Multi-split inputs — the 100 TB case
-    # — skip the explicit fan-out and go straight to the basket
-    # shuffle (partial collect_set on high-cardinality orderkeys is
-    # mostly pass-through; the agg's own exchange does the same work).
+    # parallel scan (split-layout cache) straight into the basket
+    # aggregate: partial collect_set shrinks ~4 lineitems/order to one
+    # basket row map-side BEFORE the exchange, so the shuffle carries
+    # basket-count rows, not fact-count rows — the shape that holds at
+    # 100 TB. An explicit keyed fan-out was measured and REJECTED
+    # twice: pre-split-cache it beat round-robin (2.2x on the basket
+    # stage), but against the multi-file scan it shuffles RAW fact
+    # rows (repartition defeats the partial aggregate) and loses
+    # ~30% end-to-end (1.26-1.41 s vs 1.02 s at sf0.1).
     li = t.lineitem.select("l_orderkey", "l_partkey")
-    path = os.path.join(sf_dir, "lineitem.parquet")
-    if os.path.exists(path) and os.path.getsize(path) < 128 * 1024 * 1024:
-        li = li.repartition(
-            spark.sparkContext.defaultParallelism, "l_orderkey"
-        )
     li.createOrReplaceTempView("__mb_li")
     ms = max(2, min_support)
     # a-priori pre-prune for real min-support thresholds: pair_cnt <=
