@@ -323,3 +323,26 @@ def test_length_buckets_no_corpus_sized_single_partition_window(spark):
     for line in p.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "__pid" in line.lower(), line
+
+
+def test_source_overlap_matrix_is_pair_bounded(spark):
+    # the contamination matrix is source-pair-shaped, never
+    # doc-pair-shaped: rows <= C(n_sources, 2), each row a canonical
+    # (a < b) pair with an exact Jaccard in (0, 1]
+    rows = QUERIES["text_source_overlap"](spark, SF_SMOKE).collect()
+    from healthcare_research_data_pipeline_project_spark.tables import (
+        load_tables,
+    )
+
+    n_src = load_tables(spark, SF_SMOKE).documents.select(
+        "source"
+    ).distinct().count()
+    assert 0 < len(rows) <= n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["shared_shingles"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["jaccard"] <= 1.0
+    # exact Jaccard recomputation on one row
+    r = rows[0]
+    denom = r["n_a"] + r["n_b"] - r["shared_shingles"]
+    assert abs(r["jaccard"] - round(r["shared_shingles"] / denom, 6)) < 1e-9
