@@ -269,10 +269,14 @@ def mb_pair_lift(
     # order count) and `pairs` consume the identical `baskets` subtree,
     # so AQE plans ONE basket partial-agg exchange and the fact is
     # scanned once (plan-asserted by
-    # test_mb_pair_lift_scans_fact_once_in_final_plan). n_orders rides
-    # a window over the part-cardinality aggregate (tiny frame), never
-    # the fact. support/lift are the round_div integer HALF_UP formula
-    # inlined (`div` keeps it in exact BIGINT in both engines).
+    # test_mb_pair_lift_scans_fact_once_in_final_plan). n_orders is a
+    # one-row scalar aggregate broadcast-cross-joined onto pf0 — NOT a
+    # `SUM() OVER ()` window: the part dimension grows with the corpus
+    # (TPC-H part = SF x 200k), and an unpartitioned window would move
+    # the whole frame to a single partition. The broadcast side is
+    # exactly one row by construction, so the hint is always safe.
+    # support/lift are the round_div integer HALF_UP formula inlined
+    # (`div` keeps it in exact BIGINT in both engines).
     return spark.sql(
         f"""
 WITH baskets AS (
@@ -285,7 +289,9 @@ pf0 AS (
          sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS first_cnt
   FROM ex GROUP BY pk
 ),
-pf AS (SELECT pk, cnt, sum(first_cnt) OVER () AS n_orders FROM pf0),
+nord AS (SELECT sum(first_cnt) AS n_orders FROM pf0),
+pf AS (SELECT /*+ BROADCAST(nord) */ pk, cnt, n_orders
+       FROM pf0 CROSS JOIN nord),
 pairs AS (
   SELECT explode(flatten(transform(ps, (x, i) ->
            transform(slice(ps, i + 2, size(ps) - i - 1),

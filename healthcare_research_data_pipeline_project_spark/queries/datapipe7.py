@@ -1877,15 +1877,21 @@ def _canonical_reps(
     spark: SparkSession, nk_path: str, embeddings: DataFrame
 ) -> DataFrame:
     """Representatives = embeddings MINUS the parquet non-keeper
-    artifact, as a broadcast LEFT ANTI join: the corpus side never
-    shuffles, and no id list ever rides the driver (plan pinned in
-    tests/test_plans.py — split out so the test can assert on the
-    reps frame directly; the downstream pagerank's driver fast-path
-    rebuilds the final frame, hiding this join from its plan)."""
+    artifact, as a LEFT ANTI join with NO forced broadcast: the
+    non-keeper set is duplication-sized (commonly 20-50% of a crawl
+    corpus), so an unconditional broadcast hint would exceed the
+    broadcast limit and driver heap at 100 TB. AQE sees the artifact's
+    file size at plan time and broadcasts exactly when it fits (it
+    does at every test SF); when it doesn't, the anti-join degrades to
+    a shuffle join instead of failing outright. No id list ever rides
+    the driver (plan pinned in tests/test_plans.py — split out so the
+    test can assert on the reps frame directly; the downstream
+    pagerank's driver fast-path rebuilds the final frame, hiding this
+    join from its plan)."""
     non_keepers = spark.read.parquet(nk_path).withColumnRenamed(
         "node", "vec_id"
     )
-    return embeddings.join(F.broadcast(non_keepers), "vec_id", "left_anti")
+    return embeddings.join(non_keepers, "vec_id", "left_anti")
 
 
 @register("g_pagerank_canonical", _pagerank_canonical_oracle())
@@ -1896,12 +1902,11 @@ def g_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 1 — canonicalize: thresholded near-dup pairs → connected
     # components → drop the non-keepers. The non-keeper set never
     # touches the driver as rows: the component sweep WRITES it to a
-    # parquet artifact (one small distributed write) and stage 2
-    # consumes it through a broadcast LEFT ANTI join — at 100 TB the
-    # set is duplication-sized (bounded by the near-dup pair count)
-    # but even a pathological mass-duplication corpus stays a
-    # distributed join, never a driver list / IN-literal (the r8
-    # shape this replaces).
+    # parquet artifact (a parallel distributed write) and stage 2
+    # consumes it through a LEFT ANTI join with no forced broadcast —
+    # AQE broadcasts when the artifact fits and shuffle-joins when the
+    # duplication rate makes it large; either way it is never a driver
+    # list / IN-literal (the r8 shape this replaces).
     # the canonical set is deterministic per corpus, so it is computed
     # once per (session, corpus) and served afterwards — the dedup
     # sweep runs once, every downstream analytic consumes its parquet
@@ -1928,10 +1933,12 @@ def g_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"hrdp_artifacts_{spark.sparkContext.applicationId}",
             f"canonical_nonkeepers_{tag}",
         )
+        # parallel write — NOT coalesce(1): the non-keeper set is
+        # duplication-sized, and funneling it through one task caps
+        # write throughput at one core exactly when the set is large
         (
             comp.filter(F.col("component") != F.col("node"))
             .select("node")
-            .coalesce(1)
             .write.mode("overwrite")
             .parquet(path)
         )

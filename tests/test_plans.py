@@ -165,6 +165,15 @@ def test_mb_pair_lift_scans_fact_once_in_final_plan(spark):
     final = full.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert "ReusedExchange" in final
+    # n_orders must NOT ride an unpartitioned window over the
+    # part-cardinality frame (part grows with the corpus; `SUM() OVER
+    # ()` moves the whole frame to one partition) — it is a one-row
+    # scalar aggregate broadcast back via cross join
+    assert "Window" not in final, (
+        "mb_pair_lift regressed to a window for n_orders — single "
+        "partition over the corpus-growing part dimension"
+    )
+    assert "BroadcastNestedLoopJoin" in final  # the 1-row cross join
 
 
 def test_ks_two_sample_scans_fact_once_in_final_plan(spark):
@@ -302,11 +311,14 @@ def test_degree_stats_single_grouping_sets_pass(spark):
     assert "Expand" in p  # the GROUPING SETS fan-out
 
 
-def test_pagerank_canonical_reps_is_broadcast_anti_join(spark, tmp_path):
+def test_pagerank_canonical_reps_is_unforced_anti_join(spark, tmp_path):
     # the canonical non-keeper set must reach stage 2 as a distributed
-    # broadcast LEFT ANTI join against the parquet artifact — never a
+    # LEFT ANTI join against the parquet artifact — never a
     # driver-collected IN-list over vec_id (the r8 shape: unbounded
-    # literal at 100 TB duplication rates)
+    # literal at 100 TB duplication rates), and never a FORCED
+    # broadcast (the r9 shape: the set is duplication-sized, so an
+    # unconditional hint OOMs the driver at scale — AQE must be free
+    # to pick shuffle when the artifact is large)
     from healthcare_research_data_pipeline_project_spark.queries.datapipe7 import (
         _canonical_reps,
     )
@@ -317,8 +329,12 @@ def test_pagerank_canonical_reps_is_broadcast_anti_join(spark, tmp_path):
     reps = _canonical_reps(spark, nk, emb)
     p = X.plan(reps)
     assert "LeftAnti" in p, "non-keepers must anti-join, got no LeftAnti"
-    assert "BroadcastHashJoin" in p
     assert "vec_id IN (" not in p and "vec_id INSET" not in p, (
         "driver-materialized IN-list over the canonical set"
     )
+    # no broadcast HINT in the logical plan — the physical strategy is
+    # AQE's size-based choice (it will broadcast this tiny artifact,
+    # which is fine; the bug was forcing it unconditionally)
+    logical = reps._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
     assert reps.filter(F.col("vec_id").isin(3, 7)).count() == 0
