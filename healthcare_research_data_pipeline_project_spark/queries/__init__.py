@@ -51,7 +51,12 @@ GATE_PRIORITY = [
     # the newest oracle-backed operators in the driver gate). LIKE
     # stays gate-evidenced by hc_q2/hc_q4/hc_q7 in this window and the
     # row stays green in the committed MIRROR.json.
-    "t_autocorr",
+    # t_autocorr rotated OUT r10 (lag-window arithmetic stays gate-
+    # evidenced by w1_w2_group_outliers' windowed stats in this
+    # window; the row stays green in MIRROR.json) for
+    # t_funnel_conversion — the r9 single-scan/single-shuffle funnel
+    # rewrite that never had a driver gate row (VERDICT r9 #4).
+    "t_funnel_conversion",
     "j1_star_join",
     "j2_band_self_join",
     # j3_left_join_pred rotated OUT r5 (left-join-with-side-predicate
@@ -77,7 +82,15 @@ GATE_PRIORITY = [
     # both stay green in MIRROR.json) for two r5-new oracle routes:
     # the per-document connected-components assignment and the
     # fixed-iteration PageRank recursive-CTE check.
-    "dedup_clusters",
+    # dedup_clusters rotated OUT r10 (connected-components assignment
+    # stays gate-evidenced TWICE in this window: dedup_canonical_keep
+    # consumes the CC keeper logic and g_pagerank_canonical's
+    # canonicalize stage consumes the full component sweep; the row
+    # stays green in MIRROR.json) for mb_pair_lift — the market-basket
+    # pair-lift query whose n_orders computation was rewritten r10
+    # from an unpartitioned window to a broadcast scalar aggregate
+    # (rotate refactored queries into the gate, VERDICT r9 #1/#4).
+    "mb_pair_lift",
     # g_pagerank_centrality rotated OUT r9 (the recursive-CTE PageRank
     # oracle stays green in MIRROR.json; PageRank stays gate-evidenced
     # by g_pagerank_knn AND the new canonical row below) for
@@ -137,7 +150,12 @@ GATE_PRIORITY = [
     # stay pytest-pinned and both stay green in MIRROR.json) for the
     # r4 sequence ops: event-pattern matching and the explicit
     # tie-break mode battery.
-    "t_event_pattern_match",
+    # t_event_pattern_match rotated OUT r10 (event-sequence gating
+    # stays evidenced by t_funnel_conversion's ordered step gates in
+    # this window; the row stays green in MIRROR.json) for
+    # text_source_overlap — the r9-new cross-source contamination
+    # matrix that never had a driver gate row (VERDICT r9 #4).
+    "text_source_overlap",
     # a27_mode_battery rotated OUT r9 (the explicit tie-break mode
     # battery stays green in MIRROR.json) for mm_media_features — the
     # per-row payload-reconstruction oracle added in r9 (the last
