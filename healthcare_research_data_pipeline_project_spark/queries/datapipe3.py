@@ -444,17 +444,31 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Ordered funnel analysis: view → click → purchase, each step strictly
-# after the user's first occurrence of the previous step. ONE scan of
-# events and ONE shuffle (hash on user_id): three whole-partition
-# window aggregates compute t0/t1/t2 in sequence over the same
-# partitioning (Catalyst pipelines the Window operators — no extra
-# exchange, each step's predicate referencing the previous step's
-# windowed column), then the per-user rollup reuses the window's
-# HashPartitioning exchange-free and a final single-row aggregate
-# emits the funnel. The r8 shape built each step as its own
-# aggregate-join (7 scans of events, 12 exchanges in the executed
-# plan); at 100 TB this shape shuffles events exactly once. The
-# time-to-convert average is exact integer microsecond arithmetic.
+# after the user's first occurrence of the previous step.
+#
+# Shape (r10): a pre-aggregated gating chain. The view stage partial-
+# aggregates map-side, so its shuffle carries ~n_users rows, never raw
+# view rows — and views dominate real funnels (10x clicks, 100x
+# purchases). Clicks and purchases each shuffle RAW exactly once, as
+# the probe side of their gating join; that volume is irreducible: the
+# gated min (min click ts > t0) has no lossless bounded per-(user,
+# type) partial state, because for thresholds just below it EVERY
+# distinct click is the answer — the candidate set IS the history. The
+# stages form a LINEAR right-outer chain (click probe → per-user frame
+# → purchase probe), each frame consumed exactly once, and every join
+# and rollup after the three stage shuffles rides the same user_id
+# hash partitioning exchange-free.
+#
+# The r9 window formulation (one shuffle of ALL raw rows + three
+# whole-partition windows) was REJECTED on scale review: its single
+# exchange moved view+click+purchase rows with zero map-side
+# reduction, and UnboundedWindow buffers each user's full event
+# history per partition — a hot-user skew hazard. The chain streams
+# through sort-merge joins with constant per-group aggregate state
+# instead. (The r8 shape — 7 scans / 12 exchanges — stays rejected;
+# this one scans events 3x column-pruned + type-filtered, shuffles
+# n_users + clicks + purchases.) The time-to-convert average is exact
+# integer microsecond arithmetic.
 # ---------------------------------------------------------------------------
 @register(
     "t_funnel_conversion",
@@ -486,37 +500,49 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    ev = t.events.select("user_id", "event_type", "ts").filter(
-        F.col("event_type").isin("view", "click", "purchase")
+    ev = t.events.select("user_id", "event_type", "ts")
+
+    def stage(ev_type: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == ev_type).select(
+            "user_id", "ts"
+        )
+
+    # t0: partial_min shrinks view rows to one per user BEFORE the
+    # exchange — the only stage whose raw rows never shuffle
+    v = stage("view").groupBy("user_id").agg(F.min("ts").alias("t0"))
+    # t1/t2: gating stages as RIGHT-outer probe joins, each consuming
+    # the previous stage's frame exactly once (a linear chain — no
+    # re-join assembly, so nothing is planned twice). The fact side
+    # shuffles raw once onto the user_id partitioning the aggregate
+    # side already has; the post-join conditional-min rollup is
+    # exchange-free on that partitioning (constant state, streams
+    # through SMJ — no per-user buffering, no hot-user skew cliff).
+    # Right-outer keeps drop-off users with NULL step times; the
+    # carried t0/t1 are per-user constants, recovered with max().
+    vc = (
+        stage("click")
+        .withColumnRenamed("ts", "cts")
+        .join(v, "user_id", "right")
+        .groupBy("user_id")
+        .agg(
+            F.max("t0").alias("t0"),
+            F.min(
+                F.when(F.col("cts") > F.col("t0"), F.col("cts"))
+            ).alias("t1"),
+        )
     )
-    w = Window.partitionBy("user_id")
-    ty = F.col("event_type")
-    # whole-partition windows, each step gated on the previous one: a
-    # NULL previous step makes `ts > prev` NULL, so the WHEN never
-    # fires — exactly the step-join semantics (no view ⇒ no click row)
-    s0 = ev.withColumn(
-        "t0", F.min(F.when(ty == "view", F.col("ts"))).over(w)
-    )
-    s1 = s0.withColumn(
-        "t1",
-        F.min(
-            F.when((ty == "click") & (F.col("ts") > F.col("t0")), F.col("ts"))
-        ).over(w),
-    )
-    s2 = s1.withColumn(
-        "t2",
-        F.min(
-            F.when(
-                (ty == "purchase") & (F.col("ts") > F.col("t1")), F.col("ts")
-            )
-        ).over(w),
-    )
-    # per-user rollup rides the window's HashPartitioning (no exchange:
-    # every row of a user carries identical t0/t1/t2)
-    per_user = s2.groupBy("user_id").agg(
-        F.max("t0").alias("t0"),
-        F.max("t1").alias("t1"),
-        F.max("t2").alias("t2"),
+    per_user = (
+        stage("purchase")
+        .withColumnRenamed("ts", "pts")
+        .join(vc, "user_id", "right")
+        .groupBy("user_id")
+        .agg(
+            F.max("t0").alias("t0"),
+            F.max("t1").alias("t1"),
+            F.min(
+                F.when(F.col("pts") > F.col("t1"), F.col("pts"))
+            ).alias("t2"),
+        )
     )
     r = per_user.agg(
         F.count("t0").alias("n_view"),

@@ -186,19 +186,28 @@ def test_ks_two_sample_scans_fact_once_in_final_plan(spark):
     assert "ReusedExchange" in final
 
 
-def test_funnel_single_scan_single_shuffle(spark):
-    # the r9 window formulation: events scanned ONCE, shuffled ONCE
-    # (hash on user_id); the three step windows and the per-user
-    # rollup all ride that single partitioning. The step-join shape
-    # this replaced scanned events 7x with 12 exchanges.
+def test_funnel_preaggregated_gating_chain(spark):
+    # the r10 chain formulation: the view stage partial-aggregates
+    # BEFORE its exchange (raw view rows never shuffle), clicks and
+    # purchases shuffle raw exactly once each as gating-join probes,
+    # and nothing buffers per-user history — no Window operator may
+    # appear (the r9 whole-partition-window shape shuffled ALL raw
+    # rows with zero map-side reduction and buffered each user's full
+    # history: hot-user skew). Everything after the three stage
+    # shuffles rides the same user_id partitioning exchange-free.
     import re
 
     df = Q.QUERIES["t_funnel_conversion"](spark, SF_ORACLE)
     df.collect()
     full = df._jdf.queryExecution().executedPlan().toString()
     final = full.split("== Initial Plan ==")[0]
-    assert final.count("Scan parquet") == 1, final
-    assert len(re.findall(r"Exchange (?!SinglePartition)", final)) == 1, final
+    assert "Window" not in final, "per-user history buffering regressed"
+    assert final.count("Scan parquet") == 3, final
+    assert "partial_min" in final, "view stage lost its map-side combine"
+    # stage shuffles only: view partial-agg + click probe + purchase
+    # probe (AQE broadcast-converts the tiny aggregate sides at test
+    # SF, removing the probe exchanges — hence <=)
+    assert len(re.findall(r"Exchange hashpartitioning", final)) <= 3, final
 
 
 def test_df_capped_jaccard_has_no_join_in_pair_path(spark):
