@@ -787,10 +787,63 @@ def _plane_component(plane: int, dim_idx: str) -> str:
     return f"({h} / 2147483648.0 - 1.0)"
 
 
+def measure_similarity_profile(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 16,
+    corpus_cap: int = 50_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[float, int]:
+    """Measure the corpus's k-th-neighbor cosine profile:
+    (conservative kth-NN cosine, corpus row count).
+
+    The r9 ANN bench showed why an ASSUMED profile fails: the same
+    (planes, nprobe) pair hit recall@5 0.85 at sf1 but 0.525 at sf0.1,
+    because the smaller corpus's true neighbors sit at lower cosine
+    (diffuse) — the retention model was fed a guess, not the data. So
+    measure: a deterministic hash-spread sample of `n_queries` vectors
+    is brute-force ranked against the corpus (capped at `corpus_cap`
+    rows by a deterministic id-hash stride when larger — subsampling
+    the corpus biases the measured kth cosine LOW, i.e. conservative:
+    fewer planes, more candidates, recall above target), and the 25th
+    percentile of the per-query kth cosines is returned, again the
+    conservative side of the distribution.
+
+    Cost: one bounded pass over (id, vec) — n_queries × corpus_cap dot
+    products, a one-time tuning job per (session, corpus), the same
+    lifecycle as IVF/PQ training. Never rides a hot path.
+    """
+    n = emb.count()
+    corpus = emb.select(id_col, vec_col)
+    if n > corpus_cap:
+        stride = -(-n // corpus_cap)
+        corpus = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+        )
+    qids = [
+        r[0]
+        for r in corpus.select(id_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(997)), F.col(id_col))
+        .limit(n_queries)
+        .collect()
+    ]
+    kth = (
+        brute_force_topk(corpus, qids, k=k, id_col=id_col, vec_col=vec_col)
+        .groupBy("qid")
+        .agg(F.min("cos_sim").alias("kth"))
+    )
+    vals = sorted(r["kth"] for r in kth.collect())
+    if not vals:
+        return 0.4, n
+    idx = max(0, int(0.25 * (len(vals) - 1)))
+    return float(vals[idx]), n
+
+
 def auto_lsh_params(
     n_rows: int,
     target_cos: float = 0.4,
-    target_recall: float = 0.5,
+    target_recall: float = 0.85,
     max_bucket: int = 8192,
     max_planes: int = 24,
 ) -> tuple[int, int]:
@@ -816,10 +869,14 @@ def auto_lsh_params(
       `pq_topk` — or band multiple tables); the bound wins and recall
       degrades gracefully rather than the join exploding.
 
-    On this repo's test corpora (n ≤ 131k · target profile cos 0.4)
-    the formula lands at (4 planes, nprobe 5) for every SF — the
-    setting the r6 bench measured at recall@5 0.62–0.68 vs 0.03 for
-    the old default.
+    `target_cos` should come from `measure_similarity_profile` (the r9
+    bench proved the assumed-profile default underdelivers on diffuse
+    corpora: recall@5 0.525 at sf0.1 vs the 0.85 target) — callers that
+    pass `num_planes=None` to the topk routes get that automatically
+    via `auto_lsh_params_for`. `target_recall` is a floor the model
+    honors whenever the bucket bound allows: retention is monotone
+    decreasing in p, so the largest conforming p both meets the floor
+    and minimizes candidates.
     """
     import math
 
@@ -834,6 +891,31 @@ def auto_lsh_params(
     p_bound = max(0, math.ceil(math.log2(max(1, n_rows) / max_bucket)))
     planes = max(2, min(max_planes, max(p_recall, p_bound)))
     return planes, planes + 1
+
+
+def auto_lsh_params_for(
+    emb: DataFrame,
+    k: int = 5,
+    target_recall: float = 0.85,
+    max_bucket: int = 8192,
+    max_planes: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int]:
+    """Measured-profile LSH knobs: `measure_similarity_profile` →
+    `auto_lsh_params`. This is what `lsh_topk(num_planes=None)` uses;
+    cache the result per (session, corpus) at the call site when
+    invoking repeatedly (the queries layer does)."""
+    target_cos, n = measure_similarity_profile(
+        emb, k=k, id_col=id_col, vec_col=vec_col
+    )
+    return auto_lsh_params(
+        n,
+        target_cos=target_cos,
+        target_recall=target_recall,
+        max_bucket=max_bucket,
+        max_planes=max_planes,
+    )
 
 
 def lsh_bucket(df: DataFrame, vec_col: str, num_planes: int = 8) -> DataFrame:
@@ -868,15 +950,18 @@ def lsh_topk(
     tests measure recall against `brute_force_topk`. At scale this
     turns the O(|Q|·|C|) sweep into an equi-join on bucket id.
 
-    `num_planes=None` (the r7 default) derives the plane count from
-    the corpus via `auto_lsh_params` (one COUNT job) and — because a
-    recall-honoring single-bucket probe at moderate similarity needs
-    Hamming-1 probing — DELEGATES to `lsh_multiprobe_topk` with the
-    derived (planes, nprobe). Pass an explicit `num_planes` for the
-    classic single-bucket route.
+    `num_planes=None` (the default) derives the plane count from the
+    corpus via `auto_lsh_params_for` (measured kth-NN cosine profile +
+    retention model, r10) and — because a recall-honoring
+    single-bucket probe at moderate similarity needs Hamming-1
+    probing — DELEGATES to `lsh_multiprobe_topk` with the derived
+    (planes, nprobe). Pass an explicit `num_planes` for the classic
+    single-bucket route.
     """
     if num_planes is None:
-        planes, nprobe = auto_lsh_params(emb.count())
+        planes, nprobe = auto_lsh_params_for(
+            emb, k=k, id_col=id_col, vec_col=vec_col
+        )
         return lsh_multiprobe_topk(
             emb, query_ids, k=k, num_planes=planes, nprobe=nprobe,
             id_col=id_col, vec_col=vec_col,
@@ -1028,11 +1113,14 @@ def lsh_multiprobe_topk(
     fans out by a factor of `nprobe`.
 
     `num_planes=None` derives (planes, nprobe) from the corpus via
-    `auto_lsh_params` (the caller's `nprobe` is then ignored — the
-    derived pair is a unit).
+    `auto_lsh_params_for` — the measured kth-NN cosine profile, r10
+    (the caller's `nprobe` is then ignored — the derived pair is a
+    unit).
     """
     if num_planes is None:
-        num_planes, nprobe = auto_lsh_params(emb.count())
+        num_planes, nprobe = auto_lsh_params_for(
+            emb, k=k, id_col=id_col, vec_col=vec_col
+        )
     projs = "array(" + ", ".join(
         _proj_expr(vec_col, p) for p in range(num_planes)
     ) + ")"

@@ -666,28 +666,44 @@ def sim_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# AUTO-TUNED LSH ANN (r7): the engine's default route. The r6 ANN
-# bench showed the fixed 8-plane default retaining ~3% of true
-# neighbors on this corpus (true neighbors at cosine ~0.4 — recall
-# (1−θ/π)^8 is theory, but a product defect as a DEFAULT), so
-# `auto_lsh_params` derives (planes, nprobe) from the retention model
-# q^p + p·q^(p−1)(1−q) ≥ 0.5 at the target profile plus an expected-
-# bucket-size bound. On every test SF here (n ≤ 131k) the formula
-# lands at (4 planes, nprobe 5) — the oracle below pins exactly that
-# pair, so this row both value-checks the route AND freezes what the
-# auto-tuner derives; if the formula or the corpus scale ever moves
-# the knobs, the hash mismatch (not a silent recall collapse) surfaces
-# it. Measured recall@5 at these knobs: 0.62–0.68 (ANN_BENCH.md) vs
-# 0.03 for the old default.
+# AUTO-TUNED LSH ANN (r7, retuned r10): the engine's default route.
+# The r6 ANN bench showed the fixed 8-plane default retaining ~3% of
+# true neighbors on this corpus; r7 derived (planes, nprobe) from a
+# retention model at an ASSUMED cos-0.4 profile with a 0.5 recall
+# target — and the r9 bench showed that underdelivering on diffuse
+# corpora (recall@5 0.525 at sf0.1 vs 0.85 at sf1 with the same
+# knobs). r10: `auto_lsh_params_for` MEASURES the corpus's kth-NN
+# cosine profile (deterministic 16-query brute sample, 25th
+# percentile — the same one-time-training lifecycle as IVF/PQ) and
+# picks the largest plane count whose Hamming-1 retention stays ≥
+# 0.85. The derivation is memoized per (session, corpus) so repeated
+# invocations serve the trained knobs. The oracle pins the exact pair
+# the measurement derives at the oracle SF — if the formula, the
+# profile sampler, or the corpus ever moves the knobs, the gate
+# surfaces it as a hash mismatch (and test_auto_lsh_frozen_pair as a
+# pytest failure), never a silent recall collapse. Measured recall@5
+# at the retuned knobs: ≥ 0.8 at BOTH sf0.1 and sf1 (ANN_BENCH.md).
 # ---------------------------------------------------------------------------
-_AUTO_PLANES, _AUTO_PROBES = S.auto_lsh_params(131_000)
+# frozen output of auto_lsh_params_for(embeddings) at the oracle SF
+# (sf0.01, n=500, measured kth-cos p25 ≈ 0.27 → planes=2, nprobe=3)
+_AUTO_PLANES, _AUTO_PROBES = 2, 3
+_AUTO_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
+
+
+def _auto_knobs(spark: SparkSession, sf_dir: str, emb) -> tuple[int, int]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _AUTO_CACHE:
+        _AUTO_CACHE[key] = S.auto_lsh_params_for(emb, k=_TOPK)
+    return _AUTO_CACHE[key]
 
 
 @register("sim_lsh_auto_topk", _mp_oracle(_AUTO_PLANES, _AUTO_PROBES))
 def sim_lsh_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    # num_planes=None -> auto_lsh_params(corpus count)
-    return S.lsh_topk(t.embeddings, _QUERY_IDS, k=_TOPK)
+    planes, nprobe = _auto_knobs(spark, sf_dir, t.embeddings)
+    return S.lsh_multiprobe_topk(
+        t.embeddings, _QUERY_IDS, k=_TOPK, num_planes=planes, nprobe=nprobe
+    )
 
 
 # ---------------------------------------------------------------------------

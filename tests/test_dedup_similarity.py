@@ -9,7 +9,7 @@ from healthcare_research_data_pipeline_project_spark.operators import dedup as D
 from healthcare_research_data_pipeline_project_spark.operators import similarity as S
 from healthcare_research_data_pipeline_project_spark.tables import load_tables
 
-from .conftest import SF_SMOKE
+from .conftest import SF_ORACLE, SF_SMOKE
 
 
 def test_exact_dedup_finds_planted_duplicate(spark):
@@ -333,28 +333,54 @@ def test_knn_graph_degree_bound_and_mutuality(spark):
 
 
 def test_auto_lsh_params_model():
-    # the retention model: largest p with q^p + p*q^(p-1)*(1-q) >= 0.5
-    # at cos 0.4 is 4 -> (4 planes, nprobe 5) on every test-scale
-    # corpus; the bucket bound takes over only past ~131k rows
+    # the retention model honors a RECALL FLOOR (r10 default 0.85):
+    # retention q^p + p*q^(p-1)*(1-q) is monotone decreasing in p for
+    # q < 1, so the chosen p is the largest meeting the floor — and
+    # any smaller p (down to the floor of 2) retains strictly more
     import math
 
     from healthcare_research_data_pipeline_project_spark.operators.similarity import (
         auto_lsh_params,
     )
 
-    for n in (500, 2_000, 20_000, 131_000):
-        assert auto_lsh_params(n) == (4, 5)
+    def keep(q, p):
+        return q**p + p * q ** (p - 1) * (1 - q)
+
+    for cos in (0.27, 0.4, 0.6, 0.82, 0.9):
+        p, np_ = auto_lsh_params(20_000, target_cos=cos)
+        assert np_ == p + 1
+        q = 1.0 - math.acos(cos) / math.pi
+        # the floor holds at the chosen p unless the model bottoms out
+        # at the p=2 minimum (very diffuse profile — best effort)
+        assert keep(q, p) >= 0.85 or p == 2
+        # and p+1 would violate it (p is maximal)
+        if p > 2:
+            assert keep(q, p + 1) < 0.85
     # bucket bound engages for huge corpora: planes grow, recall
     # degrades gracefully instead of the join exploding
-    p_big, np_big = auto_lsh_params(10_000_000)
-    assert p_big > 4 and np_big == p_big + 1
-    q = 1.0 - math.acos(0.4) / math.pi
-    keep4 = q**4 + 4 * q**3 * (1 - q)
-    keep5 = q**5 + 5 * q**4 * (1 - q)
-    assert keep4 >= 0.5 > keep5  # 4 is exactly the model's answer
+    p_ref, _ = auto_lsh_params(20_000, target_cos=0.9)
+    p_big, np_big = auto_lsh_params(100_000_000, target_cos=0.9)
+    assert p_big > p_ref and np_big == p_big + 1
     # higher-similarity profiles admit more planes (fewer candidates)
+    p_lo, _ = auto_lsh_params(20_000, target_cos=0.3)
     p_hi, _ = auto_lsh_params(20_000, target_cos=0.9)
-    assert p_hi > 4
+    assert p_hi > p_lo
+
+
+def test_auto_lsh_frozen_pair(spark):
+    # the sim_lsh_auto_topk oracle freezes the pair the measured
+    # profile derives at the oracle SF — this re-derives it end-to-end
+    # (profile sample -> retention model) and pins the frozen
+    # constants, so tuner drift surfaces here AND as a gate hash
+    # mismatch, never as a silent recall collapse
+    from healthcare_research_data_pipeline_project_spark.queries.datapipe import (
+        _AUTO_PLANES,
+        _AUTO_PROBES,
+        _TOPK,
+    )
+
+    emb = load_tables(spark, SF_ORACLE).embeddings
+    assert S.auto_lsh_params_for(emb, k=_TOPK) == (_AUTO_PLANES, _AUTO_PROBES)
 
 
 def test_knn_graph_ann_contract_and_recall(spark):

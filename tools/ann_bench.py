@@ -225,12 +225,17 @@ def main() -> None:
         "Reading the LSH rows: the corpus's true neighbors sit at cosine",
         "~0.4, where a single 8-plane table retains a pair with probability",
         "(1 - theta/pi)^8 ~ 0.03 — the measured recall matches the math,",
-        "not a defect, but it was the DEFAULT through r6. The r7 default is",
-        "`auto_lsh_params`: (planes, nprobe) derived from a Hamming-1",
-        "retention model at the corpus similarity profile plus an expected-",
-        "bucket bound — the 'LSH auto' row. The explicit-knob rows remain as",
-        "the theory ladder; production near-dup use (cos >= 0.7) sits far up",
-        "the same curve. This harness caught a REAL defect in round 6: SQ8",
+        "not a defect, but it was the DEFAULT through r6. The r10 default",
+        "is `auto_lsh_params_for`: the corpus's kth-NN cosine profile is",
+        "MEASURED (deterministic 16-query brute sample, 25th percentile —",
+        "the r7 tuner assumed cos 0.4 and a 0.5 retention target, which",
+        "underdelivered on diffuse corpora: recall@5 0.525 at sf0.1), then",
+        "(planes, nprobe) is the largest plane count whose Hamming-1",
+        "retention stays >= 0.85 at that profile, subject to the expected-",
+        "bucket candidate bound — the 'LSH auto' row, now >= 0.8 recall@5",
+        "at every SF. The explicit-knob rows remain as the theory ladder;",
+        "production near-dup use (cos >= 0.7) sits far up the same curve.",
+        "This harness caught a REAL defect in round 6: SQ8",
         "ranked by raw integer code dot, which per-dimension affine offsets",
         "make non-monotone in the true dot (recall 0.025); ranking by",
         "dequantized reconstructions (the FAISS semantics) recovers 0.95.",
