@@ -117,6 +117,15 @@ def test_warehouse_fact_aggregation_uses_bucketing(spark):
             assert (
                 "BroadcastExchange" in line or "SinglePartition" in line
             ), f"unexpected shuffle over bucketed facts: {line.strip()}"
+    # and every fact is scanned exactly ONCE: the reference's four
+    # correlated bundle-element EXISTS subqueries (healthcare-sql-
+    # analytics.sql:233-278) are folded into conditional aggregates
+    # over two shared fact passes — a regression to per-element
+    # rescans shows up here as a second lab/med scan (VERDICT r9 #6)
+    p = X.plan(df, "simple")
+    for fact in ("fact_lab_results", "fact_medication_orders",
+                 "fact_encounters"):
+        assert p.count(f"spark_catalog.default.{fact}") == 1, fact
 
 
 def test_decontaminate_broadcasts_eval_vocabulary(spark):
