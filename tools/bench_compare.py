@@ -21,6 +21,18 @@ an unannotated budget breach makes the exit code 1 regardless of
 over-threshold delta with its annotation status — as a committed
 round artifact, so 150+ queries stay honest as the corpus grows:
 silent drift has to either be explained or fail the round summary.
+
+Canary adjudication (r10 governance): bench.py embeds machine-canary
+fingerprints (fixed single-core Python-loop + multi-core BLAS
+workloads, sampled around each best-of pass) in every artifact. When
+a breach has no manual annotation, this tool reads both artifacts'
+canaries: if either run's canary spread exceeds 1.5x within-run, or
+the runs' best samples differ by more than 1.5x cross-run, the breach
+is AUTO-annotated with the measured ratios (annotation_source:
+"auto-canary" in the table — host weather, checkable against the
+committed artifacts). If the canaries are steady, the breach stays
+unannotated and the exit code demands a re-run or a real explanation:
+a steady canary means the machine was not the cause.
 """
 
 from __future__ import annotations
@@ -64,6 +76,64 @@ def load(path: str) -> dict[str, float]:
     raise SystemExit(f"{path}: no bench JSON found ({last_err})")
 
 
+def load_canary(path: str) -> list[dict] | None:
+    """Machine-canary fingerprints embedded in a bench artifact
+    (bench.py records one before the run and one after each
+    best-of pass). None for pre-r9 artifacts."""
+    try:
+        d = json.load(open(path))
+    except Exception:  # noqa: BLE001
+        return None
+    for cand in (d, d.get("parsed") or {}):
+        if isinstance(cand, dict) and isinstance(
+            cand.get("machine_canary"), list
+        ):
+            return cand["machine_canary"]
+    return None
+
+
+def canary_verdict(
+    before: list[dict] | None,
+    after: list[dict] | None,
+    drift_ratio: float = 1.5,
+) -> tuple[bool, str]:
+    """(machine_drifted, evidence). Drift is established by either
+    fingerprint set: the canary's fixed workloads (single-core Python
+    loop, multi-core BLAS matmul) spreading more than `drift_ratio`
+    WITHIN one run (the host slowed mid-run), or the cross-run ratio
+    of the runs' best canary samples exceeding it (the two rounds saw
+    different machines). The evidence string embeds the numbers, so
+    the committed annotation is checkable against the artifacts."""
+
+    def spread(c: list[dict], key: str) -> tuple[float, float]:
+        vals = [s[key] for s in c if isinstance(s.get(key), (int, float))]
+        return (min(vals), max(vals)) if vals else (0.0, 0.0)
+
+    parts, drifted = [], False
+    for key in ("blas_matmul_sec", "py_loop_sec"):
+        for label, c in (("before", before), ("after", after)):
+            if not c:
+                continue
+            lo, hi = spread(c, key)
+            if lo > 0:
+                ratio = hi / lo
+                parts.append(f"{key} {label} {lo:.3f}-{hi:.3f}s "
+                             f"(x{ratio:.2f} within-run)")
+                if ratio > drift_ratio:
+                    drifted = True
+        if before and after:
+            blo, _ = spread(before, key)
+            alo, _ = spread(after, key)
+            if blo > 0 and alo > 0:
+                ratio = max(alo / blo, blo / alo)
+                parts.append(f"{key} best-of cross-run x{ratio:.2f}")
+                if ratio > drift_ratio:
+                    drifted = True
+    if not parts:
+        return False, "no canary fingerprints in either artifact"
+    return drifted, "; ".join(parts)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("before")
@@ -84,6 +154,20 @@ def main() -> int:
     notes: dict[str, str] = {}
     if os.path.exists(ANNOTATIONS):
         notes = json.load(open(ANNOTATIONS))
+    # machine-generated adjudication (r10): breaches on a run whose
+    # canary fingerprints show host drift are auto-annotated with the
+    # measured ratios; breaches with steady canaries must carry a
+    # hand-written annotation or the run fails — i.e. a re-run (or a
+    # real explanation) is demanded exactly when the machine was NOT
+    # the cause.
+    drifted, canary_evidence = canary_verdict(
+        load_canary(args.before), load_canary(args.after)
+    )
+    auto_note = (
+        f"auto-canary: host drifted during/between runs — {canary_evidence}"
+        if drifted
+        else None
+    )
     common = sorted(set(b) & set(a))
     regs, imps = [], []
     for k in common:
@@ -98,13 +182,19 @@ def main() -> int:
           f"only-before: {sorted(set(b) - set(a))or '[]'}; "
           f"only-after: {sorted(set(a) - set(b)) or '[]'}")
     breaches = []
+    resolved_notes: dict[str, tuple[str, str]] = {}
     for delta, k in sorted(regs, reverse=True):
         over = delta >= args.budget_pct
-        note = notes.get(k)
+        note, source = notes.get(k), "manual"
+        if over and not note and auto_note:
+            note, source = auto_note, "auto-canary"
+        if note:
+            resolved_notes[k] = (note, source)
         tag = ""
         if over:
-            tag = (f"  [budget breach: {note}]" if note
-                   else "  [BUDGET BREACH — unannotated]")
+            tag = (f"  [budget breach ({source}): {note}]" if note
+                   else "  [BUDGET BREACH — unannotated, canary steady:"
+                        " re-run or explain]")
             if not note:
                 breaches.append(k)
         print(f"REGRESSION {delta:+7.1f}%  {k}: "
@@ -122,6 +212,7 @@ def main() -> int:
             "after": args.after,
             "threshold_pct": args.pct,
             "budget_pct": args.budget_pct,
+            "canary": {"drifted": drifted, "evidence": canary_evidence},
             "regressions": [
                 {
                     "query": k,
@@ -129,7 +220,10 @@ def main() -> int:
                     "before_s": round(b[k], 3),
                     "after_s": round(a[k], 3),
                     "over_budget": delta >= args.budget_pct,
-                    "annotation": notes.get(k),
+                    "annotation": resolved_notes.get(k, (None, None))[0],
+                    "annotation_source": resolved_notes.get(
+                        k, (None, None)
+                    )[1],
                 }
                 for delta, k in sorted(regs, reverse=True)
             ],
