@@ -90,6 +90,30 @@ def _trained_artifact(spark: SparkSession, sf_dir: str, kind: str, build):
         _TRAINED[key] = build()
     return _TRAINED[key]
 
+
+_ARTIFACT_CLEANUPS: set[str] = set()
+
+
+def _artifact_dir(spark: SparkSession, name: str) -> str:
+    """Per-(application, corpus) on-disk artifact location under the
+    system tempdir, registered for removal at interpreter exit — the
+    index/non-keeper parquets are session-scoped serving artifacts,
+    not durable state, and were previously never cleaned (r9
+    ADVICE)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"hrdp_artifacts_{spark.sparkContext.applicationId}",
+    )
+    if root not in _ARTIFACT_CLEANUPS:
+        _ARTIFACT_CLEANUPS.add(root)
+        atexit.register(shutil.rmtree, root, True)
+    return os.path.join(root, name)
+
 # ---------------------------------------------------------------------------
 # Degree distribution of the bipartite part–supplier graph.
 # distinct(edge) is one shuffle with map-side partial dedup; the degree
@@ -1010,16 +1034,10 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (and what a bench re-run measures is the QUERY path).
     def _build_pq_index() -> tuple[list, str]:
         import hashlib
-        import os
-        import tempfile
 
         books = S.train_pq_codebooks(t.embeddings, m=16, ksub=32)
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"hrdp_artifacts_{spark.sparkContext.applicationId}",
-            f"pq_codes_m16_k32_{tag}",
-        )
+        path = _artifact_dir(spark, f"pq_codes_m16_k32_{tag}")
         # the index stores codes AND the flat vectors (FAISS's
         # IndexRefineFlat keeps both: codes for the compressed scan,
         # flat vectors for the refine re-rank) — one scan serves the
@@ -1030,6 +1048,20 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(path)
         )
+        # coverage assertion: the audit's true-kth pass reads the
+        # INDEX, so a row silently dropped during encode/join would
+        # vanish from both the result and the oracle it is audited
+        # against (r9 ADVICE). Pin the index to the source corpus
+        # row-for-row at build time — one cheap count per (session,
+        # corpus).
+        n_idx = spark.read.parquet(path).count()
+        n_src = t.embeddings.count()
+        if n_idx != n_src:
+            raise RuntimeError(
+                f"PQ index dropped rows: {n_idx} indexed vs {n_src} "
+                f"source embeddings — true-kth audit would be blind to "
+                f"the loss"
+            )
         return books, path
 
     books, codes_path = _trained_artifact(
@@ -1920,19 +1952,13 @@ def g_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expressed as a pushdown).
     def _canonicalize() -> str:
         import hashlib
-        import os
-        import tempfile
 
         cc_edges = S.embedding_near_dup_pairs(
             t.embeddings, threshold=_TRI_T
         ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         comp = connected_components(cc_edges, "src", "dst")
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"hrdp_artifacts_{spark.sparkContext.applicationId}",
-            f"canonical_nonkeepers_{tag}",
-        )
+        path = _artifact_dir(spark, f"canonical_nonkeepers_{tag}")
         # parallel write — NOT coalesce(1): the non-keeper set is
         # duplication-sized, and funneling it through one task caps
         # write throughput at one core exactly when the set is large

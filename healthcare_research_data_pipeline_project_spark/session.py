@@ -39,20 +39,10 @@ def get_spark(
       oracle regardless of host timezone.
     """
     cpus = default_parallelism()
+    resolved_master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
-        # local mode runs every executor thread inside the driver JVM,
-        # whose default heap is 1 GiB — 32 concurrent tasks in 1 GiB is
-        # a GC treadmill (measured: the bench corpus's 1.5-2.0 s band is
-        # GC-bound at the default). Size the heap like the executor it
-        # actually is; on a real cluster this knob is inert (driver does
-        # no task work) and executor sizing comes from the deploy config.
-        # Only effective if set before JVM launch — harmless afterwards.
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
-        )
+        .master(resolved_master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # respect advisoryPartitionSizeInBytes when coalescing instead of
@@ -87,6 +77,38 @@ def get_spark(
         .config("spark.driver.maxResultSize", "2g")
         .config("spark.ui.enabled", "false")
     )
+    # local mode runs every executor thread inside the driver JVM,
+    # whose default heap is 1 GiB — 32 concurrent tasks in 1 GiB is a
+    # GC treadmill (measured: the bench corpus's 1.5-2.0 s band is
+    # GC-bound at the default). Size the heap like the executor it
+    # actually is, but ONLY in local mode and never past what the host
+    # can give: in client-mode cluster deploys the driver does no task
+    # work and a blanket 24g request can fail JVM launch on a small
+    # edge node (the r9 ADVICE finding). Cap at half the host's
+    # MemTotal. Only effective if set before JVM launch — harmless
+    # afterwards.
+    if resolved_master.startswith("local"):
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", f"{_local_heap_gib()}g"
+            ),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def _local_heap_gib(want_gib: int = 24) -> int:
+    """min(want, half of host MemTotal), floored at 1 GiB. Reads
+    /proc/meminfo (Linux); falls back to a conservative 4 GiB when
+    the host's memory is unknowable."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) // (1024 * 1024)
+                    return max(1, min(want_gib, total_gib // 2))
+    except OSError:
+        pass
+    return min(want_gib, 4)

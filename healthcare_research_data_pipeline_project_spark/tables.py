@@ -53,17 +53,22 @@ SPREAD_TABLES = {"orders", "lineitem", "events", "documents", "embeddings"}
 def _split_cache_dir(path: str, nparts: int) -> str:
     """Content-keyed location of the multi-file relayout of `path`:
     invalidated by source mtime/size (regenerated testdata) and by the
-    split count (different CPU budget)."""
+    split count (different CPU budget). The dir name leads with a
+    stable source-path id so stale siblings of the SAME source
+    (regenerated testdata, changed CPU count) are identifiable and
+    pruned on the next build — without it the cache grew a full table
+    copy per (mtime, size, nparts) forever (r9 ADVICE)."""
     import hashlib
 
     st = os.stat(path)
+    src = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:8]
     spec = f"{os.path.abspath(path)}\x00{st.st_mtime_ns}\x00{st.st_size}\x00{nparts}"
     key = hashlib.md5(spec.encode()).hexdigest()[:12]
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".split_cache",
     )
-    return os.path.join(root, key)
+    return os.path.join(root, f"{src}-{key}")
 
 
 def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
@@ -89,13 +94,17 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     done = os.path.join(cache, "_DONE")
     if not os.path.exists(done):
         import shutil
+        import time as _time
+        import uuid
 
-        # build into a pid-suffixed temp dir; atomic rename is the
-        # commit. If a concurrent process won the race, our rename
-        # fails onto the existing dir — discard our build and read
-        # the winner's (contents are equivalent by construction).
-        tmp = f"{cache}.building-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
+        # build into a uniquely-suffixed temp dir (pid alone is not
+        # unique within a process: two threads would share it and
+        # rmtree races the other's in-flight write — r9 ADVICE);
+        # atomic rename is the commit. If a concurrent process won the
+        # race, our rename fails onto the existing dir — discard our
+        # build and read the winner's (contents are equivalent by
+        # construction).
+        tmp = f"{cache}.building-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         df.repartition(nparts).write.mode("overwrite").parquet(tmp)
         open(os.path.join(tmp, "_DONE"), "w").close()
         try:
@@ -104,6 +113,25 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(done):
                 raise
+        # cache hygiene, best-effort after a successful commit:
+        # (a) prune committed siblings of the SAME source (stale
+        #     mtime/size/nparts vintages — regenerated testdata or a
+        #     changed CPU budget left full table copies behind);
+        # (b) reap orphaned .building-* staging dirs older than an
+        #     hour (a crash between write and rename leaks one; age-
+        #     gating avoids reaping a live concurrent build).
+        root, base = os.path.split(cache)
+        src_prefix = base.split("-", 1)[0] + "-"
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            try:
+                if ".building-" in d:
+                    if _time.time() - os.path.getmtime(full) > 3600:
+                        shutil.rmtree(full, ignore_errors=True)
+                elif d.startswith(src_prefix) and full != cache:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
     # `_DONE` is invisible to the reader (files starting with `_` are
     # metadata by parquet convention)
     return spark.read.parquet(cache)

@@ -52,6 +52,34 @@ def test_split_cache_key_tracks_source_and_parallelism(spark):
     assert len({a, b, c}) == 3
 
 
+def test_split_cache_prunes_stale_siblings_and_orphans(spark, tmp_path):
+    # regenerated testdata (new mtime -> new key) must not accumulate
+    # full table copies: committing a rebuild prunes committed
+    # siblings of the same source, and reaps hour-old orphaned
+    # .building-* staging dirs (crash leftovers) — r9 ADVICE
+    import shutil
+    import time
+
+    src = str(tmp_path / "orders.parquet")
+    shutil.copy(os.path.join(SF_SMOKE, "orders.parquet"), src)
+    nparts = spark.sparkContext.defaultParallelism
+    table(spark, str(tmp_path), "orders").count()
+    old_cache = _split_cache_dir(src, nparts)
+    assert os.path.exists(os.path.join(old_cache, "_DONE"))
+    # a crashed build's orphan, already stale
+    orphan = f"{old_cache}.building-99999-deadbeef"
+    os.makedirs(orphan, exist_ok=True)
+    os.utime(orphan, (time.time() - 7200, time.time() - 7200))
+    # regenerate the source: same bytes, new mtime -> new cache key
+    os.utime(src, None)
+    table(spark, str(tmp_path), "orders").count()
+    new_cache = _split_cache_dir(src, nparts)
+    assert new_cache != old_cache
+    assert os.path.exists(os.path.join(new_cache, "_DONE"))
+    assert not os.path.exists(old_cache), "stale sibling not pruned"
+    assert not os.path.exists(orphan), "stale .building orphan not reaped"
+
+
 def test_events_ts_normalized_through_cache(spark):
     ev = table(spark, SF_SMOKE, "events")
     assert ev.schema["ts"].dataType.typeName() == "timestamp"
