@@ -295,6 +295,7 @@ def build_probe(spark, copies: int) -> None:
 
 
 def main() -> None:
+    global PROBE_DIR
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument(
@@ -303,7 +304,23 @@ def main() -> None:
         help="comma list of query names, or 'headline', 'slow12', "
         "'headline+slow12'",
     )
+    ap.add_argument(
+        "--probe-dir",
+        default=None,
+        help="where to build/serve the replicated warehouse (default "
+        ".scale_probe/sf1); use a separate dir for non-10x copies — "
+        "the builders skip tables that already exist",
+    )
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="merge results into this artifact (default "
+        "SCALE_PROBE.json; the 20x point lives in "
+        "SCALE_PROBE_20X.json)",
+    )
     args = ap.parse_args()
+    if args.probe_dir:
+        PROBE_DIR = args.probe_dir
     if args.queries == "headline":
         probe_queries = HEADLINE
     elif args.queries == "slow12":
@@ -360,13 +377,21 @@ def main() -> None:
 
     # MERGE into the committed artifact: a partial re-probe (one
     # changed query) must not discard the other rows
-    path = os.path.join(REPO, "SCALE_PROBE.json")
-    merged = {}
+    path = os.path.join(REPO, args.out or "SCALE_PROBE.json")
+    merged, extra = {}, {}
     if os.path.exists(path):
         with open(path) as f:
-            merged = json.load(f).get("queries", {})
+            prior = json.load(f)
+        merged = prior.get("queries", {})
+        extra = {
+            k: v
+            for k, v in prior.items()
+            if k not in ("copies", "probe_rows_lineitem", "queries",
+                         "max_ratio")
+        }
     merged.update(report)
     out = {
+        **extra,
         "copies": args.copies,
         "probe_rows_lineitem": args.copies * 600_000,
         "queries": merged,
