@@ -445,8 +445,9 @@ def knn_graph_ann(
     prefer canonicalize-first (`g_pagerank_canonical`'s recipe) and
     the exact bounded-degree ranking."""
     n_planes = bands * planes_per_band
+    dim = _vec_dim(emb, vec_col)
     projs = "array(" + ", ".join(
-        _proj_expr(vec_col, p) for p in range(n_planes)
+        _proj_expr(vec_col, p, dim) for p in range(n_planes)
     ) + ")"
     band_hashes = "array(" + ", ".join(
         "concat("
@@ -540,8 +541,9 @@ def embedding_near_dup_pairs_banded(
     see the scale note in queries/datapipe7.py.
     """
     n_planes = bands * planes_per_band
+    dim = _vec_dim(emb, vec_col)
     projs = "array(" + ", ".join(
-        _proj_expr(vec_col, p) for p in range(n_planes)
+        _proj_expr(vec_col, p, dim) for p in range(n_planes)
     ) + ")"
     band_hashes = "array(" + ", ".join(
         "concat("
@@ -782,9 +784,52 @@ def tfidf_knn_posting(
 
 def _plane_component(plane: int, dim_idx: str) -> str:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
-    derived from md5(plane:dim) — engine-portable, no RNG state."""
+    derived from md5(plane:dim) — engine-portable, no RNG state.
+
+    This SQL form is what the DuckDB oracles mirror; the Spark hot
+    path uses `_plane_weights` instead (the same numbers folded to
+    literals at plan-build time — the r10 fix: evaluating md5 per
+    (row, plane, dim) made bucketing hash-bound, measured 6x slower
+    than the BLAS-ish fold it should be on a 20k x 64-d corpus)."""
     h = f"cast(conv(substring(md5(concat('{plane}', ':', cast({dim_idx} as string))), 1, 8), 16, 10) as double)"
     return f"({h} / 2147483648.0 - 1.0)"
+
+
+def _plane_weights(plane: int, dim: int) -> list[float]:
+    """Python twin of `_plane_component`, evaluated ONCE per (plane,
+    dim) at plan-build time. h / 2^31 - 1.0 is exact in IEEE binary
+    (h <= 2^32, the divisor a power of two), so each literal equals
+    the runtime md5 expression bit-for-bit — pinned by the unchanged
+    md5-computing DuckDB oracles hash-matching these plans, and by
+    tests/test_dedup_similarity.py::test_plane_literals_match_sql."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:8], 16)
+        out.append(h / 2147483648.0 - 1.0)
+    return out
+
+
+def _plane_lit(plane: int, dim: int) -> str:
+    """SQL array literal of `_plane_weights` (repr round-trips IEEE
+    doubles exactly; the `d` suffix keeps Spark from re-parsing as
+    decimal)."""
+    return (
+        "array("
+        + ", ".join(f"{w!r}d" for w in _plane_weights(plane, dim))
+        + ")"
+    )
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality, read from one row (the column is
+    fixed-width by contract — multimodal/embedding tables carry a
+    single model's vectors). One limit-1 scan at plan-build time."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError(f"cannot derive vector dim: {vec_col} empty")
+    return int(row["d"])
 
 
 def measure_similarity_profile(
@@ -918,20 +963,22 @@ def auto_lsh_params_for(
     )
 
 
-def lsh_bucket(df: DataFrame, vec_col: str, num_planes: int = 8) -> DataFrame:
+def lsh_bucket(
+    df: DataFrame, vec_col: str, num_planes: int = 8, dim: int | None = None
+) -> DataFrame:
     """Random-hyperplane LSH bucket id as a bit-string column.
 
     bucket bit p = sign(v · plane_p); identical for identical vectors,
-    Hamming-close for cosine-close vectors.
+    Hamming-close for cosine-close vectors. Plane weights are folded
+    to literals at plan-build time (`_plane_weights` — the md5 numbers
+    the oracle recomputes in SQL, bit-identical); `dim` is read from
+    the data when not given.
     """
+    if dim is None:
+        dim = _vec_dim(df, vec_col)
     bits = []
     for p in range(num_planes):
-        comp = _plane_component(p, "i - 1")
-        proj = (
-            f"aggregate(zip_with({vec_col}, sequence(1, size({vec_col})),"
-            f" (x, i) -> cast(x as double) * {comp}),"
-            f" cast(0.0 as double), (acc, v) -> acc + v)"
-        )
+        proj = _proj_expr(vec_col, p, dim)
         bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
     return df.withColumn("lsh_bucket", F.expr("concat(" + ", ".join(bits) + ")"))
 
@@ -1085,11 +1132,13 @@ def sq8_topk(
     )
 
 
-def _proj_expr(vec_col: str, plane: int) -> str:
-    comp = _plane_component(plane, "i - 1")
+def _proj_expr(vec_col: str, plane: int, dim: int) -> str:
+    """v · plane_p as a zip_with fold against a LITERAL weight array:
+    the md5 derivation runs at plan-build time, not per row (r10 —
+    the per-row md5 form measured 6x slower on 20k x 64-d)."""
     return (
-        f"aggregate(zip_with({vec_col}, sequence(1, size({vec_col})),"
-        f" (x, i) -> cast(x as double) * {comp}),"
+        f"aggregate(zip_with({vec_col}, {_plane_lit(plane, dim)},"
+        f" (x, w) -> cast(x as double) * w),"
         f" cast(0.0 as double), (acc, v) -> acc + v)"
     )
 
@@ -1121,8 +1170,9 @@ def lsh_multiprobe_topk(
         num_planes, nprobe = auto_lsh_params_for(
             emb, k=k, id_col=id_col, vec_col=vec_col
         )
+    dim = _vec_dim(emb, vec_col)
     projs = "array(" + ", ".join(
-        _proj_expr(vec_col, p) for p in range(num_planes)
+        _proj_expr(vec_col, p, dim) for p in range(num_planes)
     ) + ")"
     bucket = (
         "concat(" + ", ".join(

@@ -367,6 +367,24 @@ def test_auto_lsh_params_model():
     assert p_hi > p_lo
 
 
+def test_plane_literals_match_sql(spark):
+    # the plan-time literal plane weights must equal the runtime md5
+    # SQL expression bit-for-bit — the DuckDB oracles keep computing
+    # the md5 form, so any drift here is a silent bucket divergence
+    from healthcare_research_data_pipeline_project_spark.operators.similarity import (
+        _plane_component,
+        _plane_weights,
+    )
+
+    for plane in (0, 3, 7, 23):
+        w = _plane_weights(plane, 16)
+        sql = ", ".join(
+            _plane_component(plane, str(d)) for d in range(16)
+        )
+        got = spark.sql(f"SELECT array({sql}) AS a").collect()[0]["a"]
+        assert got == w, (plane, got, w)
+
+
 def test_auto_lsh_frozen_pair(spark):
     # the sim_lsh_auto_topk oracle freezes the pair the measured
     # profile derives at the oracle SF — this re-derives it end-to-end
