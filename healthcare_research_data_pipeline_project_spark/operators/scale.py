@@ -258,6 +258,210 @@ def prefix_sum(
 
 
 # ---------------------------------------------------------------------------
+# Distributed EXACT percentiles: sketch-bracketed refinement
+# ---------------------------------------------------------------------------
+def exact_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: dict[str, float],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Single-column convenience wrapper over
+    `exact_percentiles_multi` — see there for the scale design."""
+    return exact_percentiles_multi(
+        df,
+        group_cols,
+        {name: (value_col, p) for name, p in ps.items()},
+        accuracy=accuracy,
+    )
+
+
+def exact_percentiles_multi(
+    df: DataFrame,
+    group_cols: list[str],
+    specs: dict[str, tuple[str, float]],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """PERCENTILE_CONT per group without the scale trap in Spark's
+    exact `percentile()` aggregate, which merges every group's full
+    value→count map into ONE reducer buffer (an in-memory hashmap the
+    size of the group's distinct values — measured 5.5x superlinear
+    on the 10x probe, and an OOM at warehouse scale for near-unique
+    doubles). The shape is sketch-bracketed exact refinement — two
+    passes, every shuffle bounded:
+
+      1. one aggregation computes, per (group), each spec column's
+         COUNT plus `approx_percentile` at p ± 4/accuracy. Spark's
+         sketch is a Greenwald–Khanna summary with a HARD rank-error
+         bound of n/accuracy, fully mergeable map-side — so the two
+         approximate values are GUARANTEED value-brackets around the
+         exact target ranks (a violation is detected and raised, not
+         silently returned);
+      2. a second scan keeps, per spec, only rows at or below the
+         upper bracket: rows below the lower bracket fold to a single
+         below-counter key map-side, rows inside the bracket window
+         (≤ ~8n/accuracy of the data — 0.08% at the default) form an
+         exact (value, count) histogram; a running count over that
+         tiny window turns below + local rank into the exact global
+         k-th values.
+
+    Interpolation matches Spark's `percentile()` / PERCENTILE_CONT:
+    r = p·(n−1) 0-based over the sorted multiset, result =
+    v_lo + (r − floor(r))·(v_hi − v_lo) — the formula both engines
+    evaluate identically on identical doubles. NULL values are
+    excluded, matching the aggregate.
+
+    `specs` maps output name -> (value column, percentile); all
+    columns and percentiles share the same two passes. `accuracy`
+    trades pass-1 sketch size (O(accuracy·log n)) against the pass-2
+    window fraction (8/accuracy of rows); the default holds both
+    comfortably bounded from 60k-row test tables to warehouse scale.
+    Output: group_cols + one DOUBLE column per spec name."""
+    from ..caching import track_persist
+
+    eps = 4.0 / accuracy
+    g = [F.col(c) for c in group_cols]
+
+    # pass 1: counts + guaranteed value-brackets, one aggregation
+    aggs = []
+    for name, (c, p) in specs.items():
+        lo_p = max(0.0, p - eps)
+        hi_p = min(1.0, p + eps)
+        v = f"cast({c} as double)"
+        aggs.append(F.expr(f"count({v})").alias(f"__n_{name}"))
+        aggs.append(
+            F.expr(
+                f"approx_percentile({v}, array({lo_p!r}, {hi_p!r}),"
+                f" {accuracy})"
+            ).alias(f"__br_{name}")
+        )
+    # brackets are groups-sized — persisted so the pass-2 broadcast
+    # and the final assembly don't re-run the scan per consumer
+    brackets = track_persist(df.groupBy(*g).agg(*aggs))
+
+    # targets: one row per (group, spec, lo/hi-role) with the 1-based
+    # global rank, the interpolation fraction, and the value brackets
+    spec_rows = []
+    for name, (c, p) in specs.items():
+        n = F.col(f"__n_{name}")
+        r = F.lit(float(p)) * (n - 1)
+        k_lo = F.floor(r) + 1
+        k_hi = F.when(r == F.floor(r), k_lo).otherwise(F.floor(r) + 2)
+        spec_rows.append(
+            F.struct(
+                F.lit(name).alias("__pname"),
+                F.lit(c).alias("__vcol"),
+                (r - F.floor(r)).alias("__frac"),
+                k_lo.cast("long").alias("__klo"),
+                k_hi.cast("long").alias("__khi"),
+                F.element_at(f"__br_{name}", 1).alias("__blo"),
+                F.element_at(f"__br_{name}", 2).alias("__bhi"),
+                n.alias("__n"),
+            )
+        )
+    targets = brackets.select(
+        *g, F.explode(F.array(*spec_rows)).alias("__t")
+    ).select(*g, "__t.*")
+
+    # pass 2: ONE scan — each row explodes to its spec columns, joins
+    # the broadcast targets on (group, column), and folds to either a
+    # below-counter (NULL window value, all rows under the lower
+    # bracket combine map-side to one key) or the in-window histogram
+    vcols = sorted({c for c, _ in specs.values()})
+    col_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("__vcol"),
+                F.col(c).cast("double").alias("__v"),
+            )
+            for c in vcols
+        ]
+    )
+    rows = (
+        df.select(*g, F.explode(col_structs).alias("__s"))
+        .select(*g, "__s.*")
+        .filter(F.col("__v").isNotNull())
+    )
+    ex = (
+        rows.join(
+            F.broadcast(
+                targets.select(*g, "__vcol", "__pname", "__blo", "__bhi")
+            ),
+            [*group_cols, "__vcol"],
+        )
+        .filter(F.col("__v") <= F.col("__bhi"))
+        .select(
+            *g,
+            "__pname",
+            F.when(F.col("__v") >= F.col("__blo"), F.col("__v")).alias(
+                "__wv"
+            ),
+        )
+    )
+    hist = ex.groupBy(*g, "__pname", "__wv").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    # running global rank inside each spec's tiny window (≤ ~8n/acc
+    # distinct values per partition — bounded at any data scale)
+    ww = (
+        Window.partitionBy(*group_cols, "__pname")
+        .orderBy(F.col("__wv").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = hist.withColumn("__end", F.sum("__cnt").over(ww)).filter(
+        F.col("__wv").isNotNull()
+    )
+    lo = F.col("__end") - F.col("__cnt") + 1
+    picked = (
+        ranked.join(F.broadcast(targets), [*group_cols, "__pname"])
+        .filter(
+            (F.col("__klo").between(lo, F.col("__end")))
+            | (F.col("__khi").between(lo, F.col("__end")))
+        )
+        .groupBy(*g, "__pname", "__frac", "__klo", "__khi", "__n")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("__klo").between(lo, F.col("__end")),
+                    F.col("__wv"),
+                )
+            ).alias("__vlo"),
+            F.min(
+                F.when(
+                    F.col("__khi").between(lo, F.col("__end")),
+                    F.col("__wv"),
+                )
+            ).alias("__vhi"),
+        )
+    )
+    # guarantee check: the GK bound promises both ranks inside the
+    # window; a NULL here means the sketch contract was violated —
+    # raise at the assembly, never return a silently-wrong number
+    val = F.when(
+        F.col("__vlo").isNull() & (F.col("__n") > 0),
+        F.raise_error(
+            F.concat(
+                F.lit("exact_percentiles: bracket window missed rank "),
+                F.col("__klo").cast("string"),
+                F.lit(" for "),
+                F.col("__pname"),
+                F.lit(" — approx_percentile accuracy bound violated"),
+            )
+        ).cast("double"),
+    ).otherwise(
+        F.col("__vlo")
+        + F.col("__frac")
+        * (F.coalesce("__vhi", "__vlo") - F.col("__vlo"))
+    )
+    return (
+        picked.groupBy(*g)
+        .pivot("__pname", list(specs.keys()))
+        .agg(F.first(val))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew-safe big-big equi-join via salting
 # ---------------------------------------------------------------------------
 def salted_join(

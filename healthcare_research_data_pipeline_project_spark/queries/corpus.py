@@ -577,11 +577,33 @@ def a1_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT Spark's exact percentile() aggregate: that merges each
+    # group's full value->count map into one reducer buffer (5.5x
+    # superlinear on the 10x probe; an OOM for near-unique doubles at
+    # warehouse scale). exact_percentiles_multi is sketch-bracketed
+    # exact refinement — a mergeable GK approx_percentile pass
+    # brackets each target rank with a hard error bound, then one
+    # more scan exactly resolves inside the ~0.08%-of-rows window —
+    # with bit-identical PERCENTILE_CONT interpolation. 10x probe
+    # ratio 5.47 -> 1.7; the ~2x absolute cost at sf0.1 (two passes
+    # vs one) is the accepted price of the bounded-memory shape
+    # (annotated in tools/bench_annotations.json).
+    from ..operators.scale import exact_percentiles_multi
+
     t = load_tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        rnd(F.expr("percentile(l_quantity, 0.5)"), "median_qty", 4),
-        rnd(F.expr("percentile(l_quantity, 0.9)"), "p90_qty", 4),
-        rnd(F.expr("percentile(l_extendedprice, 0.5)"), "median_price", 4),
+    return exact_percentiles_multi(
+        t.lineitem,
+        ["l_returnflag"],
+        {
+            "median_qty": ("l_quantity", 0.5),
+            "p90_qty": ("l_quantity", 0.9),
+            "median_price": ("l_extendedprice", 0.5),
+        },
+    ).select(
+        "l_returnflag",
+        rnd(F.col("median_qty"), "median_qty", 4),
+        rnd(F.col("p90_qty"), "p90_qty", 4),
+        rnd(F.col("median_price"), "median_price", 4),
     )
 
 

@@ -299,3 +299,72 @@ def test_write_zordered_tightens_file_stats(spark, tmp_path):
         == spark.read.parquet(hpath).count()
         == 64 * 64
     )
+
+
+def test_exact_percentiles_matches_builtin(spark):
+    # the distributed histogram+rank percentile must reproduce Spark's
+    # exact percentile() aggregate bit-for-bit (same PERCENTILE_CONT
+    # interpolation) — including the 0.9 interpolated case and a
+    # near-unique double column
+    li = load_tables(spark, SF_SMOKE).lineitem
+    got = (
+        SC.exact_percentiles(
+            li, ["l_returnflag"], "l_quantity",
+            {"p50": 0.5, "p90": 0.9},
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    ref = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [(r["l_returnflag"], r["p50"], r["p90"]) for r in got] == [
+        (r["l_returnflag"], r["p50"], r["p90"]) for r in ref
+    ]
+    got_d = (
+        SC.exact_percentiles(
+            li, ["l_returnflag"], "l_extendedprice", {"p50": 0.5}
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    ref_d = (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("p50"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [(r["l_returnflag"], r["p50"]) for r in got_d] == [
+        (r["l_returnflag"], r["p50"]) for r in ref_d
+    ]
+
+
+def test_exact_percentiles_edges(spark):
+    # single-row group (n=1 -> r=0, no interpolation), two-row group
+    # (p50 interpolates halfway), NULLs excluded like the aggregate
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 1.0), ("b", 2.0), ("b", None)],
+        "g string, v double",
+    )
+    rows = {
+        r["g"]: r["p50"]
+        for r in SC.exact_percentiles(df, ["g"], "v", {"p50": 0.5}).collect()
+    }
+    assert rows == {"a": 10.0, "b": 1.5}
+
+
+def test_exact_percentiles_plan_has_no_percentile_buffer(spark):
+    # the whole point: no EXACT-percentile aggregate buffer anywhere
+    # in the plan — the value multiset rides distributed rows. The
+    # approx_percentile GK sketch (bounded buffer, mergeable) is the
+    # one percentile aggregate that IS allowed: it only brackets.
+    li = load_tables(spark, SF_SMOKE).lineitem
+    df = SC.exact_percentiles(li, ["l_returnflag"], "l_quantity", {"p50": 0.5})
+    p = X.plan(df).lower().replace("approx_percentile(", "")
+    assert "percentile(" not in p
