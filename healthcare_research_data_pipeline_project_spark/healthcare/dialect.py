@@ -94,6 +94,12 @@ class SparkDialect(Dialect):
         )
 
     def pctile(self, col: str, frac: float) -> str:
+        # exact percentile() — safe for the warehouse callers because
+        # every percentiled column is domain-bounded (LOS/duration
+        # MINUTES, integer lab grades): the aggregate's value->count
+        # buffer caps at the domain size, not the fact count.
+        # Near-unique measures belong in
+        # operators.scale.exact_percentiles_multi instead.
         return f"percentile({col}, {frac})"
 
     def argmax(self, val: str, key: str) -> str:

@@ -181,11 +181,17 @@ def zscore_outliers(
 
 def iqr_bounds(df: DataFrame, col: str, factor: float = 1.5) -> DataFrame:
     """IQR validity bounds (`healthcare-data-pipeline-main.py:246-250`):
-    exact quartiles (percentile at rel-err 0) → [q1−k·IQR, q3+k·IQR]."""
-    return df.agg(
-        F.expr(f"percentile({col}, 0.25)").alias("q1"),
-        F.expr(f"percentile({col}, 0.75)").alias("q3"),
-    ).select(
+    exact quartiles → [q1−k·IQR, q3+k·IQR]. Quartiles come from
+    `exact_percentiles_multi` (sketch-bracketed refinement, r10) —
+    the exact `percentile()` aggregate this replaced buffers the
+    column's full value→count map in one reducer, an OOM for
+    near-unique doubles (order totals) at warehouse scale."""
+    from .scale import exact_percentiles_multi
+
+    q = exact_percentiles_multi(
+        df, [], {"q1": (col, 0.25), "q3": (col, 0.75)}
+    )
+    return q.select(
         "q1",
         "q3",
         (F.col("q1") - factor * (F.col("q3") - F.col("q1"))).alias("lo"),

@@ -118,6 +118,13 @@ def ds_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     e = t.events.select("event_type", "value")
+    # exact percentile() is safe HERE because events.value is a
+    # 2-decimal bounded domain (17.8k distinct at 100k rows, ceiling
+    # = value-range x 100 regardless of corpus size), so the
+    # aggregate's value->count buffer is domain-bounded, not
+    # corpus-bounded. Near-unique columns must use
+    # operators.scale.exact_percentiles_multi instead (see
+    # a8_percentiles / iqr_bounds).
     med = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )

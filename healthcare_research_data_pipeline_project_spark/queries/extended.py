@@ -442,7 +442,10 @@ def a2b_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one percentile buffer for all three cut points (49/50/51):
         # the array form sorts the group once instead of three times.
         # The band is the sketch verdict's envelope — accuracy=10000
-        # bounds rank error at 1e-4, so ±0.01 is 100x slack at any SF
+        # bounds rank error at 1e-4, so ±0.01 is 100x slack at any SF.
+        # The EXACT leg's buffer is this verdict query's point (it is
+        # what the sketch is judged against); the production exact-
+        # percentile path is operators.scale.exact_percentiles_multi
         F.expr("percentile(cents, array(0.49D, 0.5D, 0.51D))").alias("pcts"),
     )
     exact = o.groupBy("o_orderpriority").agg(
