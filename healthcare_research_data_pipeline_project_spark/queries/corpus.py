@@ -591,6 +591,10 @@ def a8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scale import exact_percentiles_multi
 
     t = load_tables(spark, sf_dir)
+    # accuracy=2000: sketch upkeep is the pass-1 CPU term (GK insert
+    # cost grows with summary size — measured 1.63s@10000 vs
+    # 1.17s@2000 best-of-2 at sf0.1) while the pass-2 window stays a
+    # constant 8/accuracy = 0.4% of rows at ANY corpus size
     return exact_percentiles_multi(
         t.lineitem,
         ["l_returnflag"],
@@ -599,6 +603,7 @@ def a8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_qty": ("l_quantity", 0.9),
             "median_price": ("l_extendedprice", 0.5),
         },
+        accuracy=2000,
     ).select(
         "l_returnflag",
         rnd(F.col("median_qty"), "median_qty", 4),
