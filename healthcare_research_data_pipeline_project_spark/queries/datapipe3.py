@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.helpers import duck_round_div, round_div
-from ..functions.text import DUCK_TOKENS, duck_shingles, shingles, tokens
+from ..functions.text import (
+    DUCK_TOKENS,
+    duck_hash64,
+    duck_shingles,
+    hash64_expr,
+    shingles,
+    tokens,
+)
 from ..tables import load_tables
 from . import register
 
@@ -93,6 +100,148 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_cnt").cast("long").alias("dup_span_cnt"),
         round_div(F.col("dup_cnt"), F.col("span_cnt"), "dup_span_frac", 4),
         (F.col("dup_cnt") * _SPAN_DEN <= F.col("span_cnt") * _SPAN_NUM)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXACT substring-level dedup accounting (the Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+# operator, re-expressed relationally): find every MAXIMAL run of
+# tokens, at least _SUB_K long, whose every _SUB_K-token window occurs
+# at least twice corpus-wide (across or within documents), and report
+# per document how much of it is such duplicated material. The
+# reference paper builds a suffix array; the distributed relational
+# equivalent is positional window hashing + a duplicated-window
+# semi-join + per-document interval union:
+#   1. every token position i emits hash(tokens[i..i+K-1]) — one
+#      explode, no shuffle;
+#   2. duplicated windows = GROUP BY hash HAVING count >= 2 — map-side
+#      partial agg, the shuffle carries (hash, partial count), and at
+#      100 TB a bloom filter built from this (small) table pre-prunes
+#      the join back;
+#   3. join positions to duplicated hashes (the one fact-sized
+#      shuffle), then merge overlapping windows per document: two
+#      duplicated positions i < j cover contiguous tokens iff
+#      j <= i + K, so a LAG gap test + running break-sum assigns
+#      island ids — per-doc streaming window, bounded by the doc's
+#      window count;
+#   4. islands aggregate to maximal spans (start, end = max+K-1) and
+#      per-doc totals; docs shorter than K or with no duplicated
+#      window keep zero counts via the left join from the corpus.
+# The 32-bit md5-derived window hash is what both engines compare
+# (byte-identical), so hash collisions cannot split the twins; at
+# warehouse scale you would widen to the full md5 (or re-verify
+# candidate runs exactly) before REMOVING text — this operator is the
+# accounting/marking pass.
+# ---------------------------------------------------------------------------
+_SUB_K = 20           # minimum duplicated run length, tokens
+_SUB_NUM, _SUB_DEN = 2, 10  # keep while duplicated fraction <= 20%
+
+
+def _substr_dedup_oracle() -> str:
+    win = (
+        f"list_transform(generate_series(0, len(toks) - {_SUB_K}), i -> "
+        f"struct_pack(p := i, h := "
+        + duck_hash64(f"array_to_string(toks[i + 1:i + {_SUB_K}], ' ')")
+        + "))"
+    )
+    return f"""
+    WITH d0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    d AS (SELECT doc_id, toks, len(toks) AS n FROM d0),
+    w0 AS (SELECT doc_id, unnest({win}) AS w FROM d WHERE n >= {_SUB_K}),
+    w AS (SELECT doc_id, w.p AS p, w.h AS h FROM w0),
+    dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+    dw AS (SELECT w.doc_id, w.p FROM w JOIN dup USING (h)),
+    brk AS (
+      SELECT doc_id, p,
+             CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                       > {_SUB_K} THEN 1 ELSE 0 END AS b
+      FROM dw
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS UNBOUNDED PRECEDING) AS island
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(p) AS s, MAX(p) + {_SUB_K} - 1 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(e - s + 1) AS dup_tokens,
+             MAX(e - s + 1) AS max_span
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.n AS BIGINT) AS token_cnt,
+           CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(per.dup_tokens, 0) AS BIGINT) AS dup_token_cnt,
+           CAST(COALESCE(per.max_span, 0) AS BIGINT) AS max_span_len,
+           {duck_round_div('COALESCE(per.dup_tokens, 0)', 'd.n', 4)}
+             AS dup_token_frac,
+           CAST(CASE WHEN COALESCE(per.dup_tokens, 0) * {_SUB_DEN}
+                          <= d.n * {_SUB_NUM}
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM d LEFT JOIN per USING (doc_id)
+    """
+
+
+@register("text_substring_dedup", _substr_dedup_oracle())
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    w = (
+        d.filter(F.col("n") >= _SUB_K)
+        .select(
+            "doc_id",
+            F.posexplode(shingles("toks", _SUB_K)).alias("p", "sh"),
+        )
+        .select("doc_id", "p", F.expr(hash64_expr("sh")).alias("h"))
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    dw = w.join(dup, "h").select("doc_id", "p")
+    ord_w = Window.partitionBy("doc_id").orderBy("p")
+    brk = F.when(
+        F.col("p") - F.lag("p").over(ord_w) > _SUB_K, F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = dw.withColumn(
+        "island",
+        F.sum(brk).over(
+            ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("p").alias("s"),
+        (F.max("p") + _SUB_K - 1).alias("e"),
+    )
+    per = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).alias("max_span"),
+    )
+    dup_tok = F.coalesce(F.col("dup_tokens"), F.lit(0))
+    return d.select("doc_id", "n").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").cast("long").alias("token_cnt"),
+        F.coalesce(F.col("n_spans"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_spans"),
+        dup_tok.cast("long").alias("dup_token_cnt"),
+        F.coalesce(F.col("max_span"), F.lit(0))
+        .cast("long")
+        .alias("max_span_len"),
+        round_div(dup_tok, F.col("n"), "dup_token_frac", 4),
+        (dup_tok * _SUB_DEN <= F.col("n") * _SUB_NUM)
         .cast("int")
         .alias("keep"),
     )

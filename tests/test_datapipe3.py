@@ -320,3 +320,49 @@ def test_text_chunks_cover_document_with_overlap(spark):
         for c in chunks:
             assert c["chunk"] == text[c["chunk_start"]:c["chunk_start"] + 120]
         assert chunks[-1]["chunk_start"] + chunks[-1]["chunk_len"] == len(text)
+
+
+def test_substring_dedup_hand_case(spark, tmp_path, monkeypatch):
+    # docs A and B share an exact 25-token run (=> one maximal span of
+    # 25 tokens each); doc C repeats its own 20-token run twice inside
+    # one 45-token text (two islands merged? no — the two copies are
+    # separated by 5 unique tokens, gap > K, so TWO spans of 20); doc
+    # D is shorter than K (no windows, zero counts, keep=1)
+    import healthcare_research_data_pipeline_project_spark.queries.datapipe3 as d3
+    from healthcare_research_data_pipeline_project_spark.queries.datapipe3 import (
+        _SUB_K,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(25))
+    selfrun = " ".join(f"rep{i}" for i in range(_SUB_K))
+    gap = " ".join(f"uniqgap{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            (1, "a pre " + run + " tail1x"),
+            (2, run + " other trailing words here"),
+            (3, selfrun + " " + gap + " " + selfrun),
+            (4, "tiny doc under k tokens"),
+        ],
+        "doc_id long, text string",
+    )
+
+    class T:
+        documents = docs
+
+    monkeypatch.setattr(d3, "load_tables", lambda spark, sf: T())
+    rows = {
+        r["doc_id"]: r
+        for r in d3.text_substring_dedup(spark, "ignored").collect()
+    }
+    assert rows[1]["n_dup_spans"] == 1
+    assert rows[1]["dup_token_cnt"] == 25
+    assert rows[1]["max_span_len"] == 25
+    assert rows[1]["keep"] == 0  # 25 dup of 28 tokens > 20%
+    assert rows[2]["dup_token_cnt"] == 25
+    assert rows[3]["n_dup_spans"] == 2
+    assert rows[3]["dup_token_cnt"] == 2 * _SUB_K
+    assert rows[3]["max_span_len"] == _SUB_K
+    assert rows[4]["token_cnt"] == 5
+    assert rows[4]["n_dup_spans"] == 0
+    assert rows[4]["dup_token_cnt"] == 0
+    assert rows[4]["keep"] == 1
