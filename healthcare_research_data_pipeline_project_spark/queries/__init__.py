@@ -214,7 +214,12 @@ GATE_PRIORITY = [
     "ml_kmeans_summary",
     "text_token_stats",
     "text_quality_score",
-    "text_langid",
+    # text_langid rotated OUT r10 (n-gram language-ID stays green in
+    # MIRROR.json; the text family keeps two in-window rows above)
+    # for text_substring_dedup — the r10-new Lee-et-al ExactSubstr
+    # accounting pass, oracled from birth (newest oracle routes get
+    # gate slots first, ADVICE r3).
+    "text_substring_dedup",
     # text_fingerprint rotated OUT r7 (rolling-hash fingerprinting
     # stays green in MIRROR.json; the text family keeps three
     # in-window rows above) for g_pagerank_knn — PageRank over the
