@@ -302,7 +302,7 @@ def test_write_zordered_tightens_file_stats(spark, tmp_path):
 
 
 def test_exact_percentiles_matches_builtin(spark):
-    # the distributed histogram+rank percentile must reproduce Spark's
+    # the sketch-bracketed refinement percentile must reproduce Spark's
     # exact percentile() aggregate bit-for-bit (same PERCENTILE_CONT
     # interpolation) — including the 0.9 interpolated case and a
     # near-unique double column
