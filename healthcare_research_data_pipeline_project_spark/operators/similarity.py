@@ -1588,3 +1588,131 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", F.col("exact_dist").alias("dist"), "rank")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Composed IVF-PQ ANN (FAISS IndexIVFPQ, by_residual=False): a
+    coarse quantizer routes each query to its `nprobe` nearest cell
+    centroids, the compressed m-byte-code scan runs ONLY inside those
+    cells, and `refine` exact-re-ranks the shortlist — the production
+    index shape where routing bounds the scan and PQ bounds the bytes.
+
+    Plan at scale: centroids (≤ #cells rows) broadcast into routing;
+    the candidate scan is an equi-join probe(qid, cell) ⋈ codes(cell)
+    — corpus work is nprobe/#cells of the PQ scan, and the scan reads
+    m-byte codes, not float vectors. Routing distances are rounded to
+    6 dp before ranking (ties then break on cell id), so the probe
+    set is stable under float summation order — the property the
+    audit oracle in queries/datapipe7.py relies on.
+
+    by_residual=False (FAISS's non-residual IVFPQ option) keeps the
+    codebooks corpus-global, so the SAME trained PQ index artifact
+    serves both `pq_topk` and this route — encoding residuals per
+    cell would buy quantization accuracy at the cost of a per-cell
+    codebook dependency. Recall is pinned in tests/test_pq.py against
+    `brute_force_topk`; cell restriction is pinned structurally."""
+    if refine is not None and refine < k:
+        raise ValueError("refine must be >= k")
+    books = codebooks if codebooks is not None else train_pq_codebooks(
+        emb, vec_col, id_col, m=m, ksub=ksub
+    )
+    if encoded is None:
+        encoded = pq_encode(emb, books, vec_col, id_col)
+    if label_col not in encoded.columns:
+        encoded = encoded.join(
+            emb.select(F.col(id_col), F.col(label_col)), id_col
+        )
+    cents = label_centroids(emb, label_col, vec_col)
+    q = emb.filter(
+        F.col(id_col).isin([int(x) for x in query_ids])
+    ).select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    cdist = F.aggregate(
+        F.zip_with(
+            "qe",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe = (
+        q.join(F.broadcast(cents))
+        .select("qid", "cell", F.round(cdist, 6).alias("cd"))
+        .withColumn(
+            "cr",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("cd", "cell")
+            ),
+        )
+        .filter(F.col("cr") <= nprobe)
+        .select("qid", "cell")
+    )
+    luts = pq_query_luts(emb, books, query_ids, vec_col, id_col).select(
+        "qid", "lut"
+    )
+    cand = (
+        probe.withColumnRenamed("cell", label_col)
+        .join(encoded, label_col)
+        .filter(F.col(id_col) != F.col("qid"))
+        .join(F.broadcast(luts), "qid")
+        .select(
+            "qid",
+            F.col(id_col).alias("cid"),
+            F.round(pq_adc_expr(), 6).alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("approx_dist", "cid")
+    shortlist_n = refine if refine is not None else k
+    shortlist = (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= shortlist_n)
+        .select("qid", "cid", F.col("approx_dist").alias("dist"), "rank")
+    )
+    if refine is None:
+        return shortlist
+    shortlist = track_persist(shortlist)
+    qvec = emb.filter(
+        F.col(id_col).isin([int(x) for x in query_ids])
+    ).select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    cvec = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    exact = (
+        F.broadcast(shortlist.select("qid", "cid"))
+        .join(cvec, "cid")
+        .join(F.broadcast(qvec), "qid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.col("cv"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("exact_dist"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy("exact_dist", "cid")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.col("exact_dist").alias("dist"), "rank")
+    )

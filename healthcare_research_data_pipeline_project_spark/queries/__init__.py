@@ -199,7 +199,13 @@ GATE_PRIORITY = [
     # search, proven in r6) — the brute-force semantics stay gate-
     # checked by construction while the gate row moves to the IVF
     # routing path, never gated before.
-    "sim_ivf_topk",
+    # sim_ivf_topk rotated OUT r10 (its oracle sidesteps routing with
+    # nprobe=all; the row stays green in MIRROR.json) for
+    # sim_ivfpq_topk — the composed IVF-PQ index whose oracle
+    # RECOMPUTES the routing itself (SQL cell centroids + rounded
+    # centroid distances + the probe set as a value column): strictly
+    # stronger routing evidence, newest oracle route first.
+    "sim_ivfpq_topk",
     # sim_lsh_topk rotated OUT r7 for sim_lsh_auto_topk — the r7
     # auto-tuned default route (derived planes/nprobe); its oracle
     # pins the identical bucket/probe computation (superset: probes

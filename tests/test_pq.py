@@ -155,3 +155,69 @@ def test_pq_topk_precomputed_index_matches_fresh_encode(spark, emb):
     assert {key(r) for r in fresh} == {
         (q, rk) for q in (0, 1, 2) for rk in range(1, 6)
     }
+
+
+def test_ivfpq_cell_restriction_and_recall(spark, emb):
+    # the composed IVF-PQ route: every returned neighbor must live in
+    # one of the query's nprobe routed cells (the structural contract
+    # routing promises), and the refined result within those cells
+    # must match the exact within-cell top-k (refine covers the full
+    # cell population on the smoke corpus, so equality is exact)
+    from pyspark.sql import functions as F
+
+    res = S.ivfpq_topk(
+        emb, list(range(6)), k=5, nprobe=2, m=16, ksub=32, refine=200
+    ).collect()
+    vecs = {
+        r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"])
+        for r in emb.collect()
+    }
+    # recompute routing: L2 to per-cell mean, rounded like the operator
+    import collections
+
+    sums = collections.defaultdict(lambda: None)
+    cnts = collections.Counter()
+    for v, lab in vecs.values():
+        if sums[lab] is None:
+            sums[lab] = [0.0] * len(v)
+        sums[lab] = [a + b for a, b in zip(sums[lab], v)]
+        cnts[lab] += 1
+    cents = {
+        lab: [x / cnts[lab] for x in s] for lab, s in sums.items()
+    }
+    for qid in range(6):
+        qv, _ = vecs[qid]
+        cd = sorted(
+            (round(sum((a - b) ** 2 for a, b in zip(qv, c)), 6), lab)
+            for lab, c in cents.items()
+        )
+        probed = {lab for _, lab in cd[:2]}
+        mine = [r for r in res if r["qid"] == qid]
+        assert mine, qid
+        for r in mine:
+            assert vecs[r["cid"]][1] in probed, (qid, r["cid"])
+        # exact within-probe top-5
+        cand = sorted(
+            (round(sum((a - b) ** 2 for a, b in zip(qv, vecs[i][0])), 6), i)
+            for i in vecs
+            if i != qid and vecs[i][1] in probed
+        )[:5]
+        assert {r["cid"] for r in mine} == {i for _, i in cand}
+
+
+def test_ivfpq_shares_pq_index_artifact(spark):
+    # sim_ivfpq_topk and sim_pq_topk must serve from ONE trained index
+    # per (session, corpus) — by_residual=False is what makes the
+    # codebooks corpus-global and shareable
+    import healthcare_research_data_pipeline_project_spark.queries.datapipe7 as d7
+
+    QUERIES["sim_pq_topk"](spark, SF_SMOKE).collect()
+    key = (spark.sparkContext.applicationId, SF_SMOKE, "pq-index-m16-k32")
+    before = id(d7._TRAINED[key])
+    rows = QUERIES["sim_ivfpq_topk"](spark, SF_SMOKE).collect()
+    assert id(d7._TRAINED[key]) == before  # reused, not rebuilt
+    assert len(rows) == 8
+    for r in rows:
+        assert r["ranks_wellformed"] and r["within_slack"]
+        assert r["n_candidates"] > 0
+        assert len(r["probed_cells"].split(",")) == 2
