@@ -356,3 +356,46 @@ def test_pagerank_canonical_reps_is_unforced_anti_join(spark, tmp_path):
     logical = reps._jdf.queryExecution().logical().toString()
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
     assert reps.filter(F.col("vec_id").isin(3, 7)).count() == 0
+
+
+def test_exact_percentiles_no_unpartitioned_window(spark):
+    # the percentile rewrite exists to kill unbounded single-task
+    # shapes: no WindowExec without a partition spec may appear (the
+    # in-window running count partitions by (group, spec)), and no
+    # exact-percentile aggregate buffer anywhere
+    from healthcare_research_data_pipeline_project_spark.operators import (
+        scale as SC,
+    )
+
+    li = load_tables(spark, SF_ORACLE).lineitem
+    df = SC.exact_percentiles_multi(
+        li, ["l_returnflag"],
+        {"p50": ("l_extendedprice", 0.5), "p90": ("l_quantity", 0.9)},
+    )
+    p = X.plan(df)
+    # the only Window is the in-bracket running count, and its spec
+    # must carry the (group, spec-name) partition columns — a window
+    # without them is the single-task shape this operator exists to
+    # avoid
+    for line in p.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "__pname" in line, line
+    # and no exact-percentile buffer anywhere (approx_percentile's
+    # bounded GK sketch is the one allowed percentile aggregate)
+    assert "percentile(" not in p.lower().replace("approx_percentile(", "")
+
+
+def test_ivfpq_candidates_ride_cell_equi_join(spark):
+    # the IVF scan restriction must be an equi-join on the cell id —
+    # never a cross product of queries x corpus
+    from healthcare_research_data_pipeline_project_spark.operators import (
+        similarity as S,
+    )
+
+    emb = load_tables(spark, SF_ORACLE).embeddings
+    df = S.ivfpq_topk(emb, [0, 1], k=3, nprobe=2, m=16, ksub=32, refine=30)
+    p = X.plan(df)
+    assert "CartesianProduct" not in p
+    # the one intentional tiny cross join is the broadcast codebook
+    # row; the corpus side must join on label
+    assert "label" in p
