@@ -291,13 +291,20 @@ def exact_percentiles_multi(
     doubles). The shape is sketch-bracketed exact refinement — two
     passes, every shuffle bounded:
 
-      1. one aggregation computes, per (group), each spec column's
-         COUNT plus `approx_percentile` at p ± 4/accuracy. Spark's
-         sketch is a Greenwald–Khanna summary with a HARD rank-error
-         bound of n/accuracy, fully mergeable map-side — so the two
-         approximate values are GUARANTEED value-brackets around the
-         exact target ranks (a violation is detected and raised, not
-         silently returned);
+      1. one aggregation computes, per (group), each distinct spec
+         COLUMN's count plus ONE `approx_percentile` sketch probed at
+         every spec's p ± 4/accuracy (sharing the sketch across specs
+         on the same column — a8's two l_quantity percentiles cost one
+         GK summary, not two). Spark's sketch is a Greenwald–Khanna
+         summary with a HARD rank-error bound of n/accuracy, fully
+         mergeable map-side — so for groups with n > accuracy the two
+         probe values carry ≥ 3n/accuracy ≥ 3 ranks of cushion around
+         the exact target ranks klo/khi (which sit within 2 ranks of
+         p·n): GUARANTEED value-brackets. For n ≤ accuracy that
+         cushion is under the 2 ranks PERCENTILE_CONT needs, so small
+         groups skip bracketing entirely and refine over the whole
+         group (±inf brackets) — ≤ `accuracy` rows per group, cheap
+         and still bounded at any corpus size;
       2. a second scan keeps, per spec, only rows at or below the
          upper bracket: rows below the lower bracket fold to a single
          below-counter key map-side, rows inside the bracket window
@@ -306,11 +313,19 @@ def exact_percentiles_multi(
          tiny window turns below + local rank into the exact global
          k-th values.
 
-    Interpolation matches Spark's `percentile()` / PERCENTILE_CONT:
-    r = p·(n−1) 0-based over the sorted multiset, result =
-    v_lo + (r − floor(r))·(v_hi − v_lo) — the formula both engines
-    evaluate identically on identical doubles. NULL values are
-    excluded, matching the aggregate.
+    Interpolation matches Spark's `percentile()` / PERCENTILE_CONT
+    bit-for-bit: r = p·(n−1) 0-based over the sorted multiset, result
+    = (1−frac)·v_lo + frac·v_hi — the WEIGHTED form Spark's
+    Percentile.getPercentile evaluates (the algebraically-equal lerp
+    v_lo + frac·(v_hi−v_lo) differs by an ULP on some doubles). NULL values are
+    excluded, matching the aggregate. Groups whose spec column is
+    entirely NULL (and the global-aggregate empty-input row) emit a
+    NULL percentile rather than vanishing — same as `percentile()`.
+
+    Detection contract: a bracket window that misses EITHER target
+    rank RAISES (lower-rank miss, upper-rank miss when interpolation
+    needs it, or a (group, spec) whose picked row vanished) — this
+    function never silently returns a wrong number.
 
     `specs` maps output name -> (value column, percentile); all
     columns and percentiles share the same two passes. `accuracy`
@@ -323,31 +338,46 @@ def exact_percentiles_multi(
     eps = 4.0 / accuracy
     g = [F.col(c) for c in group_cols]
 
-    # pass 1: counts + guaranteed value-brackets, one aggregation
-    aggs = []
+    # pass 1: counts + bracket probes — ONE sketch per distinct value
+    # column, probed at every spec's (lo_p, hi_p) pair
+    vcols = sorted({c for c, _ in specs.values()})
+    vidx = {c: i for i, c in enumerate(vcols)}
+    probes: dict[str, list[float]] = {c: [] for c in vcols}
+    spec_probe_at: dict[str, tuple[int, int]] = {}
     for name, (c, p) in specs.items():
-        lo_p = max(0.0, p - eps)
-        hi_p = min(1.0, p + eps)
+        pr = probes[c]
+        pr.append(max(0.0, p - eps))
+        pr.append(min(1.0, p + eps))
+        spec_probe_at[name] = (len(pr) - 1, len(pr))  # 1-based lo, hi
+    aggs = []
+    for c in vcols:
         v = f"cast({c} as double)"
-        aggs.append(F.expr(f"count({v})").alias(f"__n_{name}"))
+        arr = ", ".join(repr(x) for x in probes[c])
+        aggs.append(F.expr(f"count({v})").alias(f"__n_{vidx[c]}"))
         aggs.append(
-            F.expr(
-                f"approx_percentile({v}, array({lo_p!r}, {hi_p!r}),"
-                f" {accuracy})"
-            ).alias(f"__br_{name}")
+            F.expr(f"approx_percentile({v}, array({arr}), {accuracy})").alias(
+                f"__br_{vidx[c]}"
+            )
         )
     # brackets are groups-sized — persisted so the pass-2 broadcast
     # and the final assembly don't re-run the scan per consumer
     brackets = track_persist(df.groupBy(*g).agg(*aggs))
 
-    # targets: one row per (group, spec, lo/hi-role) with the 1-based
-    # global rank, the interpolation fraction, and the value brackets
+    # targets: one row per (group, spec) with the 1-based global
+    # ranks, the interpolation fraction, and the value brackets.
+    # Groups with n <= accuracy refine over the whole group (the GK
+    # cushion 3n/accuracy is under the 2 ranks the exact targets can
+    # sit from p*n there — ADVICE r10: n=12 p=0.9 raised, n=15 p=0.25
+    # silently interpolated wrong before this regime split).
     spec_rows = []
     for name, (c, p) in specs.items():
-        n = F.col(f"__n_{name}")
+        n = F.col(f"__n_{vidx[c]}")
+        br = f"__br_{vidx[c]}"
+        lo_i, hi_i = spec_probe_at[name]
         r = F.lit(float(p)) * (n - 1)
         k_lo = F.floor(r) + 1
         k_hi = F.when(r == F.floor(r), k_lo).otherwise(F.floor(r) + 2)
+        small = n <= F.lit(accuracy)
         spec_rows.append(
             F.struct(
                 F.lit(name).alias("__pname"),
@@ -355,8 +385,12 @@ def exact_percentiles_multi(
                 (r - F.floor(r)).alias("__frac"),
                 k_lo.cast("long").alias("__klo"),
                 k_hi.cast("long").alias("__khi"),
-                F.element_at(f"__br_{name}", 1).alias("__blo"),
-                F.element_at(f"__br_{name}", 2).alias("__bhi"),
+                F.when(small, F.lit(float("-inf")))
+                .otherwise(F.element_at(br, lo_i))
+                .alias("__blo"),
+                F.when(small, F.lit(float("inf")))
+                .otherwise(F.element_at(br, hi_i))
+                .alias("__bhi"),
                 n.alias("__n"),
             )
         )
@@ -368,7 +402,6 @@ def exact_percentiles_multi(
     # the broadcast targets on (group, column), and folds to either a
     # below-counter (NULL window value, all rows under the lower
     # bracket combine map-side to one key) or the in-window histogram
-    vcols = sorted({c for c, _ in specs.values()})
     col_structs = F.array(
         *[
             F.struct(
@@ -383,43 +416,68 @@ def exact_percentiles_multi(
         .select(*g, "__s.*")
         .filter(F.col("__v").isNotNull())
     )
-    ex = (
-        rows.join(
-            F.broadcast(
-                targets.select(*g, "__vcol", "__pname", "__blo", "__bhi")
-            ),
-            [*group_cols, "__vcol"],
+    # combine every spec window on the same column into ONE broadcast
+    # row per (group, vcol): a row then joins exactly one target row
+    # (no per-spec row multiplication — a8's two l_quantity specs used
+    # to triple the qty rows through the join) and all specs on a
+    # column share one histogram. Rows outside every window but under
+    # the column's max upper bracket fold to their NEXT window's lower
+    # bound (a gap-counter key, ≤ #windows+1 keys per group — the
+    # generalization of the single below-counter), so the running
+    # count still yields exact GLOBAL ranks for every in-window value.
+    win_struct = F.struct(F.col("__blo").alias("lo"), F.col("__bhi").alias("hi"))
+    targets_vcol = targets.groupBy(*g, "__vcol").agg(
+        F.sort_array(F.collect_list(win_struct)).alias("__wins"),
+        F.max("__bhi").alias("__maxhi"),
+    )
+    v = F.col("__v")
+    in_win = F.exists("__wins", lambda w: (v >= w["lo"]) & (v <= w["hi"]))
+    next_lo = F.array_min(
+        F.transform(
+            F.filter("__wins", lambda w: w["lo"] > v), lambda w: w["lo"]
         )
-        .filter(F.col("__v") <= F.col("__bhi"))
+    )
+    ex = (
+        rows.join(F.broadcast(targets_vcol), [*group_cols, "__vcol"])
+        .filter(v <= F.col("__maxhi"))
         .select(
             *g,
-            "__pname",
-            F.when(F.col("__v") >= F.col("__blo"), F.col("__v")).alias(
-                "__wv"
-            ),
+            "__vcol",
+            F.when(in_win, v).otherwise(next_lo).alias("__sv"),
+            # gap-fold rows sort BEFORE the real values at their
+            # boundary: every folded row's actual value is strictly
+            # under the next window's lower bound
+            F.when(in_win, F.lit(0)).otherwise(F.lit(-1)).alias("__real"),
         )
     )
-    hist = ex.groupBy(*g, "__pname", "__wv").agg(
+    hist = ex.groupBy(*g, "__vcol", "__sv", "__real").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    # running global rank inside each spec's tiny window (≤ ~8n/acc
-    # distinct values per partition — bounded at any data scale)
+    # running global rank over each column's tiny window set
+    # (≤ ~8n/acc distinct values per window — bounded at any scale)
     ww = (
-        Window.partitionBy(*group_cols, "__pname")
-        .orderBy(F.col("__wv").asc_nulls_first())
+        Window.partitionBy(*group_cols, "__vcol")
+        .orderBy(F.col("__sv").asc(), F.col("__real").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = hist.withColumn("__end", F.sum("__cnt").over(ww)).filter(
-        F.col("__wv").isNotNull()
+    ranked = (
+        hist.withColumn("__end", F.sum("__cnt").over(ww))
+        .filter(F.col("__real") == 0)
+        .withColumnRenamed("__sv", "__wv")
     )
     lo = F.col("__end") - F.col("__cnt") + 1
     picked = (
-        ranked.join(F.broadcast(targets), [*group_cols, "__pname"])
+        ranked.join(
+            F.broadcast(
+                targets.select(*g, "__vcol", "__pname", "__klo", "__khi")
+            ),
+            [*group_cols, "__vcol"],
+        )
         .filter(
             (F.col("__klo").between(lo, F.col("__end")))
             | (F.col("__khi").between(lo, F.col("__end")))
         )
-        .groupBy(*g, "__pname", "__frac", "__klo", "__khi", "__n")
+        .groupBy(*g, "__pname")
         .agg(
             F.min(
                 F.when(
@@ -435,27 +493,42 @@ def exact_percentiles_multi(
             ).alias("__vhi"),
         )
     )
-    # guarantee check: the GK bound promises both ranks inside the
-    # window; a NULL here means the sketch contract was violated —
-    # raise at the assembly, never return a silently-wrong number
-    val = F.when(
-        F.col("__vlo").isNull() & (F.col("__n") > 0),
-        F.raise_error(
+    # assembly: LEFT join picked back onto the one-row-per-(group,
+    # spec) targets frame, so a (group, spec) whose picked row
+    # vanished RAISES instead of silently dropping, and an all-NULL /
+    # empty group (n = 0) emits a NULL row like percentile() does.
+    # Guarantee check: the window regime promises both ranks inside
+    # the window; a missed LOWER rank or a missed UPPER rank when the
+    # interpolation fraction needs it means the contract was violated
+    # — raise, never return a silently-wrong number (r10 ADVICE: the
+    # old coalesce masked upper-rank misses).
+    assembled = targets.join(picked, [*group_cols, "__pname"], "left")
+
+    def _bound_err(which: str, k: Column) -> Column:
+        return F.raise_error(
             F.concat(
-                F.lit("exact_percentiles: bracket window missed rank "),
-                F.col("__klo").cast("string"),
+                F.lit(f"exact_percentiles: bracket window missed {which} rank "),
+                k.cast("string"),
                 F.lit(" for "),
                 F.col("__pname"),
                 F.lit(" — approx_percentile accuracy bound violated"),
             )
-        ).cast("double"),
-    ).otherwise(
-        F.col("__vlo")
-        + F.col("__frac")
-        * (F.coalesce("__vhi", "__vlo") - F.col("__vlo"))
+        ).cast("double")
+
+    val = (
+        F.when(F.col("__n") == 0, F.lit(None).cast("double"))
+        .when(F.col("__vlo").isNull(), _bound_err("lower", F.col("__klo")))
+        .when(
+            (F.col("__frac") > 0) & F.col("__vhi").isNull(),
+            _bound_err("upper", F.col("__khi")),
+        )
+        .otherwise(
+            (F.lit(1.0) - F.col("__frac")) * F.col("__vlo")
+            + F.col("__frac") * F.coalesce("__vhi", "__vlo")
+        )
     )
     return (
-        picked.groupBy(*g)
+        assembled.groupBy(*g)
         .pivot("__pname", list(specs.keys()))
         .agg(F.first(val))
     )

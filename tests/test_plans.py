@@ -374,12 +374,13 @@ def test_exact_percentiles_no_unpartitioned_window(spark):
     )
     p = X.plan(df)
     # the only Window is the in-bracket running count, and its spec
-    # must carry the (group, spec-name) partition columns — a window
-    # without them is the single-task shape this operator exists to
-    # avoid
+    # must carry the (group, value-column) partition columns — a
+    # window without them is the single-task shape this operator
+    # exists to avoid (r11: specs on the same column share one
+    # histogram, so the partition key is __vcol, not __pname)
     for line in p.splitlines():
         if "windowspecdefinition" in line.lower():
-            assert "__pname" in line, line
+            assert "__vcol" in line and "l_returnflag" in line, line
     # and no exact-percentile buffer anywhere (approx_percentile's
     # bounded GK sketch is the one allowed percentile aggregate)
     assert "percentile(" not in p.lower().replace("approx_percentile(", "")

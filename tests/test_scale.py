@@ -368,3 +368,87 @@ def test_exact_percentiles_plan_has_no_percentile_buffer(spark):
     df = SC.exact_percentiles(li, ["l_returnflag"], "l_quantity", {"p50": 0.5})
     p = X.plan(df).lower().replace("approx_percentile(", "")
     assert "percentile(" not in p
+
+
+def test_exact_percentiles_small_group_regime(spark):
+    # r10 ADVICE repros: the p±4/accuracy bracket offset is under one
+    # rank for groups with n below ~accuracy/4 — n=12 p=0.9 and
+    # n=123 p=0.9 used to RAISE on valid data, n=15 p=0.25 silently
+    # returned 4.0 where PERCENTILE_CONT says 4.5. Groups with
+    # n <= accuracy must refine over the whole group instead.
+    import random
+
+    rnd = random.Random(11)
+    rows, gid = [], 0
+    for n in (10, 11, 12, 15, 23, 50, 99, 123, 200):
+        gid += 1
+        vals = (
+            [float(rnd.randint(0, 50)) for _ in range(n)]
+            if gid % 2
+            else [rnd.random() * 1000 for _ in range(n)]
+        )
+        rows += [(f"g{gid}", v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    for p in (0.1, 0.25, 0.5, 0.75, 0.9):
+        ref = {
+            r["g"]: r["t"]
+            for r in df.groupBy("g")
+            .agg(F.expr(f"percentile(v, {p})").alias("t"))
+            .collect()
+        }
+        got = {
+            r["g"]: r["x"]
+            for r in SC.exact_percentiles(
+                df, ["g"], "v", {"x": p}, accuracy=2000
+            ).collect()
+        }
+        assert got == ref, (p, got, ref)
+
+
+def test_exact_percentiles_bracket_regime_matches_builtin(spark):
+    # force the LARGE-n sketch-bracket path (n > accuracy) with a tiny
+    # accuracy so the smoke table's ~2k-row groups exceed it; results
+    # must still be exact — the GK cushion (3n/accuracy ranks) covers
+    # the <=2-rank gap between approx rank and the PERCENTILE_CONT
+    # targets whenever n > accuracy
+    li = load_tables(spark, SF_SMOKE).lineitem
+    got = (
+        SC.exact_percentiles(
+            li,
+            ["l_returnflag"],
+            "l_extendedprice",
+            {"p25": 0.25, "p50": 0.5, "p90": 0.9},
+            accuracy=200,
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    ref = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+
+
+def test_exact_percentiles_null_groups_and_empty_input(spark):
+    # percentile() emits NULL for all-NULL groups and one NULL row for
+    # a global aggregate over empty input — r10 ADVICE: these rows
+    # used to vanish from the output entirely
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("nulls", None), ("nulls", None)],
+        "g string, v double",
+    )
+    rows = {
+        r["g"]: r["p50"]
+        for r in SC.exact_percentiles(df, ["g"], "v", {"p50": 0.5}).collect()
+    }
+    assert rows == {"a": 2.0, "nulls": None}
+    empty = spark.createDataFrame([], "g string, v double")
+    out = SC.exact_percentiles(empty, [], "v", {"p50": 0.5}).collect()
+    assert len(out) == 1 and out[0]["p50"] is None
