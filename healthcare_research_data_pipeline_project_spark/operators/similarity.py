@@ -963,6 +963,166 @@ def auto_lsh_params_for(
     )
 
 
+def auto_ivf_nprobe(
+    emb: DataFrame,
+    k: int = 5,
+    target_recall: float = 0.85,
+    n_queries: int = 16,
+    corpus_cap: int = 50_000,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> int:
+    """Data-derived IVF routing depth: the smallest `nprobe` whose
+    MEASURED recall@k meets `target_recall` on this corpus.
+
+    The r10 ANN bench showed why a fixed nprobe is a product defect as
+    a default: nprobe=2 served recall@5 0.75 on the clustered sf1
+    corpus but 0.25 at sf0.1, where true neighbors sit at cosine ~0.33
+    across cell boundaries — IVF recall is CAPPED by routing, and the
+    right depth depends on how the corpus's true neighbors distribute
+    over cells. So measure it, the `auto_lsh_params_for` discipline
+    applied to routing: a deterministic hash-spread sample of
+    `n_queries` vectors is exactly ranked against the corpus (capped
+    at `corpus_cap` rows by a deterministic id-hash stride — the
+    bounded one-time tuning job, same lifecycle as PQ training), each
+    query's quality-grade neighbors (true score at least the true
+    k-th — the ANN bench's tie-robust recall definition) are counted
+    per cell, cells are ranked EXACTLY like the serving route ranks
+    them, and the returned nprobe is the smallest whose 25th-
+    PERCENTILE per-query sample recall reaches the floor. The p25
+    (not the mean) is deliberate, the same conservative-side choice
+    `measure_similarity_profile` makes: the sample mean overfits 16
+    queries (measured: mean-tuned nprobe=8 at sf0.1 served 0.80
+    end-to-end on held-out bench queries — routing met its floor
+    in-sample but left no cushion for the PQ ADC shortlist's own
+    ~0.9 retention downstream; p25-tuned nprobe=9 serves 0.90).
+    Worst case returns #cells (probe-all — an honest full scan
+    rather than silent quality loss).
+
+    `metric` must match the serving route: "l2" for `ivfpq_topk`
+    (squared-L2 ADC + rounded-L2 centroid routing) or "cos" for
+    `ivf_topk` (cosine candidates + cosine-to-centroid routing).
+    Everything here is bounded: n_queries x corpus_cap exact scores,
+    #cells centroid distances, an n_queries x #cells census collected
+    to the driver."""
+    if metric not in ("l2", "cos"):
+        raise ValueError(f"unknown metric {metric!r}")
+    n = emb.count()
+    corpus = emb.select(id_col, vec_col, label_col)
+    if n > corpus_cap:
+        stride = -(-n // corpus_cap)
+        corpus = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+        )
+    qids = [
+        r[0]
+        for r in corpus.select(id_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(997)), F.col(id_col))
+        .limit(n_queries)
+        .collect()
+    ]
+    q = emb.filter(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ce"),
+        F.col(label_col).alias("cell"),
+    )
+    l2_qc = F.aggregate(
+        F.zip_with(
+            "qe",
+            "ce",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos_qc = _dot("qe", "ce") / (
+        F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))
+    )
+    score = l2_qc if metric == "l2" else cos_qc
+    order = [F.col("s").asc(), F.col("cid").asc()] if metric == "l2" else [
+        F.col("s").desc(), F.col("cid").asc()
+    ]
+    pairs = track_persist(
+        F.broadcast(q)
+        .join(c, F.col("cid") != F.col("qid"))
+        .select("qid", "cid", "cell", score.alias("s"))
+    )
+    kth = (
+        pairs.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("qid").orderBy(*order))
+        )
+        .filter(F.col("rn") <= k)
+        .groupBy("qid")
+        .agg(
+            (F.max("s") if metric == "l2" else F.min("s")).alias("kth")
+        )
+    )
+    eps = F.lit(1e-9)
+    is_good = (
+        (F.col("s") <= F.col("kth") + eps)
+        if metric == "l2"
+        else (F.col("s") >= F.col("kth") - eps)
+    )
+    good = (
+        pairs.join(F.broadcast(kth), "qid")
+        .filter(is_good)
+        .groupBy("qid", "cell")
+        .agg(F.count(F.lit(1)).alias("ngood"))
+    )
+    # cell ranking: EXACTLY the serving routes' expressions — rounded
+    # squared L2 asc for ivfpq_topk, cosine-to-centroid desc for
+    # ivf_topk, ties on cell id — so the measured census reflects the
+    # probe sets the route will actually take
+    cents = label_centroids(emb, label_col, vec_col)
+    if metric == "l2":
+        cdist = F.aggregate(
+            F.zip_with(
+                "qe",
+                "centroid",
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        corder = [F.round(cdist, 6).asc(), F.col("cell").asc()]
+    else:
+        cdot = _dot("qe", "centroid") / F.sqrt(_dot("centroid", "centroid"))
+        corder = [cdot.desc(), F.col("cell").asc()]
+    crank = (
+        q.join(F.broadcast(cents))
+        .select(
+            "qid",
+            "cell",
+            F.row_number()
+            .over(Window.partitionBy("qid").orderBy(*corder))
+            .alias("cr"),
+        )
+    )
+    census = good.join(crank, ["qid", "cell"]).select("qid", "cr", "ngood")
+    rows = census.collect()  # <= n_queries x #cells rows
+    ncells = max((r["cr"] for r in rows), default=1)
+    per_q: dict[int, dict[int, int]] = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], {})[r["cr"]] = r["ngood"]
+    if not per_q:
+        return 1
+    for nprobe in range(1, ncells + 1):
+        recalls = sorted(
+            min(k, sum(cnt for cr, cnt in d.items() if cr <= nprobe)) / k
+            for d in per_q.values()
+        )
+        p25 = recalls[max(0, int(0.25 * (len(recalls) - 1)))]
+        if p25 >= target_recall:
+            return nprobe
+    return ncells
+
+
 def lsh_bucket(
     df: DataFrame, vec_col: str, num_planes: int = 8, dim: int | None = None
 ) -> DataFrame:
@@ -1265,7 +1425,7 @@ def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -1273,10 +1433,21 @@ def ivf_topk(
     """IVF ANN top-k: route each query to its `nprobe` nearest cell
     centroids, score exactly only within those cells.
 
+    `nprobe=None` (the default since r11) derives the routing depth
+    from the corpus via `auto_ivf_nprobe` (metric="cos" — this
+    route's candidate scoring and centroid ranking are both cosine)
+    against its 0.85 recall floor; a fixed nprobe is an explicit
+    routing-cap opt-in, not the default.
+
     Plan shape at scale: the centroid table is tiny (≤ #cells) and
     broadcasts into query routing; the candidate scan is an equi-join
     on cell id — the cross product never forms. Recall is measured in
     tests against `brute_force_topk`."""
+    if nprobe is None:
+        nprobe = auto_ivf_nprobe(
+            emb, k=k, metric="cos",
+            id_col=id_col, vec_col=vec_col, label_col=label_col,
+        )
     cents = label_centroids(emb, label_col, vec_col)
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
@@ -1594,7 +1765,7 @@ def ivfpq_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    nprobe: int = 2,
+    nprobe: int | None = None,
     m: int = 8,
     ksub: int = 16,
     refine: int | None = None,
@@ -1626,6 +1797,15 @@ def ivfpq_topk(
     `brute_force_topk`; cell restriction is pinned structurally."""
     if refine is not None and refine < k:
         raise ValueError("refine must be >= k")
+    if nprobe is None:
+        # r11 default: derive the routing depth from the corpus (the
+        # r10 bench showed fixed nprobe=2 serving recall@5 0.25 on the
+        # diffuse sf0.1 profile) — a fixed nprobe is an explicit
+        # routing-cap opt-in
+        nprobe = auto_ivf_nprobe(
+            emb, k=k, metric="l2",
+            id_col=id_col, vec_col=vec_col, label_col=label_col,
+        )
     books = codebooks if codebooks is not None else train_pq_codebooks(
         emb, vec_col, id_col, m=m, ksub=ksub
     )

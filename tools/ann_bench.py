@@ -181,12 +181,33 @@ def bench_sf(spark, sf_dir: str) -> list[dict]:
     )
     # IVF-PQ shares the prebuilt codebooks (by_residual=False): the
     # composed production index — routing bounds the scan to nprobe
-    # cells, PQ bounds the bytes, refine restores precision. Recall is
-    # capped by routing (a true neighbor outside the probed cells is
-    # unreachable), which is the trade the row exists to show.
+    # cells, PQ bounds the bytes, refine restores precision. The
+    # DEFAULT row derives the routing depth from the corpus
+    # (auto_ivf_nprobe: p25 sample routing recall >= 0.85 — r11; the
+    # r10 fixed nprobe=2 served recall@5 0.25 at sf0.1). Routing-depth
+    # derivation is a one-time index-build step, so it is timed into
+    # build_sec, not the query path.
+    t0 = time.time()
+    auto_np = S.auto_ivf_nprobe(emb, k=5, metric="l2")
+    np_build = round(time.time() - t0, 3)
     routes.append(
         (
-            "IVF-PQ nprobe=2 + refine (prebuilt codebooks)",
+            f"IVF-PQ auto (derived nprobe={auto_np}) + refine",
+            exact_l2,
+            True,
+            lambda: S.ivfpq_topk(
+                emb, QUERY_IDS, k=kmax, nprobe=auto_np, m=16, ksub=32,
+                refine=10 * kmax, codebooks=pq_books,
+            ),
+        )
+    )
+    # the fixed shallow-routing row stays as the annotated reference:
+    # it shows what the routing CAP costs on this corpus profile (a
+    # true neighbor outside the probed cells is unreachable) — an
+    # explicit opt-in, not the default.
+    routes.append(
+        (
+            "IVF-PQ nprobe=2 routing-cap reference (opt-in)",
             exact_l2,
             True,
             lambda: S.ivfpq_topk(
@@ -206,7 +227,9 @@ def bench_sf(spark, sf_dir: str) -> list[dict]:
             best = dt if best is None or dt < best else best
             unpersist_tracked()
         entry = {"route": name, "sec": round(best, 3)}
-        if "prebuilt codebooks" in name:
+        if "IVF-PQ auto" in name:
+            entry["build_sec"] = round(pq_build + np_build, 3)
+        elif "prebuilt codebooks" in name or "IVF-PQ" in name:
             entry["build_sec"] = pq_build
         for k in KS:
             entry[f"recall@{k}"] = round(
@@ -257,14 +280,24 @@ def main() -> None:
         "dequantized reconstructions (the FAISS semantics) recovers 0.95.",
         "PQ reports index BUILD (codebook training, one-time, deterministic)",
         "separately from the query path, the standard ANN-bench split.",
-        "The IVF-PQ row (r10) composes the production index: routing to",
-        "nprobe=2 cells bounds the scan, PQ codes bound the bytes, refine",
-        "restores precision — its recall is CAPPED by routing (a true",
-        "neighbor outside the probed cells is unreachable), which is the",
-        "trade the row exists to show: strong on the clustered sf1 corpus,",
-        "weak on the diffuse sf0.1 profile where true neighbors sit at",
-        "cos ~0.33 across cell boundaries. Both PQ rows share one trained",
-        "index (by_residual=False keeps the codebooks corpus-global).",
+        "The IVF-PQ rows compose the production index: coarse routing",
+        "bounds the scan, PQ codes bound the bytes, refine restores",
+        "precision. IVF recall is CAPPED by routing (a true neighbor",
+        "outside the probed cells is unreachable), so the DEFAULT row",
+        "(r11) derives nprobe per corpus — `auto_ivf_nprobe` exactly ranks",
+        "a deterministic 16-query sample, counts quality-grade neighbors",
+        "per cell, ranks cells exactly like the serving route, and takes",
+        "the smallest depth whose 25th-percentile per-query routing recall",
+        "clears 0.85 (the p25, not the mean: the mean overfit the sample —",
+        "nprobe=8 at sf0.1 met it in-sample yet served 0.80 end-to-end",
+        "once the ADC shortlist's own ~0.9 retention stacked on top).",
+        "The fixed nprobe=2 row remains as the routing-cap reference: the",
+        "r10 default, recall@5 0.25 at sf0.1 / 0.75 at sf1 — what an",
+        "explicitly capped probe budget costs on a diffuse corpus where",
+        "true neighbors sit at cos ~0.33 across cell boundaries. Routing-",
+        "depth derivation is one-time index-build work (build_sec). All",
+        "PQ rows share one trained index (by_residual=False keeps the",
+        "codebooks corpus-global).",
         "",
     ]
     for d in dirs:
