@@ -70,7 +70,13 @@ GATE_PRIORITY = [
     # in MIRROR.json) for mm_decode_stats — the multimodal decode
     # oracle (sha256 counter-mode payload statistics) that never had a
     # driver CORRECTNESS row.
-    "mm_decode_stats",
+    # mm_decode_stats rotated OUT r11 (multimodal decode stays gate-
+    # evidenced by mm_media_features, whose per-row payload-
+    # reconstruction oracle is strictly stronger — it rebuilds every
+    # PPM/WAV byte sequence in SQL; the row stays green in
+    # MIRROR.json) for t_asof_join — the as-of temporal join, in the
+    # never-gated set VERDICT r10 #3 named.
+    "t_asof_join",
     # j5_anti_not_exists rotated OUT r4 (its sf0.01 result is 0 rows —
     # a trivially-true hash check; hc_q9 in this window is itself a
     # NOT-EXISTS anti-join, and j5 stays green in the committed
@@ -127,7 +133,13 @@ GATE_PRIORITY = [
     # u2_set_ops rotated OUT r5 (set-op evidence stays via hc_q10's
     # UNION ALL in this window) for a2b_approx_stats — the sketch
     # tier's new tolerance-verdict oracle.
-    "a2b_approx_stats",
+    # a2b_approx_stats rotated OUT r11 (mergeable-sketch evidence
+    # stays TWICE in this window: a2c_sketch_rollup's HLL partial
+    # unions and ivm_sketch_distinct's incremental sketch view; the
+    # row stays green in MIRROR.json) for stat_bootstrap_ci — the
+    # deterministic hash-resample bootstrap CI, in the never-gated
+    # set VERDICT r10 #3 named.
+    "stat_bootstrap_ci",
     "a14_quality_metrics",
     "w1_w2_group_outliers",
     # w3_topn_per_group rotated OUT r5 (top-N-per-frame stays
@@ -168,14 +180,27 @@ GATE_PRIORITY = [
     # exact triangle count over the thresholded similarity graph,
     # another r8 blocked-scan consumer whose operator changed two
     # rounds running without a driver gate row.
-    "g_triangle_count",
+    # g_triangle_count rotated OUT r11 (triangle counting stays gate-
+    # evidenced by g_triangle_knn in this window — same oriented-
+    # wedge-join algorithm over the mutual kNN edge set; the row
+    # stays green in MIRROR.json) for text_tfidf_knn — the posting-
+    # list + champion-list TF-IDF document kNN, the corpus's slowest
+    # query and never gated (VERDICT r10 #3).
+    "text_tfidf_knn",
     # dedup_simhash rotated OUT r7 (SimHash signatures stay green in
     # MIRROR.json alongside the blocked-Hamming pairs variant;
     # in-window hash evidence stays via f_case_mask_hash) for
     # sim_pq_topk — PQ ADC+refine, oracled for the first time in r7
     # (per-query audit verdicts: exact true-kth-L2 equality + slack
     # bound, the k-means doctrine).
-    "sim_pq_topk",
+    # sim_pq_topk rotated OUT r11 (PQ ADC+refine stays gate-evidenced
+    # by sim_ivfpq_topk in this window — the composed route serves
+    # from the SAME trained index and its oracle additionally
+    # recomputes the routing; the row stays green in MIRROR.json) for
+    # dedup_ngram_jaccard_capped — the df-capped n-gram Jaccard
+    # inverted index, the corpus's steepest non-graph 20x scaling row
+    # and never gated (VERDICT r10 #3/#4).
+    "dedup_ngram_jaccard_capped",
     # dedup_ngram_jaccard rotated OUT r6 (exact n-gram Jaccard stays
     # gate-evidenced by dedup_lsh_pairs' exact-Jaccard verify stage in
     # this window, and the df-capped variant stays green in
@@ -242,7 +267,14 @@ GATE_PRIORITY = [
     # a2d stays green in MIRROR.json) for g_knn_graph — the bounded-
     # degree kNN graph summary the two analytics rows above consume,
     # never driver-gated before (added r6).
-    "g_knn_graph",
+    # g_knn_graph rotated OUT r11 (the bounded-degree kNN graph stays
+    # gate-evidenced THREE ways in this window: g_pagerank_knn,
+    # g_kcore_knn, and g_triangle_knn all consume it as their oracled
+    # edge set; the row stays green in MIRROR.json) for
+    # events_hopping_rollup — the hopping-window rollup batch twin,
+    # widening the streaming family's gate coverage beyond
+    # events_hourly_rollup (VERDICT r10 #7).
+    "events_hopping_rollup",
 ]
 
 
