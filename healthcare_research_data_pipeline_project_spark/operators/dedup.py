@@ -178,9 +178,27 @@ def shingle_jaccard_pairs(
     # the size lookup all branch from this node, and without an explicit
     # materialization each branch re-runs the tokenize+shingle pipeline
     # (same reason you'd stage this table before a self-join on a
-    # cluster; Spark's LRU evicts it when memory is needed)
+    # cluster; Spark's LRU evicts it when memory is needed).
+    #
+    # Shingle identity is a portable 60-bit md5-derived hash (15 hex
+    # chars — fits BIGINT in every engine), not the ~45-char shingle
+    # string: the index shuffle then moves 8-byte longs instead of
+    # strings (measured at the 20x probe: the posting aggregation's
+    # shuffle went from ~230 MB of strings to ~40 MB, the dominant
+    # superlinear term). Sizes, postings, and intersection counts all
+    # live consistently in hash space, so the Jaccard is exact over
+    # hash identities; a collision merges two shingles with
+    # probability C(S,2)/2^60 per block (~1e-8 at test SFs, ~4e5
+    # expected merges per 10^12-shingle warehouse block — and flipping
+    # any PAIR's threshold additionally requires both docs to straddle
+    # the colliding duo). 32-bit hash64_expr is NOT enough here: ~7
+    # expected collisions at sf0.1 would already drift counts.
+    sh60 = (
+        "transform(shingles, s -> "
+        "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+    )
     d = with_shingles(df, text_col, k).withColumn(
-        "sh_set", F.array_distinct(F.col("shingles"))
+        "sh_set", F.array_distinct(F.expr(sh60))
     ).select(id_col, *block_cols, "sh_set")
     d = track_persist(d)
     sizes = d.select(
