@@ -181,6 +181,32 @@ def main() -> None:
         print(f"# {name}: {b:.2f}s", file=sys.stderr)
     wall = time.time() - loop_t0
 
+    # canary-normalized timings (r11): the shared host drifts ±15%
+    # within a day (observed same-code spans 114.4-133.8 s), so raw
+    # round-over-round deltas mix code signal with weather. Each run
+    # also records its fixed-work canary; scaling every timing by
+    # (reference py_loop / this run's best py_loop) projects the run
+    # onto a fixed machine speed — first-order weather removal.
+    # PY_LOOP_REF is pinned to the committed r10 BENCH_LOCAL best so
+    # normalized numbers stay comparable across all later rounds.
+    # tools/bench_compare.py compares normalized maps when both
+    # artifacts carry them. run_id stamps artifact provenance: the
+    # stdout line and BENCH_LOCAL.json of one run share it, so the
+    # round's canonical headline is whichever artifact the driver
+    # recorded — copies are matched (or exposed) by id, never
+    # re-measured.
+    py_loop_ref = 0.19
+    py_best = min(c["py_loop_sec"] for c in canaries)
+    factor = py_loop_ref / py_best if py_best > 0 else 1.0
+    run_id = f"{int(loop_t0)}-{os.getpid()}"
+    normalized = {
+        "py_loop_ref": py_loop_ref,
+        "py_loop_best": py_best,
+        "factor": round(factor, 4),
+        "total": round(total * factor, 3),
+        "queries": {n: round(v * factor, 3) for n, v in best.items()},
+    }
+
     # the driver's bench artifact preserves only the TAIL of stdout, so
     # the headline rows (flagship + the 10 reference analytics queries
     # + the budget-watched mb_pair_lift) are repeated in a compact dict
@@ -200,6 +226,8 @@ def main() -> None:
         "wall_sec": round(wall, 3),
         "median_sec": median,
         "machine_canary": canaries,
+        "run_id": run_id,
+        "normalized": normalized,
         "headline": {n: timings[n] for n in headline_names},
     }
     # the driver's bench artifact keeps only a 2 KB stdout tail, which
@@ -234,6 +262,9 @@ def main() -> None:
             k: min(c[k] for c in canaries)
             for k in ("py_loop_sec", "blas_matmul_sec")
         },
+        "run_id": run_id,
+        "normalized_total": normalized["total"],
+        "canary_factor": normalized["factor"],
         "full_map": "BENCH_LOCAL.json",
     }
     line = json.dumps(compact)

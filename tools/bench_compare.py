@@ -45,6 +45,24 @@ import sys
 ANNOTATIONS = os.path.join(os.path.dirname(__file__), "bench_annotations.json")
 
 
+def load_normalized(path: str) -> dict[str, float] | None:
+    """Canary-normalized per-query map (r11 bench.py artifacts carry
+    `normalized.queries`: every timing scaled onto a fixed reference
+    machine speed via the run's own py_loop canary). None for earlier
+    artifacts or tail-truncated driver records."""
+    try:
+        d = json.load(open(path))
+    except Exception:  # noqa: BLE001
+        return None
+    for cand in (d, d.get("parsed") or {}):
+        if not isinstance(cand, dict):
+            continue
+        norm = cand.get("normalized")
+        if isinstance(norm, dict) and isinstance(norm.get("queries"), dict):
+            return {k: float(v) for k, v in norm["queries"].items()}
+    return None
+
+
 def load(path: str) -> dict[str, float]:
     last_err = None
     # whole-file parse first: BENCH_LOCAL_r*.json is pretty-printed
@@ -150,7 +168,14 @@ def main() -> int:
     ap.add_argument("--out", default=None,
                     help="write the regression table (JSON) here")
     args = ap.parse_args()
-    b, a = load(args.before), load(args.after)
+    # prefer canary-NORMALIZED maps when both artifacts carry them
+    # (r11): deltas are then code signal projected onto one reference
+    # machine speed, not host weather. Raw maps remain the fallback
+    # for pre-r11 artifacts and truncated driver records.
+    bn, an = load_normalized(args.before), load_normalized(args.after)
+    basis = "normalized" if (bn and an) else "raw"
+    b, a = (bn, an) if basis == "normalized" else (load(args.before), load(args.after))
+    print(f"comparison basis: {basis}")
     notes: dict[str, str] = {}
     if os.path.exists(ANNOTATIONS):
         notes = json.load(open(ANNOTATIONS))
@@ -210,6 +235,7 @@ def main() -> int:
         table = {
             "before": args.before,
             "after": args.after,
+            "basis": basis,
             "threshold_pct": args.pct,
             "budget_pct": args.budget_pct,
             "canary": {"drifted": drifted, "evidence": canary_evidence},
