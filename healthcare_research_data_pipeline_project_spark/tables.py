@@ -113,22 +113,29 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(done):
                 raise
-        # cache hygiene, best-effort after a successful commit:
-        # (a) prune committed siblings of the SAME source (stale
-        #     mtime/size/nparts vintages — regenerated testdata or a
-        #     changed CPU budget left full table copies behind);
-        # (b) reap orphaned .building-* staging dirs older than an
-        #     hour (a crash between write and rename leaks one; age-
-        #     gating avoids reaping a live concurrent build).
+        # cache hygiene, best-effort after a successful commit — BOTH
+        # branches age-gated (r10 ADVICE: unconditional sibling
+        # pruning could delete the cache a CONCURRENT process with a
+        # different nparts was actively reading, mid-query):
+        # (a) prune committed siblings of the SAME source only when
+        #     older than an hour — stale mtime/size/nparts vintages
+        #     (regenerated testdata, a changed CPU budget) age past
+        #     the gate and go; a freshly-built concurrent vintage is
+        #     spared;
+        # (b) reap orphaned .building-* staging dirs older than four
+        #     hours (a crash between write and rename leaks one; the
+        #     r10 1-hour gate could reap a live build that
+        #     legitimately runs long, e.g. a 20x probe relayout).
         root, base = os.path.split(cache)
         src_prefix = base.split("-", 1)[0] + "-"
         for d in os.listdir(root):
             full = os.path.join(root, d)
             try:
+                age = _time.time() - os.path.getmtime(full)
                 if ".building-" in d:
-                    if _time.time() - os.path.getmtime(full) > 3600:
+                    if age > 4 * 3600:
                         shutil.rmtree(full, ignore_errors=True)
-                elif d.startswith(src_prefix) and full != cache:
+                elif d.startswith(src_prefix) and full != cache and age > 3600:
                     shutil.rmtree(full, ignore_errors=True)
             except OSError:
                 pass

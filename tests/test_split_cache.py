@@ -55,8 +55,11 @@ def test_split_cache_key_tracks_source_and_parallelism(spark):
 def test_split_cache_prunes_stale_siblings_and_orphans(spark, tmp_path):
     # regenerated testdata (new mtime -> new key) must not accumulate
     # full table copies: committing a rebuild prunes committed
-    # siblings of the same source, and reaps hour-old orphaned
-    # .building-* staging dirs (crash leftovers) — r9 ADVICE
+    # siblings of the same source ONCE THEY AGE PAST AN HOUR (r10
+    # ADVICE: unconditional pruning could delete the cache a
+    # concurrent process with a different nparts was actively reading
+    # mid-query), and reaps orphaned .building-* staging dirs older
+    # than four hours (crash leftovers; a live long build is spared)
     import shutil
     import time
 
@@ -66,18 +69,31 @@ def test_split_cache_prunes_stale_siblings_and_orphans(spark, tmp_path):
     table(spark, str(tmp_path), "orders").count()
     old_cache = _split_cache_dir(src, nparts)
     assert os.path.exists(os.path.join(old_cache, "_DONE"))
-    # a crashed build's orphan, already stale
+    # a crashed build's orphan, stale past the 4 h reap gate
     orphan = f"{old_cache}.building-99999-deadbeef"
     os.makedirs(orphan, exist_ok=True)
-    os.utime(orphan, (time.time() - 7200, time.time() - 7200))
+    os.utime(orphan, (time.time() - 5 * 3600, time.time() - 5 * 3600))
+    # a RECENT orphan (a possibly-live concurrent build) must survive
+    live_orphan = f"{old_cache}.building-99998-cafecafe"
+    os.makedirs(live_orphan, exist_ok=True)
     # regenerate the source: same bytes, new mtime -> new cache key
     os.utime(src, None)
     table(spark, str(tmp_path), "orders").count()
     new_cache = _split_cache_dir(src, nparts)
     assert new_cache != old_cache
     assert os.path.exists(os.path.join(new_cache, "_DONE"))
-    assert not os.path.exists(old_cache), "stale sibling not pruned"
+    # the old sibling is FRESH (just built) -> age-gated, spared for
+    # any concurrent reader
+    assert os.path.exists(old_cache), "fresh sibling must survive the gate"
+    assert os.path.exists(live_orphan), "recent .building must survive"
     assert not os.path.exists(orphan), "stale .building orphan not reaped"
+    # backdate the old sibling past the gate; the next commit of ANY
+    # same-source vintage prunes it
+    os.utime(old_cache, (time.time() - 7200, time.time() - 7200))
+    os.utime(src, None)
+    table(spark, str(tmp_path), "orders").count()
+    assert not os.path.exists(old_cache), "aged sibling not pruned"
+    shutil.rmtree(live_orphan, ignore_errors=True)
 
 
 def test_events_ts_normalized_through_cache(spark):
