@@ -150,6 +150,47 @@ def hash_split(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test split by NEAR-DUP CLUSTER, not by row: a plain
+    per-row hash split sends two near-duplicate documents to different
+    splits ~2·p·(1−p) of the time, leaking train content into the
+    held-out sets — the test-set contamination failure mode the dedup
+    literature (Lee et al. 2022, §6) warns training pipelines about.
+    Here candidate `pairs` (LSH/SimHash/exact — any pair generator in
+    operators/dedup.py) connect documents into components, every
+    member keys the hash split on its component's min-id
+    representative (`dedup_clusters`' cluster_id; singletons key on
+    themselves), and therefore a whole near-dup cluster lands in ONE
+    split by construction.
+
+    Output: docs' id, cluster_id, and the `split` column. Scale shape:
+    connected components is the bounded iterative operator from
+    operators/graph.py; the split itself is one map-side hash — no
+    extra shuffle beyond the cluster assignment."""
+    from .graph import dedup_clusters
+
+    labeled = dedup_clusters(docs, pairs, id_col, pair_a, pair_b)
+    b = hash_bucket("cluster_id", 100, salt)
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 def duck_split_case(key: str, train_pct: int = 80, val_pct: int = 10,
                     salt: str = "split") -> str:
     b = duck_hash_bucket(key, 100, salt)
@@ -369,34 +410,94 @@ def exact_percentiles_multi(
     # cushion 3n/accuracy is under the 2 ranks the exact targets can
     # sit from p*n there — ADVICE r10: n=12 p=0.9 raised, n=15 p=0.25
     # silently interpolated wrong before this regime split).
-    spec_rows = []
-    for name, (c, p) in specs.items():
-        n = F.col(f"__n_{vidx[c]}")
-        br = f"__br_{vidx[c]}"
-        lo_i, hi_i = spec_probe_at[name]
-        r = F.lit(float(p)) * (n - 1)
-        k_lo = F.floor(r) + 1
-        k_hi = F.when(r == F.floor(r), k_lo).otherwise(F.floor(r) + 2)
-        small = n <= F.lit(accuracy)
-        spec_rows.append(
-            F.struct(
-                F.lit(name).alias("__pname"),
-                F.lit(c).alias("__vcol"),
-                (r - F.floor(r)).alias("__frac"),
-                k_lo.cast("long").alias("__klo"),
-                k_hi.cast("long").alias("__khi"),
-                F.when(small, F.lit(float("-inf")))
-                .otherwise(F.element_at(br, lo_i))
-                .alias("__blo"),
-                F.when(small, F.lit(float("inf")))
-                .otherwise(F.element_at(br, hi_i))
-                .alias("__bhi"),
-                n.alias("__n"),
-            )
+    #
+    # Adaptive targets regime (r11): when the group count is small
+    # (bounded driver collect — the persist-once probe doctrine the
+    # graph operators use), the targets frame is built as a DRIVER-
+    # LOCAL literal relation instead of a Spark expression over
+    # brackets. Every downstream broadcast then materializes from a
+    # LocalTableScan with NO cluster job — measured: the generic path
+    # spent most of its wall on the persist + three broadcast-build
+    # jobs at test SFs (octile bounds on 150k rows: 1.7 s -> ~1.0 s).
+    # The python math below is bit-identical to the Column math (both
+    # are IEEE-754 double ops in the same order). Above the cap the
+    # distributed expression path is unchanged — group cardinality is
+    # corpus-driven and collecting it unbounded is the banned shape.
+    import math as _math
+
+    n_groups = brackets.count()
+    spark = df.sparkSession
+    if n_groups <= 10_000:
+        gfields = [brackets.schema[c] for c in group_cols]
+        tgt_rows = []
+        for row in brackets.collect():
+            for name, (c, p) in specs.items():
+                n = row[f"__n_{vidx[c]}"] or 0
+                br = row[f"__br_{vidx[c]}"]
+                lo_i, hi_i = spec_probe_at[name]
+                r = float(p) * (n - 1)
+                fr = _math.floor(r)
+                k_lo = fr + 1
+                k_hi = k_lo if r == fr else fr + 2
+                if n <= accuracy:
+                    blo, bhi = float("-inf"), float("inf")
+                else:
+                    blo, bhi = float(br[lo_i - 1]), float(br[hi_i - 1])
+                tgt_rows.append(
+                    tuple(row[c_] for c_ in group_cols)
+                    + (name, c, r - fr, k_lo, k_hi, blo, bhi, int(n))
+                )
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
         )
-    targets = brackets.select(
-        *g, F.explode(F.array(*spec_rows)).alias("__t")
-    ).select(*g, "__t.*")
+
+        tgt_schema = StructType(
+            list(gfields)
+            + [
+                StructField("__pname", StringType()),
+                StructField("__vcol", StringType()),
+                StructField("__frac", DoubleType()),
+                StructField("__klo", LongType()),
+                StructField("__khi", LongType()),
+                StructField("__blo", DoubleType()),
+                StructField("__bhi", DoubleType()),
+                StructField("__n", LongType()),
+            ]
+        )
+        targets = spark.createDataFrame(tgt_rows, tgt_schema)
+    else:
+        spec_rows = []
+        for name, (c, p) in specs.items():
+            n = F.col(f"__n_{vidx[c]}")
+            br = f"__br_{vidx[c]}"
+            lo_i, hi_i = spec_probe_at[name]
+            r = F.lit(float(p)) * (n - 1)
+            k_lo = F.floor(r) + 1
+            k_hi = F.when(r == F.floor(r), k_lo).otherwise(F.floor(r) + 2)
+            small = n <= F.lit(accuracy)
+            spec_rows.append(
+                F.struct(
+                    F.lit(name).alias("__pname"),
+                    F.lit(c).alias("__vcol"),
+                    (r - F.floor(r)).alias("__frac"),
+                    k_lo.cast("long").alias("__klo"),
+                    k_hi.cast("long").alias("__khi"),
+                    F.when(small, F.lit(float("-inf")))
+                    .otherwise(F.element_at(br, lo_i))
+                    .alias("__blo"),
+                    F.when(small, F.lit(float("inf")))
+                    .otherwise(F.element_at(br, hi_i))
+                    .alias("__bhi"),
+                    n.alias("__n"),
+                )
+            )
+        targets = brackets.select(
+            *g, F.explode(F.array(*spec_rows)).alias("__t")
+        ).select(*g, "__t.*")
 
     # pass 2: ONE scan — each row explodes to its spec columns, joins
     # the broadcast targets on (group, column), and folds to either a

@@ -100,3 +100,161 @@ def ds_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).cast("long").alias("doc_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe split: train/val/test keyed on the NEAR-DUP CLUSTER
+# representative, so near-duplicate documents can never straddle
+# splits (Lee et al. 2022 §6 test-set contamination). The oracle
+# rebuilds the identical LSH pair set, runs the same min-label
+# connected components as a RECURSIVE CTE (the dedup_clusters
+# doctrine), applies the same md5 hash split to the cluster id, and
+# recomputes the audit: per-split doc/cluster counts plus the global
+# count of straddling clusters — which the construction pins to 0,
+# and the oracle VERIFIES rather than assumes.
+# ---------------------------------------------------------------------------
+def _leakage_safe_split_oracle() -> str:
+    from .datapipe2 import _dedup_clusters_oracle
+
+    cc = _dedup_clusters_oracle().strip()
+    # reuse the recursive-CC oracle up to its final projection: keep
+    # the WITH chain, swap the SELECT for the split + audit rollup
+    head, _final = cc.rsplit("SELECT cc.doc_id", 1)
+    return f"""
+    {head.rstrip().rstrip(',')},
+    lsplit AS (
+      SELECT cc.doc_id, cc.cluster_id,
+             {SC.duck_split_case("cluster_id")} AS split
+      FROM cc
+    ),
+    lstraddle AS (
+      SELECT COALESCE(COUNT(*), 0) AS n FROM (
+        SELECT cluster_id FROM lsplit GROUP BY cluster_id
+        HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT lsplit.split,
+           CAST(COUNT(*) AS BIGINT) AS doc_cnt,
+           CAST(COUNT(DISTINCT lsplit.cluster_id) AS BIGINT) AS cluster_cnt,
+           CAST(MAX(lstraddle.n) AS BIGINT) AS straddling_clusters
+    FROM lsplit, lstraddle
+    GROUP BY lsplit.split
+    ORDER BY lsplit.split
+    """
+
+
+@register("ds_leakage_safe_split", _leakage_safe_split_oracle())
+def ds_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    from .datapipe import _LSH_BANDS, _LSH_HASHES
+
+    t = load_tables(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(
+        t.documents, "text", "doc_id",
+        num_hashes=_LSH_HASHES, bands=_LSH_BANDS,
+    )
+    s = SC.leakage_safe_split(t.documents, pairs)
+    # audit from the DATA, not the construction: a cluster whose
+    # members landed in different splits would be a leak — count them
+    straddle = (
+        s.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("__ns"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("__ns") > 1).cast("long")), F.lit(0)
+            ).alias("straddling_clusters")
+        )
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_cnt"),
+            F.countDistinct("cluster_id").cast("long").alias("cluster_cnt"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .select("split", "doc_cnt", "cluster_cnt", "straddling_clusters")
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth RANGE layout audit — the range-partitioning twin of
+# ds_zorder_layout. Spark's repartitionByRange draws SAMPLED
+# boundaries (non-deterministic, un-oracle-able), so the deterministic
+# scale shape is: exact octile boundaries from the sketch-bracketed
+# percentile operator (one bounded two-pass job), bucket = #boundaries
+# below the value (a broadcast map-side comparison — no shuffle beyond
+# the audit rollup), then the zone-map audit: per-bucket min/max and
+# the scanned verdict for a fixed price box. Boundary safety: both
+# engines interpolate PERCENTILE_CONT between the same adjacent data
+# values, so a datum never sits between the two engines' boundaries —
+# bucket assignment is engine-identical.
+# ---------------------------------------------------------------------------
+_RANGE_BOX = (50_000.0, 150_000.0)  # price window the audit probes
+
+
+def _range_layout_oracle() -> str:
+    bs = ",\n             ".join(
+        f"CAST(PERCENTILE_CONT({i / 8.0}) WITHIN GROUP (ORDER BY o_totalprice)"
+        f" AS DOUBLE) AS b{i}"
+        for i in range(1, 8)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN o_totalprice > b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 8)
+    )
+    return f"""
+    WITH b AS (SELECT {bs} FROM orders),
+    k AS (SELECT o_totalprice AS p, ({bucket}) AS bucket_id
+          FROM orders, b)
+    SELECT CAST(bucket_id AS INT) AS bucket_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(MIN(p), 2) AS DOUBLE) AS price_min,
+           CAST(ROUND(MAX(p), 2) AS DOUBLE) AS price_max,
+           NOT (MAX(p) < {_RANGE_BOX[0]} OR MIN(p) > {_RANGE_BOX[1]})
+             AS scanned
+    FROM k GROUP BY bucket_id
+    ORDER BY bucket_id
+    """
+
+
+@register("ds_range_layout", _range_layout_oracle())
+def ds_range_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import exact_percentiles_multi
+
+    t = load_tables(spark, sf_dir)
+    bounds = exact_percentiles_multi(
+        t.orders,
+        [],
+        {f"b{i}": ("o_totalprice", i / 8.0) for i in range(1, 8)},
+        # accuracy=2000: the balance point measured at sf0.1 — smaller
+        # sketches (acc=500) lose more to the fatter pass-2 window
+        # than they save in GK upkeep (2.02s vs 1.62s same-session)
+        accuracy=2000,
+    )
+    p = F.col("o_totalprice")
+    bucket = sum(
+        (p > F.col(f"b{i}")).cast("int") for i in range(1, 8)
+    )
+    k = t.orders.crossJoin(F.broadcast(bounds)).select(
+        p.alias("p"), bucket.alias("bucket_id")
+    )
+    return (
+        k.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            rnd(F.min("p"), "price_min", 2),
+            rnd(F.max("p"), "price_max", 2),
+            (
+                ~(
+                    (F.max("p") < F.lit(_RANGE_BOX[0]))
+                    | (F.min("p") > F.lit(_RANGE_BOX[1]))
+                )
+            ).alias("scanned"),
+        )
+        .select(
+            F.col("bucket_id").cast("int").alias("bucket_id"),
+            "n_rows", "price_min", "price_max", "scanned",
+        )
+        .orderBy("bucket_id")
+    )

@@ -452,3 +452,37 @@ def test_exact_percentiles_null_groups_and_empty_input(spark):
     empty = spark.createDataFrame([], "g string, v double")
     out = SC.exact_percentiles(empty, [], "v", {"p50": 0.5}).collect()
     assert len(out) == 1 and out[0]["p50"] is None
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    # near-dup clusters must land whole in one split; singletons key on
+    # themselves and spread ~80/10/10
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # chain 0-1-2 is one cluster; 10-11 another; the rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    s = SC.leakage_safe_split(docs, pairs)
+    rows = s.collect()
+    assert len(rows) == 200
+    by_doc = {r["doc_id"]: r for r in rows}
+    # whole-cluster co-location
+    assert (
+        by_doc[0]["split"] == by_doc[1]["split"] == by_doc[2]["split"]
+    )
+    assert by_doc[10]["split"] == by_doc[11]["split"]
+    assert by_doc[0]["cluster_id"] == 0 and by_doc[2]["cluster_id"] == 0
+    assert by_doc[11]["cluster_id"] == 10
+    # all three splits populated on 200 docs; exact straddle audit
+    import collections
+
+    per_cluster = collections.defaultdict(set)
+    for r in rows:
+        per_cluster[r["cluster_id"]].add(r["split"])
+    assert all(len(v) == 1 for v in per_cluster.values())
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    # determinism: same inputs, same assignment
+    s2 = {r["doc_id"]: r["split"] for r in SC.leakage_safe_split(docs, pairs).collect()}
+    assert s2 == {d: r["split"] for d, r in by_doc.items()}
