@@ -87,3 +87,90 @@ def asof_join(
     for c in payload:
         out = out.withColumnRenamed(f"__r_{c}", c)
     return out.withColumnRenamed("__r_matched_ts", "matched_ts")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof(direction="nearest")
+    semantics): match the right row whose timestamp is closest to
+    left.ts in either direction, backward winning exact-distance ties;
+    with `tolerance_seconds`, matches farther than the tolerance are
+    nulled out.
+
+    Plan shape: the same single-shuffle union + running-carry as
+    `asof_join` — the backward candidate is a running `last` over
+    (key, ts asc) and the forward candidate a running `first` over the
+    mirrored frame; both windows share one hash partitioning on the
+    key, so the exchange happens once and the pick is a row-local
+    CASE. Never a banded self-join. The right side must be unique per
+    (key, right_ts) — pre-aggregate it otherwise (same determinism
+    contract as `asof_join`)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    lhs = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__is_l", F.lit(1)
+    )
+    rhs = (
+        right.select(
+            *[F.col(k) for k in keys],
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c).alias(f"__r_{c}") for c in payload],
+        )
+        .withColumn("__r_matched_ts", F.col("__ts"))
+        .withColumn("__is_l", F.lit(0))
+    )
+    u = lhs.unionByName(rhs, allowMissingColumns=True)
+    # backward: right rows sort before left at equal ts → inclusive <=
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__is_l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: same partitioning, mirrored frame → first right >= ts
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__is_l")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = ["__r_matched_ts"] + [f"__r_{c}" for c in payload]
+    for c in carried:
+        u = u.withColumn(f"__b_{c}", F.last(F.col(c), ignorenulls=True).over(wb))
+        u = u.withColumn(f"__f_{c}", F.first(F.col(c), ignorenulls=True).over(wf))
+    out = u.filter(F.col("__is_l") == 1).drop("__is_l")
+    ts_us = F.unix_micros(F.col("__ts"))
+    bgap = ts_us - F.unix_micros(F.col("__b___r_matched_ts"))
+    fgap = F.unix_micros(F.col("__f___r_matched_ts")) - ts_us
+    tol_us = (
+        F.lit(int(tolerance_seconds) * 1_000_000)
+        if tolerance_seconds is not None
+        else None
+    )
+    b_ok = F.col("__b___r_matched_ts").isNotNull() & (
+        (bgap <= tol_us) if tol_us is not None else F.lit(True)
+    )
+    f_ok = F.col("__f___r_matched_ts").isNotNull() & (
+        (fgap <= tol_us) if tol_us is not None else F.lit(True)
+    )
+    # nearest pick, backward wins ties (bgap <= fgap) — the flags are
+    # materialized BEFORE the carry loop because each iteration drops
+    # the directional columns the flag expressions read
+    take_b = b_ok & (~f_ok | (bgap <= fgap))
+    take_f = f_ok & ~take_b
+    out = out.withColumn("__take_b", take_b).withColumn("__take_f", take_f)
+    for c in carried:
+        out = out.withColumn(
+            c,
+            F.when(F.col("__take_b"), F.col(f"__b_{c}"))
+            .when(F.col("__take_f"), F.col(f"__f_{c}"))
+            .otherwise(F.lit(None)),
+        ).drop(f"__b_{c}", f"__f_{c}")
+    out = out.drop("__ts", "__take_b", "__take_f")
+    for c in payload:
+        out = out.withColumnRenamed(f"__r_{c}", c)
+    return out.withColumnRenamed("__r_matched_ts", "matched_ts")

@@ -688,3 +688,90 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("k_sum"),
         F.max(k).cast("long").alias("k_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NEAREST as-of join (pandas merge_asof direction="nearest"): each
+# purchase matched to the user's CLOSEST click in either direction
+# within a 30-minute tolerance, backward winning ties. Same
+# single-shuffle union + running-carry as t_asof_join — the backward
+# candidate is a running last, the forward one a running first over
+# the mirrored frame, both on ONE key exchange. The oracle composes
+# DuckDB's two directional ASOF joins and re-applies the identical
+# pick rule.
+# ---------------------------------------------------------------------------
+_NEAREST_TOL_S = 1800
+
+
+@register(
+    "t_asof_nearest",
+    f"""
+    WITH l AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    mb AS (
+      SELECT l.user_id, l.ts, l.event_id, r.ts AS bts, r.click_id AS bid
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ),
+    mf AS (
+      SELECT l.user_id, l.ts, l.event_id, r.ts AS fts, r.click_id AS fid
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    ),
+    m AS (
+      SELECT mb.user_id, mb.ts,
+             epoch_us(mb.ts) - epoch_us(mb.bts) AS bgap,
+             epoch_us(mf.fts) - epoch_us(mf.ts) AS fgap,
+             (mb.bts IS NOT NULL
+              AND epoch_us(mb.ts) - epoch_us(mb.bts)
+                  <= {_NEAREST_TOL_S} * 1000000) AS b_ok,
+             (mf.fts IS NOT NULL
+              AND epoch_us(mf.fts) - epoch_us(mf.ts)
+                  <= {_NEAREST_TOL_S} * 1000000) AS f_ok,
+             mb.bid, mf.fid
+      FROM mb JOIN mf
+        ON mb.user_id = mf.user_id AND mb.ts = mf.ts
+           AND mb.event_id = mf.event_id
+    ),
+    pick AS (
+      SELECT user_id, ts,
+             CASE WHEN b_ok AND (NOT f_ok OR bgap <= fgap) THEN bid
+                  WHEN f_ok THEN fid END AS nearest_id,
+             CASE WHEN b_ok AND (NOT f_ok OR bgap <= fgap) THEN bgap
+                  WHEN f_ok THEN fgap END AS gap_us
+      FROM m
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS purchase_cnt,
+           CAST(COUNT(nearest_id) AS BIGINT) AS matched_cnt,
+           CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS gap_us_total
+    FROM pick GROUP BY user_id
+    """,
+)
+def t_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join_nearest
+
+    t = load_tables(spark, sf_dir)
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = (
+        t.events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    m = asof_join_nearest(
+        purchases, clicks, "user_id", "ts", "ts",
+        payload=["click_id"], tolerance_seconds=_NEAREST_TOL_S,
+    )
+    gap = F.abs(
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("matched_ts"))
+    )
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("purchase_cnt"),
+        F.count("click_id").alias("matched_cnt"),
+        F.coalesce(F.sum(gap), F.lit(0)).cast("long").alias("gap_us_total"),
+    )

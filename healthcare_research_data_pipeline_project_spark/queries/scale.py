@@ -5,7 +5,7 @@ as a plain single-phase query — proving the scale path changes the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.helpers import DEC, duck_dec_avg, rnd, round_div
@@ -257,4 +257,82 @@ def ds_range_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows", "price_min", "price_max", "scanned",
         )
         .orderBy("bucket_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled corpus mixture (alpha = 0.5): per-source sampling
+# weight n_s^alpha instead of ds_corpus_mix's static weights — the
+# standard pretraining re-balancer that up-weights small sources
+# without letting any single giant source dominate. The keep rate is
+# a deterministic permille off the md5 hash bucket (replay-safe, no
+# rand()); the sqrt/divide/floor chain is written identically in both
+# engines, so the IEEE-double permille — and therefore the kept SET —
+# is engine-identical. One groupBy for the census, one broadcast join
+# + map-side filter for the sample: no fact-sized shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "ds_temperature_mix",
+    f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS src_cnt,
+             SUM(COUNT(*)) OVER () AS total_cnt,
+             SUM(sqrt(CAST(COUNT(*) AS DOUBLE))) OVER () AS sum_w
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, src_cnt,
+             CAST(LEAST(1000, FLOOR(
+               1000 * (sqrt(CAST(src_cnt AS DOUBLE)) / sum_w)
+                    * total_cnt / src_cnt)) AS BIGINT) AS keep_permille
+      FROM counts
+    ),
+    kept AS (
+      SELECT d.source, r.src_cnt, r.keep_permille
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE {SC.duck_hash_bucket('d.doc_id', 1000, 'tmix')} < r.keep_permille
+    )
+    SELECT source,
+           CAST(MAX(src_cnt) AS BIGINT) AS src_cnt,
+           CAST(MAX(keep_permille) AS BIGINT) AS keep_permille,
+           CAST(COUNT(*) AS BIGINT) AS kept_cnt
+    FROM kept GROUP BY source ORDER BY source
+    """,
+)
+def ds_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w_all = Window.partitionBy()
+    counts = (
+        t.documents.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("src_cnt"))
+        .withColumn("total_cnt", F.sum("src_cnt").over(w_all))
+        .withColumn(
+            "sum_w", F.sum(F.sqrt(F.col("src_cnt").cast("double"))).over(w_all)
+        )
+    )
+    rates = counts.select(
+        "source",
+        "src_cnt",
+        F.least(
+            F.lit(1000).cast("long"),
+            F.floor(
+                F.lit(1000)
+                * (F.sqrt(F.col("src_cnt").cast("double")) / F.col("sum_w"))
+                * F.col("total_cnt")
+                / F.col("src_cnt")
+            ),
+        ).alias("keep_permille"),
+    )
+    return (
+        t.documents.join(F.broadcast(rates), "source")
+        .filter(
+            SC.hash_bucket("doc_id", 1000, "tmix") < F.col("keep_permille")
+        )
+        .groupBy("source")
+        .agg(
+            F.max("src_cnt").cast("long").alias("src_cnt"),
+            F.max("keep_permille").cast("long").alias("keep_permille"),
+            F.count(F.lit(1)).cast("long").alias("kept_cnt"),
+        )
+        .orderBy("source")
     )

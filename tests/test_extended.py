@@ -223,3 +223,68 @@ def test_pivot_unpivot_roundtrip(spark):
     )
     as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
     assert as_set(long) == as_set(direct)
+
+
+def test_asof_join_nearest_hand_case(spark):
+    # nearest in either direction; backward wins exact ties; tolerance
+    # nulls far matches; no candidate at all -> null
+    from healthcare_research_data_pipeline_project_spark.operators.temporal import (
+        asof_join_nearest,
+    )
+
+    ts = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            ("a", ts(10), 1),   # backward@8 (gap 2) vs forward@13 (gap 3) -> b
+            ("a", ts(12), 2),   # tie: backward@8 gap 4? no - fwd@13 gap 1 -> f
+            ("a", ts(50), 3),   # nothing within tol 5 -> null
+            ("b", ts(10), 4),   # only forward@11 -> f
+            ("c", ts(10), 5),   # no right rows at all -> null
+        ],
+        "k string, ts timestamp, eid int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", ts(8), 100),
+            ("a", ts(13), 101),
+            ("b", ts(11), 102),
+        ],
+        "k string, ts timestamp, payload int",
+    )
+    got = {
+        r["eid"]: (r["payload"], r["matched_ts"])
+        for r in asof_join_nearest(
+            left, right, "k", "ts", "ts", ["payload"], tolerance_seconds=5
+        ).collect()
+    }
+    assert got[1] == (100, ts(8))
+    assert got[2] == (101, ts(13))
+    assert got[3] == (None, None)
+    assert got[4] == (102, ts(11))
+    assert got[5] == (None, None)
+    # exact tie: backward and forward equidistant -> backward wins
+    left2 = spark.createDataFrame(
+        [("a", ts(10), 1)], "k string, ts timestamp, eid int"
+    )
+    right2 = spark.createDataFrame(
+        [("a", ts(8), 200), ("a", ts(12), 201)],
+        "k string, ts timestamp, payload int",
+    )
+    r2 = asof_join_nearest(
+        left2, right2, "k", "ts", "ts", ["payload"]
+    ).collect()[0]
+    assert r2["payload"] == 200 and r2["matched_ts"] == ts(8)
+    # equal-timestamp right row matches at gap 0
+    right3 = spark.createDataFrame(
+        [("a", ts(10), 300)], "k string, ts timestamp, payload int"
+    )
+    r3 = asof_join_nearest(
+        left2, right3, "k", "ts", "ts", ["payload"]
+    ).collect()[0]
+    assert r3["payload"] == 300
+
+
+def test_asof_nearest_plan_is_window_not_pair_explosion(spark):
+    df = EXT.t_asof_nearest(spark, SF_SMOKE)
+    p = X.plan(df).lower()
+    assert "cartesian" not in p and "nestedloop" not in p
