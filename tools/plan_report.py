@@ -91,6 +91,21 @@ SHOWCASE: dict[str, tuple[str, list[str]]] = {
         "domain grid and globals ride broadcasts",
         [r"BroadcastExchange", r"HashAggregate", r"Join"],
     ),
+    "a8_percentiles": (
+        "exact percentiles WITHOUT the exact-percentile aggregate "
+        "buffer (a one-reducer value-map OOM at warehouse scale): a "
+        "mergeable approx_percentile bracket pass, then a bounded "
+        "in-window histogram whose running count rides a window "
+        "PARTITIONED by (group, value column) — never unpartitioned",
+        [r"approx_percentile", r"windowspecdefinition", r"HashAggregate"],
+    ),
+    "ds_leakage_safe_split": (
+        "cluster-keyed split: the LSH band index builds once "
+        "(persisted), components converge via key-partitioned joins "
+        "with per-round lineage cuts, and the split itself is a "
+        "map-side hash off the broadcast component labels",
+        [r"HashAggregate", r"Exchange", r"BroadcastExchange"],
+    ),
 }
 
 
