@@ -721,3 +721,107 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Bloom-filter join prefilter (runtime-filter pushdown)
+# ---------------------------------------------------------------------------
+def build_bloom(
+    keys: DataFrame,
+    key_col: str,
+    bits_per_key: int = 16,
+    num_hashes: int = 3,
+) -> tuple[list[int], int]:
+    """Build a Bloom filter over a key column as `m/64` packed longs.
+
+    The build is fully distributed: each key maps to `num_hashes` bit
+    positions (`pmod(xxhash64(i, key), m)`), positions fold to
+    (word, OR-mask) pairs, and one `bit_or` aggregation over at most
+    m/64 word groups produces the bitmap — the only driver transfer is
+    the m/64-long word list (KBs, CONSTANT in the key count), never
+    the keys themselves. This is the engine-level form of Spark's
+    runtime bloom-filter join pushdown (`bloom_filter_agg` /
+    `might_contain` are Catalyst-internal and not exposed to the
+    PySpark API; the packed-long formulation keeps every step in
+    whole-stage codegen).
+
+    `m` is derived from the (bounded, dimension-sized) key count:
+    the next power of two ≥ bits_per_key·n, floored at 2048 bits. At
+    16 bits/key and k=3 the false-positive rate is ~0.6% — FPs cost a
+    wasted row through the join, never a wrong result (the exact join
+    downstream removes them); false NEGATIVES are impossible by
+    construction (every build bit is probed with the same hash
+    family), which the oracle equality in the gate re-proves end to
+    end every round.
+
+    Returns (words, m_bits)."""
+    n = keys.select(key_col).distinct().count()
+    m = 2048
+    while m < bits_per_key * max(n, 1):
+        m <<= 1
+    # the i-th hash is xxhash64(i AS BIGINT, key) — the literal's TYPE
+    # is part of xxhash64's input, so build and probe must agree on
+    # `{i}L` exactly (an INT literal hashes differently)
+    pos_arr = F.array(
+        *[
+            F.expr(f"pmod(xxhash64({i}L, {key_col}), {m})")
+            for i in range(num_hashes)
+        ]
+    )
+    words = (
+        keys.select(F.explode(pos_arr).alias("__pos"))
+        .select(
+            (F.col("__pos") / 64).cast("int").alias("__w"),
+            F.expr("shiftleft(1L, cast(__pos % 64 as int))").alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(__m)").alias("__bits"))
+        .collect()
+    )
+    packed = [0] * (m // 64)
+    for row in words:
+        packed[row["__w"]] = row["__bits"]
+    return packed, m
+
+
+def bloom_might_contain(
+    key_col: str, words_col: str, m_bits: int, num_hashes: int = 3
+) -> Column:
+    """Membership probe for a `build_bloom` bitmap riding a column
+    (`words_col`, an array<bigint> literal attached once per plan).
+    Pure codegen arithmetic per row: k xxhash64 + shift/AND — no join,
+    no UDF. NULL keys probe to NULL (and thus filter out), matching
+    inner-join semantics on the key."""
+    conds = []
+    for i in range(num_hashes):
+        p = f"pmod(xxhash64({i}L, {key_col}), {m_bits})"
+        conds.append(
+            f"(element_at({words_col}, cast({p} div 64 as int) + 1)"
+            f" & shiftleft(1L, cast({p} % 64 as int))) <> 0"
+        )
+    return F.expr(" AND ".join(conds))
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    fact_key: str,
+    dim_keys: DataFrame,
+    dim_key_col: str,
+    bits_per_key: int = 16,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Drop fact rows whose join key cannot be in `dim_keys` BEFORE
+    the join's shuffle — the decisive move when the fact is 100 TB and
+    the dim selection is narrow: the filter runs in the scan stage, so
+    non-matching rows never reach the exchange. The result may retain
+    a ~0.6% fringe of false positives; the downstream exact join (which
+    the caller still performs) removes them, so composed plans stay
+    EXACT — the Bloom stage only ever subtracts guaranteed non-matches.
+    """
+    packed, m = build_bloom(dim_keys, dim_key_col, bits_per_key, num_hashes)
+    arr = F.array(*[F.lit(w).cast("long") for w in packed])
+    return (
+        fact.withColumn("__bloom", arr)
+        .filter(bloom_might_contain(fact_key, "__bloom", m, num_hashes))
+        .drop("__bloom")
+    )

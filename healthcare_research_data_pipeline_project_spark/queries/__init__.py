@@ -293,6 +293,7 @@ def load_all() -> None:
         datapipe8,
         datapipe9,
         datapipe10,
+        datapipe11,
         extended,
         scale,
     )

@@ -1,0 +1,325 @@
+"""Training-data pipeline corpus, part 11: runtime-filter join
+pruning, interval-overlap analytics on the scalable prefix sum,
+asymmetric shingle containment, and radius (range) similarity search.
+
+`j12_bloom_prefilter_join`: the engine-level form of runtime
+bloom-filter join pushdown. The region→supplier selection builds a
+packed-long Bloom bitmap DISTRIBUTEDLY (one `bit_or` aggregation;
+only m/64 longs ever reach the driver — constant in the key count),
+the fact scan probes it with pure codegen arithmetic BEFORE the join
+shuffle, and the exact broadcast join afterwards removes the ~0.6%
+false-positive fringe — so the oracle (the plain join) must match
+exactly, which re-proves "no false negatives" end to end every round.
+At 100 TB this is the decisive plan shape: non-matching lineitem rows
+die in the scan stage instead of riding the exchange.
+
+`t_max_concurrency`: classic interval-overlap sweep (max concurrent
+users) — per-user activity intervals become ±1 deltas and the running
+sum rides `operators/scale.prefix_sum`, the two-phase global cumsum
+that never plans a SinglePartition window. Ties order (t, start-
+before-end, user_id), so touching intervals count as concurrent and
+both engines sort identically.
+
+`text_containment_pairs`: asymmetric near-dup containment
+|A∩B| / |A| over distinct word-shingle sets — catches quotes and
+subset documents that symmetric Jaccard dilutes (a 50-shingle doc
+fully embedded in a 500-shingle doc has Jaccard 0.09 but containment
+1.0). Blocks on LANGUAGE only — deliberately wider than the Jaccard
+family's (lang, source): cross-SOURCE containment (the same passage
+syndicated into another corpus slice) is precisely what a containment
+screen exists to catch. Same inverted-index shape as
+`shingle_jaccard_pairs` (operators/dedup.py): pairs materialize only
+for docs sharing a shingle, shuffles keyed on (lang, shingle) /
+(id_a, id_b).
+
+`sim_range_search`: radius search — ALL corpus vectors with cosine ≥
+τ of each query, the second standard ANN API next to top-k (cohort
+similarity serving in the reference, healthcare-api-main.py:236-288,
+is a radius screen before ranking). Exact baseline: Q broadcast
+against the corpus scan — zero shuffle of the corpus; the bucketed
+scale path (IVF cells / LSH bands) is shared with the `sim_*_topk`
+family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..caching import track_persist
+from ..functions.helpers import DEC, duck_round_div, round_div
+from ..functions.text import DUCK_TOKENS, duck_shingles
+from ..operators import dedup as D
+from ..operators.scale import bloom_prefilter, prefix_sum
+from ..operators.similarity import _dot
+from ..tables import load_tables
+from . import register
+
+_BLOOM_REGION = "EUROPE"
+
+
+@register(
+    "j12_bloom_prefilter_join",
+    f"""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)
+                    * (100 - CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100
+                             AS BIGINT)))
+                AS BIGINT) AS revenue_e4
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{_BLOOM_REGION}'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def j12_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by supplier nation within one region, with the fact
+    scan Bloom-pruned before the join. Revenue is exact integer
+    arithmetic (DECIMAL-cast cents × (100−discount·1e2)) — the
+    corpus's determinism doctrine: a raw double→long cast truncates
+    in Spark but rounds in DuckDB, so money enters integer space
+    through DECIMAL(18,2) on both engines."""
+    t = load_tables(spark, sf_dir)
+    dims = (
+        t.supplier.join(
+            t.nation, F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(t.region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == _BLOOM_REGION)
+        .select("s_suppkey", "n_name")
+    )
+    dims = track_persist(dims)  # bloom build + exact join both read it
+    fact = bloom_prefilter(t.lineitem, "l_suppkey", dims, "s_suppkey")
+    return (
+        fact.join(
+            F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice").cast(DEC) * 100).cast("long")
+                * (100 - (F.col("l_discount").cast(DEC) * 100).cast("long"))
+            )
+            .cast("long")
+            .alias("revenue_e4"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "t_max_concurrency",
+    """
+    WITH iv AS (
+      SELECT user_id, MIN(ts) AS s, MAX(ts) AS e
+      FROM events GROUP BY user_id
+    ),
+    sw AS (
+      SELECT user_id, s AS t, 1 AS delta, 0 AS ord FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, -1 AS delta, 1 AS ord FROM iv
+    ),
+    r AS (
+      SELECT t, SUM(delta) OVER (ORDER BY t, ord, user_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS run
+      FROM sw
+    ),
+    mx AS (SELECT MAX(run) AS m FROM r)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM iv) AS n_users,
+           CAST((SELECT m FROM mx) AS BIGINT) AS max_concurrent,
+           MIN(t) AS at_ts
+    FROM r WHERE run = (SELECT m FROM mx)
+    """,
+)
+def t_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrently-active users and the first instant it is
+    reached. The ±1 sweep's running sum is `prefix_sum` — one range
+    exchange + a partition-count-sized offset frame, never the
+    SinglePartition window `SUM() OVER (ORDER BY ...)` plans. Starts
+    sort before ends at the same instant (ord 0 < 1), so touching
+    intervals — and single-event users whose interval is a point —
+    count as concurrent, and the (t, ord, user_id) total order makes
+    every intermediate running-sum value engine-identical."""
+    t = load_tables(spark, sf_dir)
+    iv = t.events.groupBy("user_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    iv = track_persist(iv)  # sweep's two sides + the n_users count
+    sw = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("delta"),
+        F.lit(0).alias("ord"),
+    ).unionAll(
+        iv.select(
+            "user_id", F.col("e").alias("t"), F.lit(-1).alias("delta"),
+            F.lit(1).alias("ord"),
+        )
+    )
+    r = prefix_sum(sw, ["t", "ord", "user_id"], {"run": "delta"})
+    r = track_persist(r)  # max scan + argmin-t scan
+    mx = r.agg(F.max("run").alias("m"))
+    n_users = iv.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    at_ts = (
+        r.join(F.broadcast(mx), F.col("run") == F.col("m"))
+        .agg(F.min("t").alias("at_ts"), F.max("m").cast("long").alias("max_concurrent"))
+    )
+    return n_users.crossJoin(F.broadcast(at_ts)).select(
+        "n_users", "max_concurrent", "at_ts"
+    )
+
+
+_CONT_TAU = 0.10
+_TOKS = DUCK_TOKENS.format(text="text")
+
+
+@register(
+    "text_containment_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_distinct({duck_shingles(_TOKS)}) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared,
+           {duck_round_div("len(list_intersect(a.sh, b.sh))",
+                           "len(a.sh)", 4)} AS cont_in_a,
+           {duck_round_div("len(list_intersect(a.sh, b.sh))",
+                           "len(b.sh)", 4)} AS cont_in_b
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 10000 >=
+          {int(_CONT_TAU * 10000)} * least(len(a.sh), len(b.sh))
+    ORDER BY id_a, id_b
+    """,
+)
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment via the inverted shingle index: one
+    explode→equi-join on the 60-bit shingle hash inside (lang,
+    source) blocks gives |A∩B| per co-shingled pair, per-doc distinct
+    sizes join back in, and the τ screen keeps pairs where EITHER
+    direction's containment clears 0.5 (equivalently |A∩B| ≥
+    τ·min(|A|,|B|)). Pair rows exist only for docs sharing ≥1 shingle
+    — never block-quadratic — and the hash-space counts equal the
+    oracle's string-space counts except on 2^-60 collisions (same
+    identity doctrine as `shingle_jaccard_pairs`)."""
+    t = load_tables(spark, sf_dir)
+    sh60 = (
+        "transform(shingles, s -> "
+        "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+    )
+    d = (
+        D.with_shingles(t.documents, "text")
+        .withColumn("sh_set", F.array_distinct(F.expr(sh60)))
+        .select("doc_id", "lang", "sh_set")
+    )
+    d = track_persist(d)  # index sides + size lookups branch here
+    sizes = d.select("doc_id", F.size("sh_set").alias("sh_n"))
+    inv = d.select(
+        "doc_id", "lang", F.explode_outer("sh_set").alias("sh")
+    )
+    a = inv.select(F.col("doc_id").alias("id_a"), "lang", "sh")
+    b = inv.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("l2"),
+        F.col("sh").alias("sh2"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("lang") == F.col("l2"))
+            & (F.col("sh") == F.col("sh2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sh_n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sh_n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("n_shared") * 10000
+            >= int(_CONT_TAU * 10000) * F.least("n_a", "n_b")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            round_div(F.col("n_shared"), F.col("n_a"), "cont_in_a", 4),
+            round_div(F.col("n_shared"), F.col("n_b"), "cont_in_b", 4),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_RANGE_QUERY_IDS = list(range(8))
+_RANGE_TAU = 0.30
+
+
+def _dot_sql(x: str, y: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({x})),"
+        f" i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+    )
+
+
+@register(
+    "sim_range_search",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id IN ({", ".join(map(str, _RANGE_QUERY_IDS))})),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    p AS (
+      SELECT qid, cid,
+             CAST(ROUND({_dot_sql('qe', 'ce')} /
+                        (sqrt({_dot_sql('qe', 'qe')}) *
+                         sqrt({_dot_sql('ce', 'ce')})), 4) AS DOUBLE)
+               AS cos_sim
+      FROM q JOIN c ON cid <> qid
+    )
+    SELECT qid, cid, cos_sim
+    FROM p WHERE cos_sim >= {_RANGE_TAU}
+    ORDER BY qid, cid
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact radius search: broadcast the Q query vectors against the
+    corpus scan (the corpus never shuffles; work is one pass of Q·dim
+    fused multiply-adds per row in whole-stage codegen), round to 4 dp
+    BEFORE the τ screen so the kept set is engine-identical. The
+    result is every neighbor within the radius — unbounded per query
+    by design; serving layers that need a cap compose `LIMIT`/top-k on
+    top, and corpora past the brute wall route through the same IVF
+    cells the top-k family uses."""
+    t = load_tables(spark, sf_dir)
+    q = (
+        t.embeddings.filter(F.col("vec_id").isin(_RANGE_QUERY_IDS))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    )
+    c = t.embeddings.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                _dot("qe", "ce")
+                / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))),
+                4,
+            )
+            .cast("double")
+            .alias("cos_sim"),
+        )
+    )
+    return scored.filter(F.col("cos_sim") >= _RANGE_TAU).orderBy("qid", "cid")

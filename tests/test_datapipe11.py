@@ -1,0 +1,204 @@
+"""Tests for the part-11 corpus: Bloom-prefiltered joins, the
+prefix-sum interval sweep, shingle containment, and radius search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_research_data_pipeline_project_spark import queries as Q
+from healthcare_research_data_pipeline_project_spark.operators.scale import (
+    bloom_might_contain,
+    bloom_prefilter,
+    build_bloom,
+    prefix_sum,
+)
+from healthcare_research_data_pipeline_project_spark.plans import explain as X
+from healthcare_research_data_pipeline_project_spark.tables import load_tables
+
+from .conftest import SF_ORACLE, SF_SMOKE
+
+Q.load_all()
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+def test_bloom_has_no_false_negatives(spark):
+    # EVERY build key must probe positive — the property the oracle
+    # equality relies on. Probe the dim itself through the bitmap.
+    dim = load_tables(spark, SF_ORACLE).supplier.select("s_suppkey")
+    packed, m = build_bloom(dim, "s_suppkey")
+    arr = F.array(*[F.lit(w).cast("long") for w in packed])
+    n = dim.count()
+    kept = (
+        dim.withColumn("__b", arr)
+        .filter(bloom_might_contain("s_suppkey", "__b", m))
+        .count()
+    )
+    assert kept == n, f"bloom dropped {n - kept} true keys"
+
+
+def test_bloom_prefilter_prunes_nonmatching_fact_rows(spark):
+    # keys 1..3 only: the fact side must shrink to ~those keys (plus
+    # the bounded false-positive fringe), never grow
+    t = load_tables(spark, SF_ORACLE)
+    dim = t.supplier.filter(F.col("s_suppkey") <= 3).select("s_suppkey")
+    fact = t.lineitem.select("l_suppkey")
+    total = fact.count()
+    kept = bloom_prefilter(fact, "l_suppkey", dim, "s_suppkey").count()
+    true_matches = fact.filter(F.col("l_suppkey") <= 3).count()
+    assert kept >= true_matches, "prefilter must keep every true match"
+    # 3 keys in a >=2048-bit bitmap: FP fringe is a fraction of a
+    # percent — anything near the full fact means the probe is a no-op
+    assert kept < total * 0.05, (kept, total)
+
+
+def test_bloom_bitmap_is_constant_size_in_keys(spark):
+    # driver transfer is m/64 longs, derived from the key count —
+    # never the keys themselves
+    t = load_tables(spark, SF_ORACLE)
+    packed, m = build_bloom(t.supplier.select("s_suppkey"), "s_suppkey")
+    assert len(packed) == m // 64
+    assert m >= 2048 and (m & (m - 1)) == 0  # power of two, floored
+
+
+def test_bloom_probe_filters_before_the_join(spark):
+    # the entire point: the xxhash64 probe must sit in the fact scan
+    # stage, upstream of the join operator
+    df = Q.QUERIES["j12_bloom_prefilter_join"](spark, SF_ORACLE)
+    plan = X.plan(df, "simple")
+    assert "xxhash64" in plan, "bloom probe missing from the plan"
+    probe_at = plan.index("xxhash64")
+    join_at = plan.index("BroadcastHashJoin")
+    # simple-mode plans print downstream operators first, so the scan-
+    # stage filter appears AFTER the join node textually
+    assert probe_at > join_at, "probe must be below (upstream of) the join"
+
+
+def test_bloom_null_keys_probe_out(spark):
+    dim = spark.range(1, 10).select(F.col("id").alias("k"))
+    packed, m = build_bloom(dim, "k")
+    fact = spark.createDataFrame(
+        [(1,), (None,), (5,), (None,)], "k: bigint"
+    )
+    kept = bloom_prefilter(fact, "k", dim, "k").collect()
+    assert sorted(r["k"] for r in kept) == [1, 5]
+
+
+# ---------------------------------------------------------------------------
+# Max concurrency
+# ---------------------------------------------------------------------------
+def test_max_concurrency_matches_naive_window(spark):
+    # the prefix-sum sweep must equal the classic single-partition
+    # window formulation on the same data
+    t = load_tables(spark, SF_SMOKE)
+    iv = t.events.groupBy("user_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    sw = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("delta"),
+        F.lit(0).alias("ord"),
+    ).unionAll(
+        iv.select(
+            "user_id", F.col("e").alias("t"), F.lit(-1).alias("delta"),
+            F.lit(1).alias("ord"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("t", "ord", "user_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    naive = sw.withColumn("run", F.sum("delta").over(w))
+    got = prefix_sum(sw, ["t", "ord", "user_id"], {"run": "delta"})
+    assert (
+        naive.agg(F.max("run")).first()[0]
+        == got.agg(F.max("run")).first()[0]
+    )
+
+
+def test_max_concurrency_plans_no_global_window(spark):
+    # the corpus query must never contain a window without partition
+    # columns over the sweep (prefix_sum partitions by __pid)
+    df = Q.QUERIES["t_max_concurrency"](spark, SF_ORACLE)
+    for line in X.plan(df).splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "__pid" in line, f"unpartitioned window: {line.strip()}"
+
+
+def test_point_interval_user_counts_as_concurrent(spark):
+    # a user whose start == end (single event) still registers: starts
+    # order before ends at the same instant
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id: bigint, ts: string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    iv = df.groupBy("user_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    sw = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("delta"),
+        F.lit(0).alias("ord"),
+    ).unionAll(
+        iv.select(
+            "user_id", F.col("e").alias("t"), F.lit(-1).alias("delta"),
+            F.lit(1).alias("ord"),
+        )
+    )
+    run = prefix_sum(sw, ["t", "ord", "user_id"], {"run": "delta"})
+    assert run.agg(F.max("run")).first()[0] == 2
+
+
+# ---------------------------------------------------------------------------
+# Containment
+# ---------------------------------------------------------------------------
+def test_containment_detects_embedded_document(spark, tmp_path):
+    # doc A is a verbatim slice of doc B: containment-in-A must be
+    # 1.0 even though Jaccard is far below any dedup threshold
+    big = " ".join(f"w{i}" for i in range(60))
+    small = " ".join(f"w{i}" for i in range(20, 30))
+    docs = spark.createDataFrame(
+        [(1, small, "en", "s1", len(small)),
+         (2, big, "en", "s2", len(big)),
+         (3, "totally unrelated text about other things", "en", "s1", 41)],
+        "doc_id: bigint, text: string, lang: string, source: string,"
+        " n_chars: bigint",
+    )
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = Q.QUERIES["text_containment_pairs"](spark, sf).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["cont_in_a"] == 1.0 and r["cont_in_b"] < 0.2
+    assert all(k != (1, 3) and k != (2, 3) for k in pairs)
+
+
+# ---------------------------------------------------------------------------
+# Range search
+# ---------------------------------------------------------------------------
+def test_range_search_agrees_with_bruteforce_topk(spark):
+    # every top-k hit whose similarity clears the radius must appear
+    # in the range result with the identical rounded cosine
+    from healthcare_research_data_pipeline_project_spark.operators import (
+        similarity as S,
+    )
+    from healthcare_research_data_pipeline_project_spark.queries.datapipe11 import (
+        _RANGE_QUERY_IDS,
+        _RANGE_TAU,
+    )
+
+    t = load_tables(spark, SF_ORACLE)
+    rng = {
+        (r["qid"], r["cid"]): r["cos_sim"]
+        for r in Q.QUERIES["sim_range_search"](spark, SF_ORACLE).collect()
+    }
+    topk = S.brute_force_topk(t.embeddings, _RANGE_QUERY_IDS, k=5).collect()
+    for r in topk:
+        if r["cos_sim"] >= _RANGE_TAU:
+            assert rng[(r["qid"], r["cid"])] == r["cos_sim"]
+    assert all(v >= _RANGE_TAU for v in rng.values())
