@@ -401,3 +401,35 @@ def maintain_view_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Join-view delta rule (insert-only)
+# ---------------------------------------------------------------------------
+def join_view_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str] | F.Column,
+) -> DataFrame:
+    """The incremental-maintenance counterpart for an INNER-JOIN view
+    V = A ⋈ B under insert-only deltas: the view's change set is
+
+        ΔV = (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB),   B_new = B_old ∪ ΔB
+
+    — the standard delta rule with ΔA⋈ΔB folded into the first term
+    so no pair is produced twice. The defining scale property: the
+    base-sized product A_old ⋈ B_old is NEVER recomputed — each term
+    has a delta on one side, so refresh work is delta-proportional.
+    When ΔB is dimension-delta-sized (the overwhelmingly common case:
+    a few new customers against a petabyte fact), broadcast it at the
+    call site and the A_old term becomes a map-side scan with no
+    exchange at all. Deletes are deliberately NOT supported here —
+    join views under deletes need per-row multiplicity counting
+    (the counting algorithm), a different storage contract from this
+    repo's insert-only versioned views; a silent wrong answer is
+    worse than an explicit recompute (same doctrine as MIN/MAX in the
+    aggregate views above)."""
+    b_new = b_old.unionByName(b_delta)
+    return a_delta.join(b_new, on).unionByName(a_old.join(b_delta, on))

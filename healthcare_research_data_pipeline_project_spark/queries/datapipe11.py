@@ -323,3 +323,49 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.filter(F.col("cos_sim") >= _RANGE_TAU).orderBy("qid", "cid")
+
+
+@register(
+    "ivm_join_view",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view maintenance end to end: orders and customer are each
+    split into a base and an (unaligned) insert delta, the view's
+    initial build joins the bases, `join_view_delta` produces the
+    change set WITHOUT ever recomputing base⋈base, and the maintained
+    view (V0 ∪ ΔV) aggregates to segment revenue. The oracle is the
+    full recompute over the complete tables — green means the delta
+    rule covered every inserted pair exactly once. Money enters
+    integer space through DECIMAL(18,2), the corpus's doctrine."""
+    from ..operators.ivm import join_view_delta
+
+    t = load_tables(spark, sf_dir)
+    o = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    c = t.customer.select("c_custkey", "c_mktsegment")
+    o_old = o.filter(F.col("o_orderkey") % 7 != 0)
+    o_new = o.filter(F.col("o_orderkey") % 7 == 0)
+    c_old = c.filter(F.col("c_custkey") % 5 != 0)
+    c_new = c.filter(F.col("c_custkey") % 5 == 0)
+    on = F.col("o_custkey") == F.col("c_custkey")
+    v0 = o_old.join(c_old, on)
+    dv = join_view_delta(o_old, o_new, c_old, c_new, on)
+    return (
+        v0.unionByName(dv)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC) * 100)
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -202,3 +202,50 @@ def test_range_search_agrees_with_bruteforce_topk(spark):
         if r["cos_sim"] >= _RANGE_TAU:
             assert rng[(r["qid"], r["cid"])] == r["cos_sim"]
     assert all(v >= _RANGE_TAU for v in rng.values())
+
+
+# ---------------------------------------------------------------------------
+# Join-view delta rule
+# ---------------------------------------------------------------------------
+def test_join_view_delta_equals_full_recompute(spark):
+    from healthcare_research_data_pipeline_project_spark.operators.ivm import (
+        join_view_delta,
+    )
+
+    # duplicate keys on both sides so pair MULTIPLICITY is exercised,
+    # and keys that exist only in a delta
+    a_old = spark.createDataFrame([(1, "a1"), (2, "a2"), (2, "a3")], "k: int, av: string")
+    a_new = spark.createDataFrame([(2, "a4"), (9, "a5")], "k: int, av: string")
+    b_old = spark.createDataFrame([(1, "b1"), (2, "b2")], "k: int, bv: string")
+    b_new = spark.createDataFrame([(2, "b3"), (9, "b4")], "k: int, bv: string")
+    v0 = a_old.join(b_old, "k")
+    dv = join_view_delta(a_old, a_new, b_old, b_new, "k")
+    got = sorted(
+        (r["k"], r["av"], r["bv"]) for r in v0.unionByName(dv).collect()
+    )
+    full = sorted(
+        (r["k"], r["av"], r["bv"])
+        for r in a_old.unionByName(a_new)
+        .join(b_old.unionByName(b_new), "k")
+        .collect()
+    )
+    assert got == full
+
+
+def test_join_view_delta_never_joins_base_with_base(spark):
+    # the scale property: a_old rows may only ever meet b_DELTA rows —
+    # mark the frames and assert no (old, old) pair appears in ΔV
+    from healthcare_research_data_pipeline_project_spark.operators.ivm import (
+        join_view_delta,
+    )
+
+    a_old = spark.createDataFrame([(1, "old")], "k: int, asrc: string")
+    a_new = spark.createDataFrame([(1, "new")], "k: int, asrc: string")
+    b_old = spark.createDataFrame([(1, "old")], "k: int, bsrc: string")
+    b_new = spark.createDataFrame([(1, "new")], "k: int, bsrc: string")
+    dv = join_view_delta(a_old, a_new, b_old, b_new, "k").collect()
+    assert all(not (r["asrc"] == "old" and r["bsrc"] == "old") for r in dv)
+    # and every non-(old,old) combination appears exactly once
+    assert sorted((r["asrc"], r["bsrc"]) for r in dv) == [
+        ("new", "new"), ("new", "old"), ("old", "new"),
+    ]
