@@ -123,7 +123,13 @@ GATE_PRIORITY = [
     # flags in this window; a10 stays green in MIRROR.json) for
     # a2d_topk_sketch_merge, itself rotated OUT r7 — see the
     # g_knn_graph entry below.
-    "a11_correlation",
+    # a11_correlation rotated OUT late-r11 (Pearson-correlation
+    # evidence stays gate-carried by hc_q2_sepsis_bundle's correlation
+    # nest in this window; a11 stays green in MIRROR.json) for
+    # j12_bloom_prefilter_join — the new runtime bloom-filter join
+    # pruning operator, whose oracle equality IS the no-false-negative
+    # proof and so belongs in the driver's independent gate.
+    "j12_bloom_prefilter_join",
     # a12_distribution_pct rotated OUT r4 for ds_zorder_layout (the
     # distribution-as-% shape stays evidenced by the CASE-bucketed
     # pct columns of hc_q1/q5-q8; a12 and a13_histogram — itself
@@ -207,7 +213,13 @@ GATE_PRIORITY = [
     # MIRROR.json) for dq_expectations_orders — the data-quality
     # expectations battery, never gated before r6.
     "dq_expectations_orders",
-    "dedup_lsh_pairs",
+    # dedup_lsh_pairs rotated OUT late-r11 (MinHash-LSH banded
+    # bucketing stays gate-evidenced by sim_lsh_auto_topk and the
+    # dedup family's dedup_canonical_keep/dedup_semantic_blocks in
+    # this window; the row stays green in MIRROR.json) for
+    # t_max_concurrency — the new interval-overlap sweep riding the
+    # two-phase prefix sum, a shape no other gate row exercises.
+    "t_max_concurrency",
     # dedup_embedding_cosine rotated OUT r7 (the identical label-
     # blocked threshold pair set stays gate-evidenced THREE ways in
     # this window: g_triangle_count / g_pagerank_centrality /
