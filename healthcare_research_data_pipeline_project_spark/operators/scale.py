@@ -318,6 +318,17 @@ def exact_percentiles(
     )
 
 
+#: group-count ceiling for the driver-side targets/assembly regime in
+#: `exact_percentiles_multi` — above it every step stays a distributed
+#: expression (tests force that path by patching this to 0)
+_DRIVER_ASSEMBLY_CAP = 10_000
+
+#: (group, vcol) combo ceiling for folding the window table into
+#: plan-time literal when-chains (bounds codegen size; above it the
+#: driver path still broadcasts a local-relation window table)
+_LITERAL_WINDOWS_CAP = 128
+
+
 def exact_percentiles_multi(
     df: DataFrame,
     group_cols: list[str],
@@ -411,26 +422,47 @@ def exact_percentiles_multi(
     # sit from p*n there — ADVICE r10: n=12 p=0.9 raised, n=15 p=0.25
     # silently interpolated wrong before this regime split).
     #
-    # Adaptive targets regime (r11): when the group count is small
-    # (bounded driver collect — the persist-once probe doctrine the
-    # graph operators use), the targets frame is built as a DRIVER-
-    # LOCAL literal relation instead of a Spark expression over
-    # brackets. Every downstream broadcast then materializes from a
-    # LocalTableScan with NO cluster job — measured: the generic path
-    # spent most of its wall on the persist + three broadcast-build
-    # jobs at test SFs (octile bounds on 150k rows: 1.7 s -> ~1.0 s).
-    # The python math below is bit-identical to the Column math (both
-    # are IEEE-754 double ops in the same order). Above the cap the
+    # Adaptive targets-AND-assembly regime (r11): when the group count
+    # is small (bounded driver collect — the persist-once probe
+    # doctrine the graph operators use), the targets frame AND the
+    # per-(group, vcol) combined-window frame are built as DRIVER-
+    # LOCAL literal relations instead of Spark expressions over
+    # brackets, every downstream broadcast materializes from a
+    # LocalTableScan with NO cluster job, and the FINAL assembly also
+    # happens driver-side: the picked frame is (groups × specs)-sized
+    # by construction, so it is collected and the interpolation +
+    # guard checks run in Python, returning a local relation. That
+    # removes the pivot exchange, the assembly join, and the analysis
+    # of the widest plan in the operator — measured at sf0.1 (a8's
+    # 3-spec shape): steady-state 2.3-2.5 s → ~1.4 s, with pass 2
+    # collapsing to ONE job. The python math is bit-identical to the
+    # Column math (both are IEEE-754 double ops in the same order:
+    # (1−frac)·vlo + frac·coalesce(vhi, vlo)). Above the cap the
     # distributed expression path is unchanged — group cardinality is
     # corpus-driven and collecting it unbounded is the banned shape.
     import math as _math
 
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     n_groups = brackets.count()
     spark = df.sparkSession
-    if n_groups <= 10_000:
+    driver_assembly = n_groups <= _DRIVER_ASSEMBLY_CAP
+    if driver_assembly:
         gfields = [brackets.schema[c] for c in group_cols]
         tgt_rows = []
+        gkeys: list[tuple] = []
+        tgt_idx: dict[tuple, tuple] = {}
+        vcol_wins: dict[tuple, list] = {}
         for row in brackets.collect():
+            gk = tuple(row[c_] for c_ in group_cols)
+            gkeys.append(gk)
             for name, (c, p) in specs.items():
                 n = row[f"__n_{vidx[c]}"] or 0
                 br = row[f"__br_{vidx[c]}"]
@@ -444,17 +476,10 @@ def exact_percentiles_multi(
                 else:
                     blo, bhi = float(br[lo_i - 1]), float(br[hi_i - 1])
                 tgt_rows.append(
-                    tuple(row[c_] for c_ in group_cols)
-                    + (name, c, r - fr, k_lo, k_hi, blo, bhi, int(n))
+                    gk + (name, c, r - fr, k_lo, k_hi, blo, bhi, int(n))
                 )
-        from pyspark.sql.types import (
-            DoubleType,
-            LongType,
-            StringType,
-            StructField,
-            StructType,
-        )
-
+                tgt_idx[(gk, name)] = (r - fr, int(n), k_lo, k_hi)
+                vcol_wins.setdefault((gk, c), []).append((blo, bhi))
         tgt_schema = StructType(
             list(gfields)
             + [
@@ -469,6 +494,29 @@ def exact_percentiles_multi(
             ]
         )
         targets = spark.createDataFrame(tgt_rows, tgt_schema)
+        targets_vcol = None
+        if len(vcol_wins) > _LITERAL_WINDOWS_CAP:
+            win_t = StructType(
+                [
+                    StructField("lo", DoubleType()),
+                    StructField("hi", DoubleType()),
+                ]
+            )
+            tv_schema = StructType(
+                list(gfields)
+                + [
+                    StructField("__vcol", StringType()),
+                    StructField("__wins", ArrayType(win_t)),
+                    StructField("__maxhi", DoubleType()),
+                ]
+            )
+            targets_vcol = spark.createDataFrame(
+                [
+                    gk + (c, sorted(wins), max(hi for _, hi in wins))
+                    for (gk, c), wins in vcol_wins.items()
+                ],
+                tv_schema,
+            )
     else:
         spec_rows = []
         for name, (c, p) in specs.items():
@@ -498,6 +546,13 @@ def exact_percentiles_multi(
         targets = brackets.select(
             *g, F.explode(F.array(*spec_rows)).alias("__t")
         ).select(*g, "__t.*")
+        win_struct = F.struct(
+            F.col("__blo").alias("lo"), F.col("__bhi").alias("hi")
+        )
+        targets_vcol = targets.groupBy(*g, "__vcol").agg(
+            F.sort_array(F.collect_list(win_struct)).alias("__wins"),
+            F.max("__bhi").alias("__maxhi"),
+        )
 
     # pass 2: ONE scan — each row explodes to its spec columns, joins
     # the broadcast targets on (group, column), and folds to either a
@@ -526,31 +581,99 @@ def exact_percentiles_multi(
     # bound (a gap-counter key, ≤ #windows+1 keys per group — the
     # generalization of the single below-counter), so the running
     # count still yields exact GLOBAL ranks for every in-window value.
-    win_struct = F.struct(F.col("__blo").alias("lo"), F.col("__bhi").alias("hi"))
-    targets_vcol = targets.groupBy(*g, "__vcol").agg(
-        F.sort_array(F.collect_list(win_struct)).alias("__wins"),
-        F.max("__bhi").alias("__maxhi"),
-    )
+    # (`targets_vcol` is built per-regime above: a driver-local
+    # literal relation in the small-groups path, the grouped
+    # expression otherwise.)
     v = F.col("__v")
-    in_win = F.exists("__wins", lambda w: (v >= w["lo"]) & (v <= w["hi"]))
-    next_lo = F.array_min(
-        F.transform(
-            F.filter("__wins", lambda w: w["lo"] > v), lambda w: w["lo"]
-        )
-    )
-    ex = (
-        rows.join(F.broadcast(targets_vcol), [*group_cols, "__vcol"])
-        .filter(v <= F.col("__maxhi"))
-        .select(
+    if driver_assembly and len(vcol_wins) <= _LITERAL_WINDOWS_CAP:
+        # literal-windows path: with few (group, vcol) combos the
+        # whole window table folds into plan-time when-chains — the
+        # broadcast join disappears from the fact scan entirely
+        # (measured at sf0.1, a8's shape: the join added ~0.4 s to the
+        # ~2x-exploded scan even against a 6-row local relation).
+        # Every expression is plain comparisons on literals — fully
+        # inside whole-stage codegen.
+        in_chain = next_chain = maxhi_chain = None
+        for (gk, c), wins in vcol_wins.items():
+            cond = F.col("__vcol") == F.lit(c)
+            for colname, val in zip(group_cols, gk):
+                cond = cond & F.col(colname).eqNullSafe(F.lit(val))
+            wins_sorted = sorted(wins)
+            wterm = None
+            for lo, hi in wins_sorted:
+                tt = (v >= F.lit(lo)) & (v <= F.lit(hi))
+                wterm = tt if wterm is None else (wterm | tt)
+            # sorted ascending, so the first `v < lo` IS the next
+            # window's lower bound
+            nterm = F.coalesce(
+                *[F.when(v < F.lit(lo), F.lit(lo)) for lo, _ in wins_sorted],
+                F.lit(None).cast("double"),
+            )
+            mh = F.lit(float(max(hi for _, hi in wins)))
+            in_chain = (
+                F.when(cond, wterm)
+                if in_chain is None
+                else in_chain.when(cond, wterm)
+            )
+            next_chain = (
+                F.when(cond, nterm)
+                if next_chain is None
+                else next_chain.when(cond, nterm)
+            )
+            maxhi_chain = (
+                F.when(cond, mh)
+                if maxhi_chain is None
+                else maxhi_chain.when(cond, mh)
+            )
+        ex = rows.filter(v <= maxhi_chain).select(
             *g,
             "__vcol",
-            F.when(in_win, v).otherwise(next_lo).alias("__sv"),
+            F.when(in_chain, v).otherwise(next_chain).alias("__sv"),
             # gap-fold rows sort BEFORE the real values at their
             # boundary: every folded row's actual value is strictly
             # under the next window's lower bound
-            F.when(in_win, F.lit(0)).otherwise(F.lit(-1)).alias("__real"),
+            F.when(in_chain, F.lit(0)).otherwise(F.lit(-1)).alias("__real"),
         )
-    )
+    else:
+        # join path: the per-row window probe is UNROLLED over the
+        # window slots instead of using array HOFs (exists/filter/
+        # transform/array_min) — a (group, vcol) row carries at most
+        # as many windows as that column has specs, known at PLAN
+        # time, and Spark evaluates lambda HOFs interpreted, outside
+        # whole-stage codegen; on the ~2x-exploded fact scan that
+        # interpretation was the pass-2 hot-spot (measured at sf0.1,
+        # a8's shape: picked-job 1.19 s with HOFs). `__wins` is sorted
+        # by lo, so the first `lo > v` in the coalesce chain IS the
+        # minimum; slots past a column's window count yield NULL via
+        # try_element_at (plain element_at raises under ANSI) and
+        # short-circuit through isNotNull() to FALSE.
+        max_w = max(
+            sum(1 for (c2, _) in specs.values() if c2 == c) for c in vcols
+        )
+        slots = [
+            F.try_element_at("__wins", F.lit(i + 1)) for i in range(max_w)
+        ]
+        in_win = None
+        for w in slots:
+            term = w.isNotNull() & (v >= w["lo"]) & (v <= w["hi"])
+            in_win = term if in_win is None else (in_win | term)
+        next_lo = F.coalesce(
+            *[
+                F.when(w.isNotNull() & (w["lo"] > v), w["lo"])
+                for w in slots
+            ],
+            F.lit(None).cast("double"),
+        )
+        ex = (
+            rows.join(F.broadcast(targets_vcol), [*group_cols, "__vcol"])
+            .filter(v <= F.col("__maxhi"))
+            .select(
+                *g,
+                "__vcol",
+                F.when(in_win, v).otherwise(next_lo).alias("__sv"),
+                F.when(in_win, F.lit(0)).otherwise(F.lit(-1)).alias("__real"),
+            )
+        )
     hist = ex.groupBy(*g, "__vcol", "__sv", "__real").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
@@ -594,15 +717,63 @@ def exact_percentiles_multi(
             ).alias("__vhi"),
         )
     )
-    # assembly: LEFT join picked back onto the one-row-per-(group,
-    # spec) targets frame, so a (group, spec) whose picked row
-    # vanished RAISES instead of silently dropping, and an all-NULL /
-    # empty group (n = 0) emits a NULL row like percentile() does.
-    # Guarantee check: the window regime promises both ranks inside
-    # the window; a missed LOWER rank or a missed UPPER rank when the
-    # interpolation fraction needs it means the contract was violated
-    # — raise, never return a silently-wrong number (r10 ADVICE: the
-    # old coalesce masked upper-rank misses).
+    # assembly — driver-side in the small-groups regime: picked is
+    # (groups × specs)-sized BY CONSTRUCTION (one row per target that
+    # found its ranks), so collect it, run the guard checks and the
+    # PERCENTILE_CONT interpolation in Python (bit-identical IEEE-754
+    # op order), and return a local relation. This removes the pivot
+    # exchange + assembly join + the widest plan's analysis from
+    # every call. The guard contract is unchanged: a (group, spec)
+    # with n > 0 whose lower rank was missed — or whose upper rank
+    # was missed while the interpolation fraction needs it — RAISES;
+    # n = 0 groups emit a NULL row like percentile() does.
+    if driver_assembly:
+        pk: dict[tuple, tuple] = {}
+        for row in picked.collect():
+            gk = tuple(row[c_] for c_ in group_cols)
+            pk[(gk, row["__pname"])] = (row["__vlo"], row["__vhi"])
+        out_rows = []
+        for gk in gkeys:
+            vals = []
+            for name in specs:
+                frac, n, k_lo, k_hi = tgt_idx[(gk, name)]
+                vlo, vhi = pk.get((gk, name), (None, None))
+                if n == 0:
+                    vals.append(None)
+                elif vlo is None:
+                    raise ValueError(
+                        f"exact_percentiles: bracket window missed lower "
+                        f"rank {k_lo} for {name} — approx_percentile "
+                        f"accuracy bound violated"
+                    )
+                elif frac > 0 and vhi is None:
+                    raise ValueError(
+                        f"exact_percentiles: bracket window missed upper "
+                        f"rank {k_hi} for {name} — approx_percentile "
+                        f"accuracy bound violated"
+                    )
+                else:
+                    vals.append(
+                        (1.0 - frac) * vlo
+                        + frac * (vhi if vhi is not None else vlo)
+                    )
+            out_rows.append(gk + tuple(vals))
+        out_schema = StructType(
+            list(gfields)
+            + [StructField(nm, DoubleType()) for nm in specs]
+        )
+        return spark.createDataFrame(out_rows, out_schema)
+
+    # distributed assembly (> _DRIVER_ASSEMBLY_CAP groups): LEFT join
+    # picked back onto the one-row-per-(group, spec) targets frame, so
+    # a (group, spec) whose picked row vanished RAISES instead of
+    # silently dropping, and an all-NULL / empty group (n = 0) emits a
+    # NULL row like percentile() does. Guarantee check: the window
+    # regime promises both ranks inside the window; a missed LOWER
+    # rank or a missed UPPER rank when the interpolation fraction
+    # needs it means the contract was violated — raise, never return
+    # a silently-wrong number (r10 ADVICE: the old coalesce masked
+    # upper-rank misses).
     assembled = targets.join(picked, [*group_cols, "__pname"], "left")
 
     def _bound_err(which: str, k: Column) -> Column:

@@ -358,21 +358,29 @@ def test_pagerank_canonical_reps_is_unforced_anti_join(spark, tmp_path):
     assert reps.filter(F.col("vec_id").isin(3, 7)).count() == 0
 
 
-def test_exact_percentiles_no_unpartitioned_window(spark):
+def test_exact_percentiles_no_unpartitioned_window(spark, monkeypatch):
     # the percentile rewrite exists to kill unbounded single-task
     # shapes: no WindowExec without a partition spec may appear (the
     # in-window running count partitions by (group, spec)), and no
-    # exact-percentile aggregate buffer anywhere
+    # exact-percentile aggregate buffer anywhere. Forced onto the
+    # DISTRIBUTED assembly path (cap=0): the small-groups regime
+    # returns a driver-assembled local relation whose plan is a
+    # LocalTableScan — this pin guards the path big corpora ride.
     from healthcare_research_data_pipeline_project_spark.operators import (
         scale as SC,
     )
 
+    monkeypatch.setattr(SC, "_DRIVER_ASSEMBLY_CAP", 0)
     li = load_tables(spark, SF_ORACLE).lineitem
     df = SC.exact_percentiles_multi(
         li, ["l_returnflag"],
         {"p50": ("l_extendedprice", 0.5), "p90": ("l_quantity", 0.9)},
     )
     p = X.plan(df)
+    assert "windowspecdefinition" in p.lower(), (
+        "forced distributed path must contain the in-window running "
+        "count — a missing window means the force knob broke"
+    )
     # the only Window is the in-bracket running count, and its spec
     # must carry the (group, value-column) partition columns — a
     # window without them is the single-task shape this operator

@@ -486,3 +486,23 @@ def test_leakage_safe_split_never_straddles(spark):
     # determinism: same inputs, same assignment
     s2 = {r["doc_id"]: r["split"] for r in SC.leakage_safe_split(docs, pairs).collect()}
     assert s2 == {d: r["split"] for d, r in by_doc.items()}
+
+
+def test_exact_percentiles_driver_assembly_equals_distributed(spark, monkeypatch):
+    # the two assembly regimes (driver-local literal relations +
+    # python finish vs the distributed pivot path) must agree
+    # bit-for-bit on the same input
+    li = load_tables(spark, SF_SMOKE).lineitem
+    specs = {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+    small = (
+        SC.exact_percentiles(li, ["l_returnflag"], "l_quantity", specs)
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    monkeypatch.setattr(SC, "_DRIVER_ASSEMBLY_CAP", 0)
+    big = (
+        SC.exact_percentiles(li, ["l_returnflag"], "l_quantity", specs)
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert [tuple(r) for r in small] == [tuple(r) for r in big]
