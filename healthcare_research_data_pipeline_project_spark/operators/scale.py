@@ -664,8 +664,23 @@ def exact_percentiles_multi(
             ],
             F.lit(None).cast("double"),
         )
+        # NULL-SAFE group-key join: percentile() treats a NULL group
+        # key as a regular group; a null-unsafe list join here would
+        # orphan those rows and trip the miss guard downstream
+        tv = targets_vcol.select(
+            *[
+                F.col(c).alias(f"__tg_{i}")
+                for i, c in enumerate(group_cols)
+            ],
+            F.col("__vcol").alias("__tvcol"),
+            "__wins",
+            "__maxhi",
+        )
+        jcond = F.col("__vcol") == F.col("__tvcol")
+        for i, c in enumerate(group_cols):
+            jcond = jcond & F.col(c).eqNullSafe(F.col(f"__tg_{i}"))
         ex = (
-            rows.join(F.broadcast(targets_vcol), [*group_cols, "__vcol"])
+            rows.join(F.broadcast(tv), jcond)
             .filter(v <= F.col("__maxhi"))
             .select(
                 *g,
@@ -690,13 +705,20 @@ def exact_percentiles_multi(
         .withColumnRenamed("__sv", "__wv")
     )
     lo = F.col("__end") - F.col("__cnt") + 1
+    # null-safe on the group keys for the same reason as the window
+    # join above: NULL is a legal group key
+    tsel = targets.select(
+        *[F.col(c).alias(f"__pg_{i}") for i, c in enumerate(group_cols)],
+        F.col("__vcol").alias("__pvcol"),
+        "__pname",
+        "__klo",
+        "__khi",
+    )
+    pcond = F.col("__vcol") == F.col("__pvcol")
+    for i, c in enumerate(group_cols):
+        pcond = pcond & F.col(c).eqNullSafe(F.col(f"__pg_{i}"))
     picked = (
-        ranked.join(
-            F.broadcast(
-                targets.select(*g, "__vcol", "__pname", "__klo", "__khi")
-            ),
-            [*group_cols, "__vcol"],
-        )
+        ranked.join(F.broadcast(tsel), pcond)
         .filter(
             (F.col("__klo").between(lo, F.col("__end")))
             | (F.col("__khi").between(lo, F.col("__end")))
@@ -774,7 +796,16 @@ def exact_percentiles_multi(
     # needs it means the contract was violated — raise, never return
     # a silently-wrong number (r10 ADVICE: the old coalesce masked
     # upper-rank misses).
-    assembled = targets.join(picked, [*group_cols, "__pname"], "left")
+    psel = picked.select(
+        *[F.col(c).alias(f"__ag_{i}") for i, c in enumerate(group_cols)],
+        F.col("__pname").alias("__apname"),
+        "__vlo",
+        "__vhi",
+    )
+    acond = F.col("__pname") == F.col("__apname")
+    for i, c in enumerate(group_cols):
+        acond = acond & F.col(c).eqNullSafe(F.col(f"__ag_{i}"))
+    assembled = targets.join(psel, acond, "left")
 
     def _bound_err(which: str, k: Column) -> Column:
         return F.raise_error(

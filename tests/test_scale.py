@@ -506,3 +506,30 @@ def test_exact_percentiles_driver_assembly_equals_distributed(spark, monkeypatch
         .collect()
     )
     assert [tuple(r) for r in small] == [tuple(r) for r in big]
+
+
+def test_exact_percentiles_null_group_key(spark, monkeypatch):
+    # percentile() treats a NULL group KEY as a regular group — both
+    # assembly regimes must emit its row instead of orphaning it into
+    # the miss guard
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0), (None, 30.0)],
+        "g string, v double",
+    )
+    ref = {
+        r["g"]: r["p50"]
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, 0.5)").alias("p50"))
+        .collect()
+    }
+    small = {
+        r["g"]: r["p50"]
+        for r in SC.exact_percentiles(df, ["g"], "v", {"p50": 0.5}).collect()
+    }
+    assert small == ref
+    monkeypatch.setattr(SC, "_DRIVER_ASSEMBLY_CAP", 0)
+    big = {
+        r["g"]: r["p50"]
+        for r in SC.exact_percentiles(df, ["g"], "v", {"p50": 0.5}).collect()
+    }
+    assert big == ref
