@@ -1448,11 +1448,33 @@ def ivf_topk(
             emb, k=k, metric="cos",
             id_col=id_col, vec_col=vec_col, label_col=label_col,
         )
+    scored = _ivf_candidate_scores(
+        emb, query_ids, nprobe, id_col, vec_col, label_col
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def _ivf_candidate_scores(
+    emb: DataFrame,
+    query_ids: list[int],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Shared IVF candidate scoring: route each query to its nprobe
+    nearest cell centroids (tiny centroid table broadcast), score
+    exact rounded cosine ONLY inside those cells via the cell
+    equi-join — the cross product never forms."""
     cents = label_centroids(emb, label_col, vec_col)
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
     )
-    # route: nprobe nearest cells per query (centroids broadcast)
     routed = (
         q.join(F.broadcast(cents))
         .select(
@@ -1477,18 +1499,45 @@ def ivf_topk(
         F.col(label_col).alias("cell"),
     )
     pairs = routed.join(c, "cell").filter(F.col("cid") != F.col("qid"))
-    scored = pairs.select(
+    return pairs.select(
         "qid", "cid",
         F.round(
             _dot("qe", "ce") / (F.sqrt(_dot("qe", "qe")) * F.sqrt(_dot("ce", "ce"))), 4
         ).cast("double").alias("cos_sim"),
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("rank", F.col("rank").cast("int"))
+
+
+def ivf_range_search(
+    emb: DataFrame,
+    query_ids: list[int],
+    tau: float,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-routed RADIUS search: all candidates with rounded cosine ≥
+    `tau` inside the query's nprobe nearest cells — the scale path for
+    `sim_range_search`'s exact broadcast scan once the corpus passes
+    the brute wall. Same routing/equi-join shape as `ivf_topk`
+    (candidates ride the cell join, never a cross product); the τ
+    screen applies AFTER the same 4-dp rounding as the exact route,
+    so at nprobe = #cells the result EQUALS the brute-force radius
+    search (the oracle identity the gate row pins). Partial-probe
+    radius recall is measured in tests at the auto-derived depth.
+
+    `nprobe=None` derives the routing depth from the corpus via
+    `auto_ivf_nprobe` against its 0.85 recall floor, the same
+    data-derived default as the top-k route."""
+    if nprobe is None:
+        nprobe = auto_ivf_nprobe(
+            emb, k=5, metric="cos",
+            id_col=id_col, vec_col=vec_col, label_col=label_col,
+        )
+    scored = _ivf_candidate_scores(
+        emb, query_ids, nprobe, id_col, vec_col, label_col
     )
+    return scored.filter(F.col("cos_sim") >= tau).orderBy("qid", "cid")
 
 
 # ---------------------------------------------------------------------------

@@ -369,3 +369,40 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "sim_ivf_range_search",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id IN ({", ".join(map(str, _RANGE_QUERY_IDS))})),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    p AS (
+      SELECT qid, cid,
+             CAST(ROUND({_dot_sql('qe', 'ce')} /
+                        (sqrt({_dot_sql('qe', 'qe')}) *
+                         sqrt({_dot_sql('ce', 'ce')})), 4) AS DOUBLE)
+               AS cos_sim
+      FROM q JOIN c ON cid <> qid
+    )
+    SELECT qid, cid, cos_sim
+    FROM p WHERE cos_sim >= {_RANGE_TAU}
+    ORDER BY qid, cid
+    """,
+)
+def sim_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed radius search registered at nprobe = probe-all,
+    which PROVABLY equals the exact brute-force radius search (every
+    cell is scanned, so the candidate set is the full corpus) —
+    giving the routing machinery a real value-hash oracle, the same
+    identity `sim_ivf_topk` pins for top-k. The partial-probe scale
+    setting (nprobe < #cells — what makes IVF an ANN at 100 TB) is
+    pytest-pinned by the radius-recall test at the auto-derived
+    depth; its candidate set depends on centroid ranking and is
+    deliberately not oracled."""
+    from ..operators.similarity import ivf_range_search
+
+    t = load_tables(spark, sf_dir)
+    return ivf_range_search(
+        t.embeddings, _RANGE_QUERY_IDS, _RANGE_TAU, nprobe=1_000_000
+    )

@@ -249,3 +249,34 @@ def test_join_view_delta_never_joins_base_with_base(spark):
     assert sorted((r["asrc"], r["bsrc"]) for r in dv) == [
         ("new", "new"), ("new", "old"), ("old", "new"),
     ]
+
+
+def test_ivf_range_search_radius_recall_at_auto_depth(spark):
+    # partial-probe radius recall at the auto-derived nprobe: the
+    # fraction of TRUE in-radius neighbors the routed scan returns
+    # must clear the same 0.8 floor the top-k routes hold; returned
+    # similarities must be exact (subset of brute with equal values)
+    from healthcare_research_data_pipeline_project_spark.operators.similarity import (
+        ivf_range_search,
+    )
+    from healthcare_research_data_pipeline_project_spark.queries.datapipe11 import (
+        _RANGE_QUERY_IDS,
+        _RANGE_TAU,
+    )
+
+    t = load_tables(spark, SF_ORACLE)
+    brute = {
+        (r["qid"], r["cid"]): r["cos_sim"]
+        for r in Q.QUERIES["sim_range_search"](spark, SF_ORACLE).collect()
+    }
+    routed = {
+        (r["qid"], r["cid"]): r["cos_sim"]
+        for r in ivf_range_search(
+            t.embeddings, _RANGE_QUERY_IDS, _RANGE_TAU
+        ).collect()
+    }
+    assert routed, "routed radius search returned nothing"
+    for k, v in routed.items():
+        assert brute.get(k) == v, f"routed pair {k} not exact vs brute"
+    recall = len(set(routed) & set(brute)) / max(len(brute), 1)
+    assert recall >= 0.8, f"radius recall {recall:.2f} at auto nprobe"
