@@ -933,34 +933,48 @@ def build_bloom(
     key_col: str,
     bits_per_key: int = 16,
     num_hashes: int = 3,
+    max_bits: int = 1 << 27,
 ) -> tuple[list[int], int]:
     """Build a Bloom filter over a key column as `m/64` packed longs.
 
     The build is fully distributed: each key maps to `num_hashes` bit
     positions (`pmod(xxhash64(i, key), m)`), positions fold to
     (word, OR-mask) pairs, and one `bit_or` aggregation over at most
-    m/64 word groups produces the bitmap — the only driver transfer is
-    the m/64-long word list (KBs, CONSTANT in the key count), never
-    the keys themselves. This is the engine-level form of Spark's
-    runtime bloom-filter join pushdown (`bloom_filter_agg` /
-    `might_contain` are Catalyst-internal and not exposed to the
+    m/64 word groups produces the bitmap — the driver transfer is the
+    m/64-long word list, never the keys themselves. `m` scales with
+    the key count (bits_per_key·n rounded up to a power of two,
+    floored at 2048 bits), so the transfer is bits_per_key·n/64
+    longs: ~2 MB for a 1M-key dim selection at the default 16
+    bits/key. `max_bits` (default 2^27 = 16 MB packed) bounds it —
+    past that the bitmap stops being a broadcastable plan literal and
+    the function RAISES with routing guidance (shuffle-join the dim
+    instead, or raise bits-per-key FP budget-consciously) rather than
+    OOMing the driver; a key set that big is not a prefilter
+    candidate, it IS the fact's peer. This is the engine-level form
+    of Spark's runtime bloom-filter join pushdown (`bloom_filter_agg`
+    / `might_contain` are Catalyst-internal and not exposed to the
     PySpark API; the packed-long formulation keeps every step in
     whole-stage codegen).
 
-    `m` is derived from the (bounded, dimension-sized) key count:
-    the next power of two ≥ bits_per_key·n, floored at 2048 bits. At
-    16 bits/key and k=3 the false-positive rate is ~0.6% — FPs cost a
-    wasted row through the join, never a wrong result (the exact join
-    downstream removes them); false NEGATIVES are impossible by
-    construction (every build bit is probed with the same hash
-    family), which the oracle equality in the gate re-proves end to
-    end every round.
+    At 16 bits/key and k=3 the false-positive rate is ~0.6% — FPs
+    cost a wasted row through the join, never a wrong result (the
+    exact join downstream removes them); false NEGATIVES are
+    impossible by construction (every build bit is probed with the
+    same hash family), which the oracle equality in the gate
+    re-proves end to end every round.
 
     Returns (words, m_bits)."""
     n = keys.select(key_col).distinct().count()
     m = 2048
     while m < bits_per_key * max(n, 1):
         m <<= 1
+    if m > max_bits:
+        raise ValueError(
+            f"build_bloom: {n} distinct keys need m={m} bits "
+            f"(> max_bits={max_bits}); a key set this large is not a "
+            f"prefilter candidate — join it directly (shuffle join) or "
+            f"raise max_bits knowingly"
+        )
     # the i-th hash is xxhash64(i AS BIGINT, key) — the literal's TYPE
     # is part of xxhash64's input, so build and probe must agree on
     # `{i}L` exactly (an INT literal hashes differently)

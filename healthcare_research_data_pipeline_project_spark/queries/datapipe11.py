@@ -5,7 +5,8 @@ asymmetric shingle containment, and radius (range) similarity search.
 `j12_bloom_prefilter_join`: the engine-level form of runtime
 bloom-filter join pushdown. The region→supplier selection builds a
 packed-long Bloom bitmap DISTRIBUTEDLY (one `bit_or` aggregation;
-only m/64 longs ever reach the driver — constant in the key count),
+only the m/64-long word list ever reaches the driver — 16 bits/key,
+hard-capped with a raise-don't-OOM guard past 16 MB packed),
 the fact scan probes it with pure codegen arithmetic BEFORE the join
 shuffle, and the exact broadcast join afterwards removes the ~0.6%
 false-positive fringe — so the oracle (the plain join) must match

@@ -54,13 +54,19 @@ def test_bloom_prefilter_prunes_nonmatching_fact_rows(spark):
     assert kept < total * 0.05, (kept, total)
 
 
-def test_bloom_bitmap_is_constant_size_in_keys(spark):
+def test_bloom_bitmap_is_bounded_and_sized_from_keys(spark):
     # driver transfer is m/64 longs, derived from the key count —
-    # never the keys themselves
+    # never the keys themselves — and capped: past max_bits the
+    # function raises with routing guidance instead of OOMing the
+    # driver with a non-broadcastable literal
     t = load_tables(spark, SF_ORACLE)
     packed, m = build_bloom(t.supplier.select("s_suppkey"), "s_suppkey")
     assert len(packed) == m // 64
     assert m >= 2048 and (m & (m - 1)) == 0  # power of two, floored
+    with pytest.raises(ValueError, match="not a prefilter candidate"):
+        build_bloom(
+            t.supplier.select("s_suppkey"), "s_suppkey", max_bits=1024
+        )
 
 
 def test_bloom_probe_filters_before_the_join(spark):
