@@ -106,6 +106,20 @@ SHOWCASE: dict[str, tuple[str, list[str]]] = {
         "map-side hash off the broadcast component labels",
         [r"HashAggregate", r"Exchange", r"BroadcastExchange"],
     ),
+    "j12_bloom_prefilter_join": (
+        "runtime bloom-filter pushdown: the xxhash64 bitmap probe "
+        "filters the fact SCAN STAGE (below the join in the plan), so "
+        "non-matching rows die before the exchange; the broadcast "
+        "join afterwards removes the FP fringe, keeping results exact",
+        [r"Condition : \(\(\(NOT \(\(element_at", r"BroadcastHashJoin", r"PushedFilters"],
+    ),
+    "t_max_concurrency": (
+        "interval-overlap sweep on the two-phase prefix sum: the only "
+        "windows are per-range-partition (__pid) or over the "
+        "partition-count-sized offsets frame — never a SinglePartition "
+        "window over the data",
+        [r"windowspecdefinition", r"rangepartitioning"],
+    ),
 }
 
 
