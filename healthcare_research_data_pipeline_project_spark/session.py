@@ -70,6 +70,15 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # the generated-class cache defaults to 100 entries; a 176-query
+        # workload holds several codegen units per query, so every
+        # interleaved pass evicted everything and re-ran Janino per
+        # query (measured: a8_percentiles 2.3-2.5 s cold-in-context vs
+        # ~1.5 s re-run — the gap is recompilation, not data). 4000
+        # entries keeps the whole corpus resident; generated classes
+        # are KB-sized, so the ceiling is a few hundred MB of metaspace
+        # at worst and irrelevant on a cluster driver
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
