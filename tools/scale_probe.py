@@ -99,8 +99,31 @@ DIST_VARIANTS = {
 }
 
 
+def _ivf_range_routed(spark, sf_dir):
+    """sim_ivf_range_search at its SCALE setting (auto-derived nprobe,
+    bounded cell scan) instead of the gate row's probe-all identity —
+    the probe-all row is deliberately brute-force (it exists to give
+    the routing machinery a value-hash oracle), so its scaling ratio
+    measures the exact scan, not the ANN route deployments run."""
+    from healthcare_research_data_pipeline_project_spark.operators.similarity import (
+        ivf_range_search,
+    )
+    from healthcare_research_data_pipeline_project_spark.queries.datapipe11 import (
+        _RANGE_QUERY_IDS,
+        _RANGE_TAU,
+    )
+    from healthcare_research_data_pipeline_project_spark.tables import (
+        load_tables,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return ivf_range_search(t.embeddings, _RANGE_QUERY_IDS, _RANGE_TAU)
+
+
 def _resolve_query(name):
-    """Corpus query by name, or a forced-distributed graph variant."""
+    """Corpus query by name, or a forced-variant probe."""
+    if name == "sim_ivf_range_search_routed":
+        return _ivf_range_routed
     if name in DIST_VARIANTS:
         import importlib
 
