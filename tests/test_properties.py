@@ -261,3 +261,34 @@ def test_ntile_closed_form_matches_spark_window(spark):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    keys=st.lists(
+        st.integers(-(2**62), 2**62), min_size=1, max_size=60, unique=True
+    ),
+    probes=st.lists(st.integers(-(2**62), 2**62), max_size=20),
+)
+@settings(max_examples=15, deadline=None)
+def test_bloom_never_false_negative(spark, keys, probes):
+    # the property j12's oracle equality relies on: EVERY built key
+    # probes positive, for arbitrary 64-bit keys — and non-member
+    # probes may only ever ADD rows (false positives), never remove
+    from healthcare_research_data_pipeline_project_spark.operators.scale import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    dim = spark.createDataFrame([(k,) for k in keys], "k: bigint")
+    packed, m = build_bloom(dim, "k")
+    arr = F.array(*[F.lit(w).cast("long") for w in packed])
+    univ = spark.createDataFrame(
+        [(v,) for v in set(keys) | set(probes)], "k: bigint"
+    )
+    kept = {
+        r["k"]
+        for r in univ.withColumn("__b", arr)
+        .filter(bloom_might_contain("k", "__b", m))
+        .collect()
+    }
+    assert set(keys) <= kept
