@@ -176,6 +176,10 @@ def t_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONT_TAU = 0.10
+#: viral-shingle document-frequency cap — bounds per-shingle pair
+#: expansion by df_max² at any corpus size; a no-op on this corpus
+#: (no shingle anywhere near df 10k), which the oracle equality pins
+_CONT_DF_MAX = 10_000
 _TOKS = DUCK_TOKENS.format(text="text")
 
 
@@ -201,15 +205,23 @@ _TOKS = DUCK_TOKENS.format(text="text")
     """,
 )
 def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directional containment via the inverted shingle index: one
-    explode→equi-join on the 60-bit shingle hash inside (lang,
-    source) blocks gives |A∩B| per co-shingled pair, per-doc distinct
-    sizes join back in, and the τ screen keeps pairs where EITHER
-    direction's containment clears 0.5 (equivalently |A∩B| ≥
-    τ·min(|A|,|B|)). Pair rows exist only for docs sharing ≥1 shingle
-    — never block-quadratic — and the hash-space counts equal the
-    oracle's string-space counts except on 2^-60 collisions (same
-    identity doctrine as `shingle_jaccard_pairs`)."""
+    """Directional containment via the capped posting-list index: ONE
+    aggregation builds per-(lang, shingle) sorted doc lists over the
+    60-bit shingle hash, shared-shingle pairs expand MAP-SIDE from
+    each list (every i<j combo — no self-join), and per-pair counts
+    give |A∩B|; per-doc distinct sizes join back in and the τ screen
+    keeps pairs where EITHER direction's containment clears
+    `_CONT_TAU` (equivalently |A∩B| ≥ τ·min(|A|,|B|)). The
+    `_CONT_DF_MAX` document-frequency cap bounds per-shingle pair
+    work by df_max² at ANY corpus size (the viral-boilerplate
+    blowup the Jaccard family's cap exists for — dedup.py doctrine);
+    per-doc sizes subtract hot-shingle membership so the result is
+    the EXACT containment over the reduced universe — identical to
+    uncapped whenever no shingle exceeds the cap, which holds on this
+    corpus BY CONTRACT, so the oracle is the plain uncapped SQL and a
+    green row pins exactly that no-op equivalence. Hash-space counts
+    equal the oracle's string-space counts except on 2^-60 collisions
+    (same identity doctrine as `shingle_jaccard_pairs`)."""
     t = load_tables(spark, sf_dir)
     sh60 = (
         "transform(shingles, s -> "
@@ -220,26 +232,41 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sh_set", F.array_distinct(F.expr(sh60)))
         .select("doc_id", "lang", "sh_set")
     )
-    d = track_persist(d)  # index sides + size lookups branch here
+    d = track_persist(d)  # index side + size lookup branch here
     sizes = d.select("doc_id", F.size("sh_set").alias("sh_n"))
     inv = d.select(
         "doc_id", "lang", F.explode_outer("sh_set").alias("sh")
     )
-    a = inv.select(F.col("doc_id").alias("id_a"), "lang", "sh")
-    b = inv.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("l2"),
-        F.col("sh").alias("sh2"),
+    posting = inv.groupBy("lang", "sh").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
+    posting = track_persist(posting)  # pair expansion + hot correction
+    hot = posting.filter(F.size("ids") > _CONT_DF_MAX)
     inter = (
-        a.join(
-            b,
-            (F.col("lang") == F.col("l2"))
-            & (F.col("sh") == F.col("sh2"))
-            & (F.col("id_a") < F.col("id_b")),
+        posting.filter(F.size("ids") <= _CONT_DF_MAX)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # sizes over the reduced (capped) universe: doc-bounded correction
+    # frame, empty when nothing exceeds the cap
+    hot_per_doc = (
+        hot.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__hot_cnt"))
+    )
+    sizes = sizes.join(hot_per_doc, "doc_id", "left").select(
+        "doc_id",
+        (F.col("sh_n") - F.coalesce("__hot_cnt", F.lit(0))).alias("sh_n"),
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sh_n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sh_n").alias("n_b"))

@@ -286,3 +286,34 @@ def test_ivf_range_search_radius_recall_at_auto_depth(spark):
         assert brute.get(k) == v, f"routed pair {k} not exact vs brute"
     recall = len(set(routed) & set(brute)) / max(len(brute), 1)
     assert recall >= 0.8, f"radius recall {recall:.2f} at auto nprobe"
+
+
+def test_containment_df_cap_drops_viral_shingles_exactly(spark, tmp_path, monkeypatch):
+    # with the cap forced below a boilerplate shingle's df, pairs may
+    # only form via non-viral shingles and per-doc sizes shrink by the
+    # dropped membership — EXACT containment over the reduced universe
+    import healthcare_research_data_pipeline_project_spark.queries.datapipe11 as dp11
+
+    boiler = "all rights reserved worldwide"  # 4-token run → shingles
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {boiler}", "en", "s1", 1),
+            (2, f"alpha beta gamma epsilon {boiler}", "en", "s2", 1),
+            (3, f"zeta eta theta iota {boiler}", "en", "s1", 1),
+        ],
+        "doc_id: bigint, text: string, lang: string, source: string,"
+        " n_chars: bigint",
+    )
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    full = {(r["id_a"], r["id_b"]): r["n_shared"]
+            for r in dp11.text_containment_pairs(spark, sf).collect()}
+    monkeypatch.setattr(dp11, "_CONT_DF_MAX", 2)
+    capped = {(r["id_a"], r["id_b"]): r["n_shared"]
+              for r in dp11.text_containment_pairs(spark, sf).collect()}
+    # uncapped: every pair shares the boilerplate shingles; capped:
+    # only (1,2) still share their non-viral 'alpha beta gamma' run
+    assert set(full) >= {(1, 2), (1, 3), (2, 3)}
+    assert (1, 2) in capped
+    assert (1, 3) not in capped and (2, 3) not in capped
+    assert capped[(1, 2)] < full[(1, 2)]
