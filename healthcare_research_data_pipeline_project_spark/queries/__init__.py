@@ -64,7 +64,15 @@ GATE_PRIORITY = [
     # green in MIRROR.json) for dedup_canonical_keep — the r4-era
     # oracle route through connected components (ADVICE: rotate the
     # newest oracle-backed ops through the gate).
-    "dedup_canonical_keep",
+    # dedup_canonical_keep rotated OUT r12 (gated green r10-r11; the
+    # connected-components keeper logic stays gate-evidenced TWICE in
+    # this window: ds_leakage_safe_split keys its split on the CC
+    # cluster representative and its RECURSIVE-CTE oracle re-derives
+    # the components, and g_pagerank_canonical's canonicalize stage
+    # consumes the full component sweep; the row stays green in
+    # MIRROR.json) for ds_leakage_safe_split — in the never-gated
+    # r11-new set VERDICT r11 #1 named.
+    "ds_leakage_safe_split",
     # j4_semi_exists rotated OUT r6 (EXISTS semi-join stays gate-
     # evidenced by hc_q1's EXISTS flag in this window; j4 stays green
     # in MIRROR.json) for mm_decode_stats — the multimodal decode
@@ -76,13 +84,26 @@ GATE_PRIORITY = [
     # PPM/WAV byte sequence in SQL; the row stays green in
     # MIRROR.json) for t_asof_join — the as-of temporal join, in the
     # never-gated set VERDICT r10 #3 named.
-    "t_asof_join",
+    # t_asof_join rotated OUT r12 (gated green in r11; the merge_asof
+    # operator stays gate-evidenced by t_asof_nearest in this window —
+    # the nearest-direction variant COMPOSES the backward and forward
+    # carries, so its oracle exercises strictly more of the operator;
+    # the row stays green in MIRROR.json) for t_asof_nearest — in the
+    # never-gated r11-new set VERDICT r11 #1 named.
+    "t_asof_nearest",
     # j5_anti_not_exists rotated OUT r4 (its sf0.01 result is 0 rows —
     # a trivially-true hash check; hc_q9 in this window is itself a
     # NOT-EXISTS anti-join, and j5 stays green in the committed
     # MIRROR.json): gate slots go to queries whose oracle rows carry
     # real signal, newest first (ADVICE r3).
-    "ds_pack_sequences",
+    # ds_pack_sequences rotated OUT r12 (gated green r10-r11; the
+    # prefix-sum global-offset machinery it rides stays gate-
+    # evidenced by t_max_concurrency's interval sweep in this window;
+    # the row stays green in MIRROR.json) for a28_winsorize — the
+    # winsorized-stats consumer of the sketch-bracketed exact-
+    # percentile operator, in the never-gated r11-new set VERDICT
+    # r11 #1 named and the corpus's slowest query (1.91 s).
+    "a28_winsorize",
     # j6_in_subquery / j7_role_playing_dim rotated OUT r5 (IN-subquery
     # semi-join stays evidenced by hc_q2, role-playing dims by hc_q8;
     # both stay green in MIRROR.json) for two r5-new oracle routes:
@@ -135,7 +156,13 @@ GATE_PRIORITY = [
     # pct columns of hc_q1/q5-q8; a12 and a13_histogram — itself
     # rotated OUT r7, see the g_kcore_knn entry below — stay green in
     # MIRROR.json).
-    "ds_zorder_layout",
+    # ds_zorder_layout rotated OUT r12 (gated green r4-r11; the
+    # layout-op verdict family stays gate-evidenced by the incoming
+    # ds_range_layout, whose equi-depth boundary derivation consumes
+    # the same sketch-bracketed percentile operator as a28_winsorize;
+    # the row stays green in MIRROR.json) for ds_range_layout — in
+    # the never-gated r11-new set VERDICT r11 #1 named.
+    "ds_range_layout",
     # u2_set_ops rotated OUT r5 (set-op evidence stays via hc_q10's
     # UNION ALL in this window) for a2b_approx_stats — the sketch
     # tier's new tolerance-verdict oracle.
@@ -145,14 +172,29 @@ GATE_PRIORITY = [
     # row stays green in MIRROR.json) for stat_bootstrap_ci — the
     # deterministic hash-resample bootstrap CI, in the never-gated
     # set VERDICT r10 #3 named.
-    "stat_bootstrap_ci",
+    # stat_bootstrap_ci rotated OUT r12 (gated green in r11; hash-
+    # derived deterministic resampling stays gate-evidenced by
+    # ds_leakage_safe_split's hash split + the a28_winsorize order-
+    # statistics row in this window; the row stays green in
+    # MIRROR.json) for text_containment_pairs — the asymmetric
+    # shingle-containment screen whose df-cap posting-list expansion
+    # was rewritten in r11's LAST code commit (a83487c) and so is the
+    # highest-risk never-gated semantics (VERDICT r11 #1, named
+    # first).
+    "text_containment_pairs",
     "a14_quality_metrics",
     "w1_w2_group_outliers",
     # w3_topn_per_group rotated OUT r5 (top-N-per-frame stays
     # evidenced by w4's argmax + g_pagerank_centrality's row_number
     # top-3 in this window) for stat_mannwhitney_u — the r4
     # value-histogram rank statistic.
-    "stat_mannwhitney_u",
+    # stat_mannwhitney_u rotated OUT r12 (gated green r4-r11; exact
+    # rank/order-statistic evidence stays gate-carried by
+    # a8_percentiles and the incoming a28_winsorize in this window;
+    # the row stays green in MIRROR.json) for t_resample_ohlc — the
+    # time-bucket resample battery, part of the never-gated temporal
+    # family VERDICT r11 #7 named.
+    "t_resample_ohlc",
     # w4_latest_per_entity rotated OUT r5 (latest-per-entity argmax
     # stays evidenced by hc_q7's latest-A1C in this window; w4 stays
     # green in MIRROR.json) for a2c_sketch_rollup — the mergeable-HLL
@@ -161,9 +203,22 @@ GATE_PRIORITY = [
     # f_date_functions rotated OUT r5 (date add/diff/trunc/format stay
     # evidenced by hc_q8 + exec_summary's relative-date filter) for
     # dq_k_anonymity — the r4 privacy-audit battery.
-    "dq_k_anonymity",
+    # dq_k_anonymity rotated OUT r12 (gated green r4-r11; the data-
+    # quality audit family stays gate-evidenced by a14_quality_metrics
+    # and dq_expectations_orders in this window; the row stays green
+    # in MIRROR.json) for t_rate_limit_window — the sliding-window
+    # rate-limit batch twin, part of the never-gated temporal family
+    # VERDICT r11 #7 named.
+    "t_rate_limit_window",
     "f_case_mask_hash",
-    "events_hourly_rollup",
+    # events_hourly_rollup rotated OUT r12 (gated green r4-r11; the
+    # tumbling-window rollup is the hop=width special case of
+    # events_hopping_rollup, which stays in this window; the row
+    # stays green in MIRROR.json) for ivm_join_view — the r11-new
+    # insert-only join-view delta maintenance (ΔV=(ΔA⋈B_new)∪(A_old⋈
+    # ΔB), base⋈base never recomputed), in the never-gated r11-new
+    # set VERDICT r11 #1 named.
+    "ivm_join_view",
     # events_sessionize / t_gap_fill rotated OUT r5 (session windows
     # stay pytest-pinned and both stay green in MIRROR.json) for the
     # r4 sequence ops: event-pattern matching and the explicit
@@ -173,7 +228,15 @@ GATE_PRIORITY = [
     # this window; the row stays green in MIRROR.json) for
     # text_source_overlap — the r9-new cross-source contamination
     # matrix that never had a driver gate row (VERDICT r9 #4).
-    "text_source_overlap",
+    # text_source_overlap rotated OUT r12 (gated green r10-r11;
+    # cross-document overlap semantics stay gate-evidenced by
+    # text_substring_dedup and the incoming text_containment_pairs in
+    # this window; the row stays green in MIRROR.json) for
+    # ds_temperature_mix — the temperature-scaled corpus mixture,
+    # whose scalar-aggregate rewrite lands THIS round (rotate
+    # refactored queries into the gate, VERDICT r9 #1 doctrine; also
+    # in the never-gated r11-new set VERDICT r11 #1 named).
+    "ds_temperature_mix",
     # a27_mode_battery rotated OUT r9 (the explicit tie-break mode
     # battery stays green in MIRROR.json) for mm_media_features — the
     # per-row payload-reconstruction oracle added in r9 (the last
@@ -254,7 +317,15 @@ GATE_PRIORITY = [
     # in this window; the manifest row stays green in MIRROR.json)
     # for ml_kmeans_summary — the distributed-Lloyd's invariant-
     # verdict oracle, never gated before.
-    "ml_kmeans_summary",
+    # ml_kmeans_summary rotated OUT r12 (gated green r7-r11; the
+    # trained-quantizer invariants stay gate-evidenced by
+    # sim_ivfpq_topk, whose oracle recomputes the routing against the
+    # SAME k-means centroids, and dedup_semantic_blocks' data-adaptive
+    # k-formula equality in this window; the row stays green in
+    # MIRROR.json) for sim_range_search — the r11-new exact radius
+    # search whose oracle pins the Q-broadcast path against brute
+    # force, in the never-gated r11-new set VERDICT r11 #1 named.
+    "sim_range_search",
     "text_token_stats",
     "text_quality_score",
     # text_langid rotated OUT r10 (n-gram language-ID stays green in
