@@ -4,13 +4,17 @@ asymmetric shingle containment, and radius (range) similarity search.
 
 `j12_bloom_prefilter_join`: the engine-level form of runtime
 bloom-filter join pushdown. The region→supplier selection builds a
-packed-long Bloom bitmap DISTRIBUTEDLY (one `bit_or` aggregation;
-only the m/64-long word list ever reaches the driver — 16 bits/key,
-hard-capped with a raise-don't-OOM guard past 16 MB packed),
-the fact scan probes it with pure codegen arithmetic BEFORE the join
-shuffle, and the exact broadcast join afterwards removes the ~0.6%
-false-positive fringe — so the oracle (the plain join) must match
-exactly, which re-proves "no false negatives" end to end every round.
+packed Bloom bitmap DISTRIBUTEDLY (one `bit_or` aggregation; only
+the m/64-long word list ever reaches the driver — 16 bits/key,
+hard-capped with a raise-don't-OOM guard past 16 MB packed), ships
+it to the probe as ONE binary plan literal (the r12 fix: per-word
+array literals cost a py4j round-trip each and hit an analysis wall
+around 2^20 bits; a bytes literal is one array copy, flat to the
+cap), the fact scan probes it with pure codegen arithmetic BEFORE
+the join shuffle, and the exact broadcast join afterwards removes
+the ~0.6% false-positive fringe — so the oracle (the plain join)
+must match exactly, which re-proves "no false negatives" end to end
+every round.
 At 100 TB this is the decisive plan shape: non-matching lineitem rows
 die in the scan stage instead of riding the exchange.
 

@@ -28,11 +28,10 @@ def test_bloom_has_no_false_negatives(spark):
     # EVERY build key must probe positive — the property the oracle
     # equality relies on. Probe the dim itself through the bitmap.
     dim = load_tables(spark, SF_ORACLE).supplier.select("s_suppkey")
-    packed, m = build_bloom(dim, "s_suppkey")
-    arr = F.array(*[F.lit(w).cast("long") for w in packed])
+    blob, m = build_bloom(dim, "s_suppkey")
     n = dim.count()
     kept = (
-        dim.withColumn("__b", arr)
+        dim.withColumn("__b", F.lit(blob))
         .filter(bloom_might_contain("s_suppkey", "__b", m))
         .count()
     )
@@ -60,8 +59,8 @@ def test_bloom_bitmap_is_bounded_and_sized_from_keys(spark):
     # function raises with routing guidance instead of OOMing the
     # driver with a non-broadcastable literal
     t = load_tables(spark, SF_ORACLE)
-    packed, m = build_bloom(t.supplier.select("s_suppkey"), "s_suppkey")
-    assert len(packed) == m // 64
+    blob, m = build_bloom(t.supplier.select("s_suppkey"), "s_suppkey")
+    assert len(blob) == m // 8
     assert m >= 2048 and (m & (m - 1)) == 0  # power of two, floored
     with pytest.raises(ValueError, match="not a prefilter candidate"):
         build_bloom(
@@ -83,11 +82,22 @@ def test_bloom_probe_filters_before_the_join(spark):
 
 
 def test_bloom_null_keys_probe_out(spark):
-    dim = spark.range(1, 10).select(F.col("id").alias("k"))
-    packed, m = build_bloom(dim, "k")
+    # NULL rejection is an EXPLICIT `IS NOT NULL` conjunct in the
+    # probe, not hash behavior: Spark hash expressions skip NULL
+    # inputs, so a NULL key hashes to 3 fixed key-independent
+    # positions. The all-ones bitmap below would keep a NULL under
+    # hash-only probing — the conjunct is what drops it.
     fact = spark.createDataFrame(
         [(1,), (None,), (5,), (None,)], "k: bigint"
     )
+    kept = (
+        fact.withColumn("__b", F.lit(b"\xff" * 256))
+        .filter(bloom_might_contain("k", "__b", 2048))
+        .collect()
+    )
+    assert sorted(r["k"] for r in kept) == [1, 5]
+    # and end-to-end through the prefilter against a real build
+    dim = spark.range(1, 10).select(F.col("id").alias("k"))
     kept = bloom_prefilter(fact, "k", dim, "k").collect()
     assert sorted(r["k"] for r in kept) == [1, 5]
 

@@ -280,14 +280,13 @@ def test_bloom_never_false_negative(spark, keys, probes):
     )
 
     dim = spark.createDataFrame([(k,) for k in keys], "k: bigint")
-    packed, m = build_bloom(dim, "k")
-    arr = F.array(*[F.lit(w).cast("long") for w in packed])
+    blob, m = build_bloom(dim, "k")
     univ = spark.createDataFrame(
         [(v,) for v in set(keys) | set(probes)], "k: bigint"
     )
     kept = {
         r["k"]
-        for r in univ.withColumn("__b", arr)
+        for r in univ.withColumn("__b", F.lit(blob))
         .filter(bloom_might_contain("k", "__b", m))
         .collect()
     }

@@ -111,7 +111,7 @@ SHOWCASE: dict[str, tuple[str, list[str]]] = {
         "filters the fact SCAN STAGE (below the join in the plan), so "
         "non-matching rows die before the exchange; the broadcast "
         "join afterwards removes the FP fringe, keeping results exact",
-        [r"Condition : \(\(\(NOT \(\(element_at", r"BroadcastHashJoin", r"PushedFilters"],
+        [r"conv\(hex\(substring", r"xxhash64", r"BroadcastHashJoin", r"PushedFilters"],
     ),
     "t_max_concurrency": (
         "interval-overlap sweep on the two-phase prefix sum: the only "
