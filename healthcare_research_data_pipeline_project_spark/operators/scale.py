@@ -329,6 +329,25 @@ _DRIVER_ASSEMBLY_CAP = 10_000
 #: driver path still broadcasts a local-relation window table)
 _LITERAL_WINDOWS_CAP = 128
 
+#: stand-in for float NaN inside collected group-key tuples used as
+#: dict keys. Python NaN is unequal to itself and (since 3.10) hashes
+#: by object id, so tuples collected in DIFFERENT .collect() calls
+#: never match each other in a dict even for the same group — the
+#: driver-assembly regime would spuriously raise "bracket window
+#: missed lower rank" on NaN group keys while the distributed regime
+#: (Spark grouping treats NaN = NaN) returns the row. Canonicalizing
+#: every cross-collect dict key through `_canon_gk` keeps the two
+#: regimes agreeing. (`vcol_wins` stays RAW: its keys are built and
+#: consumed within one collect, and the raw values flow into F.lit /
+#: eqNullSafe literals where a sentinel would change the plan.)
+_NAN_KEY = ("__exact_percentiles_nan__",)
+
+
+def _canon_gk(gk: tuple) -> tuple:
+    return tuple(
+        _NAN_KEY if isinstance(v, float) and v != v else v for v in gk
+    )
+
 
 def exact_percentiles_multi(
     df: DataFrame,
@@ -463,6 +482,7 @@ def exact_percentiles_multi(
         vcol_wins: dict[tuple, list] = {}
         for row in brackets.collect():
             gk = tuple(row[c_] for c_ in group_cols)
+            ck = _canon_gk(gk)
             gkeys.append(gk)
             for name, (c, p) in specs.items():
                 n = row[f"__n_{vidx[c]}"] or 0
@@ -479,7 +499,7 @@ def exact_percentiles_multi(
                 tgt_rows.append(
                     gk + (name, c, r - fr, k_lo, k_hi, blo, bhi, int(n))
                 )
-                tgt_idx[(gk, name)] = (r - fr, int(n), k_lo, k_hi)
+                tgt_idx[(ck, name)] = (r - fr, int(n), k_lo, k_hi)
                 vcol_wins.setdefault((gk, c), []).append((blo, bhi))
         tgt_schema = StructType(
             list(gfields)
@@ -753,14 +773,15 @@ def exact_percentiles_multi(
     if driver_assembly:
         pk: dict[tuple, tuple] = {}
         for row in picked.collect():
-            gk = tuple(row[c_] for c_ in group_cols)
-            pk[(gk, row["__pname"])] = (row["__vlo"], row["__vhi"])
+            ck = _canon_gk(tuple(row[c_] for c_ in group_cols))
+            pk[(ck, row["__pname"])] = (row["__vlo"], row["__vhi"])
         out_rows = []
         for gk in gkeys:
+            ck = _canon_gk(gk)
             vals = []
             for name in specs:
-                frac, n, k_lo, k_hi = tgt_idx[(gk, name)]
-                vlo, vhi = pk.get((gk, name), (None, None))
+                frac, n, k_lo, k_hi = tgt_idx[(ck, name)]
+                vlo, vhi = pk.get((ck, name), (None, None))
                 if n == 0:
                     vals.append(None)
                 elif vlo is None:

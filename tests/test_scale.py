@@ -533,3 +533,37 @@ def test_exact_percentiles_null_group_key(spark, monkeypatch):
         for r in SC.exact_percentiles(df, ["g"], "v", {"p50": 0.5}).collect()
     }
     assert big == ref
+
+
+def test_exact_percentiles_nan_group_key(spark, monkeypatch):
+    # Spark grouping treats NaN = NaN, so a float-NaN group key is one
+    # regular group. Python NaN is unequal to itself and hashes by
+    # object id (3.10+), so the driver-assembly regime's dicts keyed
+    # on COLLECTED tuples would miss across .collect() calls and
+    # spuriously raise the bracket-miss guard — the regimes must agree
+    # instead (r11 ADVICE). NaN keys are canonicalized via _canon_gk.
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1.5, 1.0), (1.5, 3.0), (nan, 10.0), (nan, 20.0), (nan, 30.0)],
+        "g double, v double",
+    )
+
+    def keyed(rows):
+        return {
+            ("nan" if r["g"] != r["g"] else r["g"]): r["p50"] for r in rows
+        }
+
+    ref = keyed(
+        df.groupBy("g")
+        .agg(F.expr("percentile(v, 0.5)").alias("p50"))
+        .collect()
+    )
+    small = keyed(
+        SC.exact_percentiles(df, ["g"], "v", {"p50": 0.5}).collect()
+    )
+    assert small == ref
+    monkeypatch.setattr(SC, "_DRIVER_ASSEMBLY_CAP", 0)
+    big = keyed(
+        SC.exact_percentiles(df, ["g"], "v", {"p50": 0.5}).collect()
+    )
+    assert big == ref
