@@ -5,7 +5,7 @@ as a plain single-phase query — proving the scale path changes the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.helpers import DEC, duck_dec_avg, rnd, round_div
@@ -301,15 +301,20 @@ def ds_range_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ds_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    w_all = Window.partitionBy()
-    counts = (
-        t.documents.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("src_cnt"))
-        .withColumn("total_cnt", F.sum("src_cnt").over(w_all))
-        .withColumn(
-            "sum_w", F.sum(F.sqrt(F.col("src_cnt").cast("double"))).over(w_all)
-        )
+    census = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("src_cnt")
     )
+    # corpus-wide totals as a ONE-ROW scalar aggregate broadcast back
+    # onto the census (the mb_pair_lift doctrine), not SUM() OVER ():
+    # the frame is only #sources rows so the unpartitioned window was
+    # never a scale risk, but it planned a SinglePartition WindowExec
+    # stage and broke the repo's grep-enforceable "no unpartitioned
+    # windows" invariant. Same arithmetic, same oracle hash.
+    totals = census.agg(
+        F.sum("src_cnt").alias("total_cnt"),
+        F.sum(F.sqrt(F.col("src_cnt").cast("double"))).alias("sum_w"),
+    )
+    counts = census.crossJoin(F.broadcast(totals))
     rates = counts.select(
         "source",
         "src_cnt",

@@ -185,6 +185,22 @@ def test_mb_pair_lift_scans_fact_once_in_final_plan(spark):
     assert "BroadcastNestedLoopJoin" in final  # the 1-row cross join
 
 
+def test_temperature_mix_has_no_window(spark):
+    # the corpus-wide totals (total_cnt, sum_w) must be a one-row
+    # scalar aggregate broadcast back onto the per-source census —
+    # never SUM() OVER (): the frame is only #sources rows, but an
+    # unpartitioned window plans a SinglePartition WindowExec stage
+    # and breaks the grep-enforceable "no unpartitioned windows"
+    # doctrine (VERDICT r11 wrong-item #1)
+    df = Q.QUERIES["ds_temperature_mix"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, (
+        "ds_temperature_mix regressed to an unpartitioned window for "
+        "the corpus totals"
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row cross join
+
+
 def test_ks_two_sample_scans_fact_once_in_final_plan(spark):
     df = Q.QUERIES["t_ks_two_sample"](spark, SF_ORACLE)
     df.collect()
