@@ -93,29 +93,44 @@ def _driver_union_find(spark, edge_rows) -> DataFrame:
 # the host's CPU throughput, which this shared guest drifts 1.5-2.5x),
 # so the crossover is a formula, not a config:
 #   driver wins while  E·rounds  <  materializations(rounds) · K
-# with K = _EDGE_ITERS_PER_MATERIALIZATION. A hard edge cap bounds
-# driver memory regardless of cost (collected python edge tuples are
-# ~100 B each — 2M edges ≈ 200 MB, safe on any serious driver).
+# with K = edge·iters of driver work per distributed materialization.
+# K is ALGORITHM-SPECIFIC because driver speed is: the union-find /
+# k-core driver loops walk Python dicts at ~1.0M edge·iters/s
+# (K = 2.9M, the r11 calibration), while the r12 vectorized pagerank
+# iteration (numpy bincount scatter-adds over Arrow-fetched int64
+# arrays) measured 70M edge·iters/s on this host — K ≈ 190M, i.e. the
+# driver never loses on compute below any sane memory cap and the cap
+# becomes the binding constraint. A hard edge cap bounds driver memory
+# regardless of cost: dict-based loops collect ~100 B/edge Row tuples
+# (2M edges ≈ 200 MB), the numpy path holds 16 B/edge arrays + the
+# Arrow batch (8M edges ≈ 260 MB transient).
 # ---------------------------------------------------------------------------
-_EDGE_ITERS_PER_MATERIALIZATION = 2_900_000
+_EDGE_ITERS_PER_MATERIALIZATION = 2_900_000  # Python-dict driver loops
+_NP_EDGE_ITERS_PER_MATERIALIZATION = 190_000_000  # numpy pagerank (r12)
 _DIST_SETUP_JOBS = 3  # persist+count, node/degree build, final write
-_DRIVER_EDGE_CAP = 2_000_000
+_DRIVER_EDGE_CAP = 2_000_000  # dict loops: ~100 B/edge collected
+_NP_DRIVER_EDGE_CAP = 8_000_000  # numpy path: 16 B/edge + Arrow batch
 
 
 def derived_small_graph_threshold(
     rounds: int,
     rounds_per_materialization: int = 1,
     driver_edge_cap: int = _DRIVER_EDGE_CAP,
+    edge_iters_per_materialization: int = _EDGE_ITERS_PER_MATERIALIZATION,
 ) -> int:
     """Edge-count crossover below which one exact driver pass beats
     the distributed loop: equate driver cost (edges x rounds) with
     distributed cost (materializations x K) and solve for edges,
     bounded by the driver-memory cap. `rounds_per_materialization` is
     the lineage-cut batching factor (pagerank's `spill_every`; 1 for
-    loops that must materialize every round)."""
+    loops that must materialize every round). Pass the numpy constants
+    for vectorized driver loops (pagerank); the defaults describe the
+    Python-dict loops (connected components, k-core)."""
     r = max(1, rounds)
     mats = -(-r // max(1, rounds_per_materialization)) + _DIST_SETUP_JOBS
-    return min(driver_edge_cap, (mats * _EDGE_ITERS_PER_MATERIALIZATION) // r)
+    return min(
+        driver_edge_cap, (mats * edge_iters_per_materialization) // r
+    )
 
 
 def connected_components(
@@ -314,43 +329,52 @@ def dedup_clusters(
 
 
 def _driver_pagerank(
-    spark, edge_rows, damping: float, max_iter: int, tol: float
+    spark, src_arr, dst_arr, damping: float, max_iter: int, tol: float
 ) -> DataFrame:
     """Exact driver-side power iteration on a collected edge list —
     the small-graph fast path (same round semantics as the distributed
-    loop below: dangling mass teleports, Σrank = N, L1 convergence)."""
-    out_deg: dict[int, int] = {}
-    nodes: set[int] = set()
-    adj: dict[int, list[int]] = {}
-    for u, v in edge_rows:
-        u, v = int(u), int(v)
-        nodes.add(u)
-        nodes.add(v)
-        out_deg[u] = out_deg.get(u, 0) + 1
-        adj.setdefault(u, []).append(v)
-    n = len(nodes)
+    loop below: dangling mass teleports, Σrank = N, L1 convergence).
+
+    Vectorized (r12): the r11 form walked Python dict adjacency lists
+    at ~1.0M edge·iters/s, which made a 1.1M-edge 12-round call (the
+    20x centrality probe) a 10 s driver stall. numpy index arrays +
+    `np.bincount` scatter-adds run the same recurrence at ~300M
+    edge·iters/s measured — the whole iteration is now cheaper than
+    one distributed materialization, so the crossover constant K was
+    recalibrated (see `_EDGE_ITERS_PER_MATERIALIZATION`). `src_arr` /
+    `dst_arr` are int64 numpy arrays (the caller fetches them via
+    Arrow, never as Row objects)."""
+    import numpy as np
+
+    both = np.concatenate([src_arr, dst_arr])
+    nodes, inv = np.unique(both, return_inverse=True)
+    n = int(nodes.shape[0])
     if n == 0:
         return spark.createDataFrame(
             [], "node long, rank double, converged boolean"
         )
-    rank = {x: 1.0 for x in nodes}
+    ui, vi = inv[: src_arr.shape[0]], inv[src_arr.shape[0]:]
+    out_deg = np.bincount(ui, minlength=n)
+    has_out = out_deg > 0
+    safe_deg = np.where(has_out, out_deg, 1)
+    rank = np.ones(n, dtype=np.float64)
     converged = False
     for _ in range(max_iter):
-        dangling = sum(r for x, r in rank.items() if x not in out_deg)
+        dangling = float(rank[~has_out].sum())
         teleport = (1.0 - damping) + damping * dangling / n
-        flow: dict[int, float] = {}
-        for u, targets in adj.items():
-            share = rank[u] / out_deg[u]
-            for v in targets:
-                flow[v] = flow.get(v, 0.0) + share
-        new = {x: teleport + damping * flow.get(x, 0.0) for x in nodes}
-        l1 = sum(abs(new[x] - rank[x]) for x in nodes)
+        share = rank / safe_deg
+        flow = np.bincount(vi, weights=share[ui], minlength=n)
+        new = teleport + damping * flow
+        l1 = float(np.abs(new - rank).sum())
         rank = new
         if l1 <= tol * n:
             converged = True
             break
     return spark.createDataFrame(
-        [(x, rank[x], converged) for x in sorted(nodes)],
+        [
+            (int(x), float(r), converged)
+            for x, r in zip(nodes.tolist(), rank.tolist())
+        ],
         "node long, rank double, converged boolean",
     )
 
@@ -419,16 +443,31 @@ def pagerank(
     # driver path was 6x faster.
     if small_graph_threshold is None:
         small_graph_threshold = derived_small_graph_threshold(
-            max_iter, spill_every
+            max_iter,
+            spill_every,
+            driver_edge_cap=_NP_DRIVER_EDGE_CAP,
+            edge_iters_per_materialization=(
+                _NP_EDGE_ITERS_PER_MATERIALIZATION
+            ),
         )
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).persist()
     if e.count() <= small_graph_threshold:
         try:
-            rows = e.collect()
+            # Arrow fetch, not collect(): the edge list lands as two
+            # int64 columns (16 B/edge — the cap is a real memory
+            # bound) instead of per-edge Row objects, and feeds the
+            # vectorized iteration without a Python materialization.
+            # Bounded by construction: e.count() <= the edge cap.
+            tbl = e.toArrow()
             return _driver_pagerank(
-                spark, [(r[0], r[1]) for r in rows], damping, max_iter, tol
+                spark,
+                tbl.column("u").to_numpy(zero_copy_only=False),
+                tbl.column("v").to_numpy(zero_copy_only=False),
+                damping,
+                max_iter,
+                tol,
             )
         finally:
             e.unpersist()
