@@ -973,6 +973,7 @@ def auto_ivf_nprobe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    tau: float | None = None,
 ) -> int:
     """Data-derived IVF routing depth: the smallest `nprobe` whose
     MEASURED recall@k meets `target_recall` on this corpus.
@@ -1006,9 +1007,23 @@ def auto_ivf_nprobe(
     `ivf_topk` (cosine candidates + cosine-to-centroid routing).
     Everything here is bounded: n_queries x corpus_cap exact scores,
     #cells centroid distances, an n_queries x #cells census collected
-    to the driver."""
+    to the driver.
+
+    RADIUS mode (r12, VERDICT r11 #8): pass `tau` to derive the depth
+    for `ivf_range_search` instead of a top-k route. A sample query's
+    quality set becomes its TRUE in-radius neighbors (4-dp-rounded
+    cosine ≥ τ, exactly the serving route's screen) rather than the
+    top-k, the per-query denominator is that set's size (vacuously-
+    satisfied queries with no in-radius sample neighbors drop out of
+    the census), and the returned nprobe is the smallest whose p25
+    per-query sample RADIUS recall meets the floor — so radius
+    serving inherits the same data-derived guarantee, measured in its
+    own regime rather than through the k-NN proxy. Requires
+    `metric="cos"` (the radius route is cosine-only)."""
     if metric not in ("l2", "cos"):
         raise ValueError(f"unknown metric {metric!r}")
+    if tau is not None and metric != "cos":
+        raise ValueError("radius-mode nprobe derivation is cosine-only")
     n = emb.count()
     corpus = emb.select(id_col, vec_col, label_col)
     if n > corpus_cap:
@@ -1053,28 +1068,40 @@ def auto_ivf_nprobe(
         .join(c, F.col("cid") != F.col("qid"))
         .select("qid", "cid", "cell", score.alias("s"))
     )
-    kth = (
-        pairs.withColumn(
-            "rn", F.row_number().over(Window.partitionBy("qid").orderBy(*order))
+    if tau is not None:
+        # radius goodness: the serving route screens on the 4-dp
+        # ROUNDED cosine, so the census must too
+        good = (
+            pairs.filter(F.round(F.col("s"), 4) >= F.lit(float(tau)))
+            .groupBy("qid", "cell")
+            .agg(F.count(F.lit(1)).alias("ngood"))
         )
-        .filter(F.col("rn") <= k)
-        .groupBy("qid")
-        .agg(
-            (F.max("s") if metric == "l2" else F.min("s")).alias("kth")
+    else:
+        kth = (
+            pairs.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(*order)
+                ),
+            )
+            .filter(F.col("rn") <= k)
+            .groupBy("qid")
+            .agg(
+                (F.max("s") if metric == "l2" else F.min("s")).alias("kth")
+            )
         )
-    )
-    eps = F.lit(1e-9)
-    is_good = (
-        (F.col("s") <= F.col("kth") + eps)
-        if metric == "l2"
-        else (F.col("s") >= F.col("kth") - eps)
-    )
-    good = (
-        pairs.join(F.broadcast(kth), "qid")
-        .filter(is_good)
-        .groupBy("qid", "cell")
-        .agg(F.count(F.lit(1)).alias("ngood"))
-    )
+        eps = F.lit(1e-9)
+        is_good = (
+            (F.col("s") <= F.col("kth") + eps)
+            if metric == "l2"
+            else (F.col("s") >= F.col("kth") - eps)
+        )
+        good = (
+            pairs.join(F.broadcast(kth), "qid")
+            .filter(is_good)
+            .groupBy("qid", "cell")
+            .agg(F.count(F.lit(1)).alias("ngood"))
+        )
     # cell ranking: EXACTLY the serving routes' expressions — rounded
     # squared L2 asc for ivfpq_topk, cosine-to-centroid desc for
     # ivf_topk, ties on cell id — so the measured census reflects the
@@ -1113,10 +1140,21 @@ def auto_ivf_nprobe(
     if not per_q:
         return 1
     for nprobe in range(1, ncells + 1):
-        recalls = sorted(
-            min(k, sum(cnt for cr, cnt in d.items() if cr <= nprobe)) / k
-            for d in per_q.values()
-        )
+        if tau is not None:
+            # per-query denominator = that query's TRUE in-radius
+            # sample-neighbor count (queries with none never enter
+            # per_q — vacuously satisfied)
+            recalls = sorted(
+                sum(cnt for cr, cnt in d.items() if cr <= nprobe)
+                / sum(d.values())
+                for d in per_q.values()
+            )
+        else:
+            recalls = sorted(
+                min(k, sum(cnt for cr, cnt in d.items() if cr <= nprobe))
+                / k
+                for d in per_q.values()
+            )
         p25 = recalls[max(0, int(0.25 * (len(recalls) - 1)))]
         if p25 >= target_recall:
             return nprobe
@@ -1527,11 +1565,14 @@ def ivf_range_search(
     radius recall is measured in tests at the auto-derived depth.
 
     `nprobe=None` derives the routing depth from the corpus via
-    `auto_ivf_nprobe` against its 0.85 recall floor, the same
-    data-derived default as the top-k route."""
+    `auto_ivf_nprobe` in RADIUS mode (tau=τ): the smallest depth
+    whose p25 per-query sample radius recall — in-radius neighbors
+    measured with this exact τ screen, not the k-NN proxy — meets the
+    0.85 floor, so radius serving carries the same data-derived
+    guarantee as the top-k routes (VERDICT r11 #8)."""
     if nprobe is None:
         nprobe = auto_ivf_nprobe(
-            emb, k=5, metric="cos",
+            emb, metric="cos", tau=tau,
             id_col=id_col, vec_col=vec_col, label_col=label_col,
         )
     scored = _ivf_candidate_scores(

@@ -237,6 +237,43 @@ def bench_sf(spark, sf_dir: str) -> list[dict]:
             )
         report.append(entry)
         print(f"# {sf_dir} {name}: {entry}", file=sys.stderr)
+
+    # radius (range) search row (r12, VERDICT r11 #8): derived-depth
+    # ivf_range_search against the exact τ screen. Recall here is
+    # RADIUS recall — the fraction of TRUE in-radius (qid, cid) pairs
+    # the routed scan returns — measured in the radius regime itself,
+    # not through the k-NN proxy. Depth derivation is index-build work
+    # (build_sec), same split as the top-k routes.
+    tau = 0.30
+    true_radius = {
+        (r["qid"], r["cid"]) for r in exact_cos if r["score"] >= tau
+    }
+    t0 = time.time()
+    auto_np_r = S.auto_ivf_nprobe(emb, metric="cos", tau=tau)
+    np_r_build = round(time.time() - t0, 3)
+    best = None
+    got: set = set()
+    for _ in range(2):
+        t0 = time.time()
+        got = {
+            (r["qid"], r["cid"])
+            for r in S.ivf_range_search(
+                emb, QUERY_IDS, tau, nprobe=auto_np_r
+            ).collect()
+        }
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+        unpersist_tracked()
+    entry = {
+        "route": f"IVF radius tau={tau} auto (derived nprobe={auto_np_r})",
+        "sec": round(best, 3),
+        "build_sec": np_r_build,
+        "radius_recall": round(
+            len(got & true_radius) / max(1, len(true_radius)), 3
+        ),
+    }
+    report.append(entry)
+    print(f"# {sf_dir} radius: {entry}", file=sys.stderr)
     return report
 
 
@@ -298,6 +335,14 @@ def main() -> None:
         "depth derivation is one-time index-build work (build_sec). All",
         "PQ rows share one trained index (by_residual=False keeps the",
         "codebooks corpus-global).",
+        "The radius row (r12) serves `ivf_range_search` at its own",
+        "derived depth: `auto_ivf_nprobe(tau=...)` measures per-query",
+        "sample RADIUS recall (in-radius neighbors under the exact 4-dp",
+        "tau screen, per-query denominators) and takes the smallest depth",
+        "whose p25 clears 0.85 — the radius regime gets its own",
+        "data-derived guarantee instead of inheriting the k-NN proxy.",
+        "Its recall column is radius recall: |returned ∩ true-in-radius| /",
+        "|true-in-radius| over the 8 bench queries.",
         "",
     ]
     for d in dirs:
@@ -306,10 +351,16 @@ def main() -> None:
         lines.append("| route | recall@5 | recall@10 | sec | build_sec |")
         lines.append("|---|---|---|---|---|")
         for e in rep:
-            lines.append(
-                f"| {e['route']} | {e['recall@5']} | {e['recall@10']} "
-                f"| {e['sec']} | {e.get('build_sec', '-')} |"
-            )
+            if "radius_recall" in e:
+                lines.append(
+                    f"| {e['route']} | {e['radius_recall']} (radius "
+                    f"recall) | — | {e['sec']} | {e.get('build_sec', '-')} |"
+                )
+            else:
+                lines.append(
+                    f"| {e['route']} | {e['recall@5']} | {e['recall@10']} "
+                    f"| {e['sec']} | {e.get('build_sec', '-')} |"
+                )
         lines.append("")
     out = os.path.join(REPO, "ANN_BENCH.md")
     with open(out, "w") as f:
