@@ -239,6 +239,26 @@ def main() -> None:
     )
     with open(local_path, "w") as f:
         json.dump(payload, f, indent=1)
+    # "one designated run" means ONE file (VERDICT r11 #6: the r11
+    # headline quoted a run that a later pass had already overwritten
+    # in BENCH_LOCAL.json). Setting SPARK_GRAFT_BENCH_ROUND=r12 writes
+    # the SAME payload to BENCH_LOCAL_r12.json in the same invocation,
+    # so the designated per-round copy, BENCH_LOCAL.json, and the
+    # stdout line can never disagree — they share one run_id by
+    # construction. Any bench run after the designated one must either
+    # re-designate (rewriting both) or leave the round file alone and
+    # accept that BENCH_LOCAL.json now describes a newer, undesignated
+    # run (compare run_id before quoting).
+    round_tag = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if round_tag:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                f"BENCH_LOCAL_{round_tag}.json",
+            ),
+            "w",
+        ) as f:
+            json.dump(payload, f, indent=1)
     # the final stdout line must PARSE inside the driver's 2 KB tail
     # window (five rounds of `parsed: null` said the full 156-query map
     # does not) — so the line carries summary + headline only and

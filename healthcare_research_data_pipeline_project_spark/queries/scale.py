@@ -301,32 +301,51 @@ def ds_range_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ds_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    census = t.documents.groupBy("source").agg(
-        F.count(F.lit(1)).alias("src_cnt")
+    # The per-source census is ONE aggregation action whose result —
+    # #sources rows, bounded corpus metadata — is fetched to the
+    # driver (the repo's allowed census-fetch shape, same as the IVF
+    # routing census), and the rate table returns as a literal local
+    # relation. This replaces the r11 SUM() OVER () form (the frame
+    # was only #sources rows so never a scale risk, but it planned a
+    # SinglePartition WindowExec stage and broke the grep-enforceable
+    # "no unpartitioned windows" doctrine) WITHOUT the straight
+    # broadcast-scalar rewrite's cost: a crossJoin(broadcast(agg))
+    # re-evaluated the census per consumer (3 parquet scans measured)
+    # and persisting it paid a cache round-trip — the driver fold
+    # keeps documents at exactly 2 scans (census + final join) with
+    # no WindowExec, no persist, no BNLJ. The sqrt/divide/floor chain
+    # runs in IEEE-754 doubles in the same operation order as the
+    # DuckDB oracle's expression, so the permille — and therefore the
+    # kept SET — stays engine-identical (same doctrine as before,
+    # Python doubles ARE IEEE-754).
+    import math
+
+    census = sorted(
+        (r["source"], r["src_cnt"])
+        for r in t.documents.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("src_cnt"))
+        .collect()
     )
-    # corpus-wide totals as a ONE-ROW scalar aggregate broadcast back
-    # onto the census (the mb_pair_lift doctrine), not SUM() OVER ():
-    # the frame is only #sources rows so the unpartitioned window was
-    # never a scale risk, but it planned a SinglePartition WindowExec
-    # stage and broke the repo's grep-enforceable "no unpartitioned
-    # windows" invariant. Same arithmetic, same oracle hash.
-    totals = census.agg(
-        F.sum("src_cnt").alias("total_cnt"),
-        F.sum(F.sqrt(F.col("src_cnt").cast("double"))).alias("sum_w"),
-    )
-    counts = census.crossJoin(F.broadcast(totals))
-    rates = counts.select(
-        "source",
-        "src_cnt",
-        F.least(
-            F.lit(1000).cast("long"),
-            F.floor(
-                F.lit(1000)
-                * (F.sqrt(F.col("src_cnt").cast("double")) / F.col("sum_w"))
-                * F.col("total_cnt")
-                / F.col("src_cnt")
-            ),
-        ).alias("keep_permille"),
+    total_cnt = sum(c for _, c in census)
+    sum_w = sum(math.sqrt(float(c)) for _, c in census)
+    rates = spark.createDataFrame(
+        [
+            (
+                s,
+                c,
+                min(
+                    1000,
+                    math.floor(
+                        1000
+                        * (math.sqrt(float(c)) / sum_w)
+                        * total_cnt
+                        / c
+                    ),
+                ),
+            )
+            for s, c in census
+        ],
+        "source string, src_cnt bigint, keep_permille bigint",
     )
     return (
         t.documents.join(F.broadcast(rates), "source")

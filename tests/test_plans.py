@@ -186,19 +186,25 @@ def test_mb_pair_lift_scans_fact_once_in_final_plan(spark):
 
 
 def test_temperature_mix_has_no_window(spark):
-    # the corpus-wide totals (total_cnt, sum_w) must be a one-row
-    # scalar aggregate broadcast back onto the per-source census —
-    # never SUM() OVER (): the frame is only #sources rows, but an
+    # the corpus-wide totals (total_cnt, sum_w) must never ride a
+    # SUM() OVER () (the frame is only #sources rows, but an
     # unpartitioned window plans a SinglePartition WindowExec stage
     # and breaks the grep-enforceable "no unpartitioned windows"
-    # doctrine (VERDICT r11 wrong-item #1)
+    # doctrine — VERDICT r11 wrong-item #1). The shipped form folds
+    # the bounded #sources-row census on the driver and returns the
+    # rate table as a literal local relation, so the documents table
+    # is scanned exactly once in the returned plan (the census is its
+    # own one-job action at build time) with no window and no
+    # nested-loop join.
     df = Q.QUERIES["ds_temperature_mix"](spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, (
         "ds_temperature_mix regressed to an unpartitioned window for "
         "the corpus totals"
     )
-    assert "BroadcastNestedLoopJoin" in plan  # the 1-row cross join
+    # the literal rates relation (createDataFrame renders as either)
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert plan.count("Scan parquet") == 1
 
 
 def test_ks_two_sample_scans_fact_once_in_final_plan(spark):
