@@ -84,6 +84,112 @@ def simhash_signatures(
     )
 
 
+def lsh_banded_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The stored form of a MinHash-LSH index: one (id, band_idx,
+    band_hash) row per band per document. `lsh_candidate_pairs`
+    self-joins it for a one-shot sweep; `lsh_pairs_delta` equi-joins a
+    delta batch's index against it for incremental ingestion — in a
+    production pipeline THIS is the frame you keep in the warehouse
+    (bucketed on (band_idx, band_hash)) so nightly document batches
+    dedup against the corpus without ever re-hashing it."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"mh_{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.col(f"band_{b}").alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def lsh_pairs_delta(
+    old_docs: DataFrame,
+    delta_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Insert-only incremental LSH dedup: the candidate pairs ADDED
+    when a delta batch lands on an already-indexed corpus —
+    (Δ ⋈ old index) ∪ (Δ ⋈ Δ), the old⋈old product never recomputed
+    (the `join_view_delta` rule applied to the banded self-join,
+    which is a join of the index with itself: pairs(old ∪ Δ) =
+    pairs(old) ∪ pairs_delta because band-bucket candidacy is
+    monotone under inserts). This is the shape continuous ingestion
+    needs at 100 TB: per batch, only the DELTA is shingled/hashed
+    (delta-proportional work), it equi-joins the stored band index
+    (`lsh_banded_index`, bucketed on (band_idx, band_hash) in a real
+    warehouse ⇒ exchange-free probe), and the returned pair set is
+    exactly what a full recompute would have added — proven by the
+    corpus query's oracle, which re-derives the FULL banded self-join
+    in SQL and keeps the pairs touching Δ. Deletes are out of scope
+    by the same contract as `join_view_delta` (candidacy is not
+    monotone under deletes). Pair orientation matches the one-shot
+    sweep: id_a < id_b regardless of which side of the ingestion
+    boundary each document sits on."""
+    old_idx = track_persist(
+        lsh_banded_index(old_docs, text_col, id_col, num_hashes, bands)
+    )
+    new_idx = track_persist(
+        lsh_banded_index(delta_docs, text_col, id_col, num_hashes, bands)
+    )
+    a = new_idx.alias("a")
+    cross = (
+        a.join(
+            old_idx.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.least(
+                F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+            ).alias("id_a"),
+            F.greatest(
+                F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+            ).alias("id_b"),
+        )
+    )
+    intra = (
+        a.join(
+            new_idx.alias("c"),
+            (F.col("a.band_idx") == F.col("c.band_idx"))
+            & (F.col("a.band_hash") == F.col("c.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+        )
+    )
+    return cross.unionByName(intra).distinct()
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -99,26 +205,7 @@ def lsh_candidate_pairs(
     the standard near-dup sweep layout (each bucket is tiny; skewed
     buckets are split by AQE).
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ":", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    exploded = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash"))
-                for b in range(bands)
-            ])
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    exploded = lsh_banded_index(df, text_col, id_col, num_hashes, bands)
     # both self-join sides branch from here — materialize the (tiny)
     # banded index once instead of recomputing signatures per side
     exploded = track_persist(exploded)

@@ -399,6 +399,66 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental LSH dedup (r12): a ~10% hash-split of documents plays
+# the nightly ingestion batch against the other ~90%'s stored band
+# index. The engine computes ONLY the delta pairs — (Δ ⋈ old index) ∪
+# (Δ ⋈ Δ), delta-proportional work, old⋈old never recomputed (the
+# join_view_delta rule applied to the banded self-join; candidacy is
+# monotone under inserts, deletes refused by contract). The oracle is
+# deliberately the OTHER derivation: the FULL banded self-join over
+# all documents, restricted to pairs touching Δ — equality proves the
+# incremental rule end to end, the same doctrine as ivm_join_view's
+# full-recompute oracle.
+# ---------------------------------------------------------------------------
+_ILSH_SALT, _ILSH_CUT = "ilsh", 900
+
+
+def _lsh_delta_oracle() -> str:
+    from ..operators.scale import duck_hash_bucket
+
+    rows = _LSH_HASHES // _LSH_BANDS
+    mh_cols = ",\n           ".join(
+        f"CAST({duck_minhash('hs', j)} AS BIGINT) AS mh_{j}"
+        for j in range(_LSH_HASHES)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(':', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ")) AS band_hash FROM sig"
+        for b in range(_LSH_BANDS)
+    )
+    bucket = duck_hash_bucket("doc_id", 1000, _ILSH_SALT)
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {duck_shingles('toks')} AS sh FROM d),
+    h AS (SELECT doc_id, {duck_shingle_hashes('sh')} AS hs FROM s),
+    sig AS (SELECT doc_id, {mh_cols} FROM h),
+    banded AS ({band_selects}),
+    delta AS (SELECT doc_id FROM documents WHERE {bucket} >= {_ILSH_CUT})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    WHERE a.doc_id IN (SELECT doc_id FROM delta)
+       OR b.doc_id IN (SELECT doc_id FROM delta)
+    """
+
+
+@register("dedup_incremental_lsh", _lsh_delta_oracle())
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import hash_bucket
+
+    t = load_tables(spark, sf_dir)
+    bucket = hash_bucket("doc_id", 1000, _ILSH_SALT)
+    old = t.documents.filter(bucket < _ILSH_CUT)
+    delta = t.documents.filter(bucket >= _ILSH_CUT)
+    return D.lsh_pairs_delta(
+        old, delta, "text", "doc_id",
+        num_hashes=_LSH_HASHES, bands=_LSH_BANDS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sketch-accuracy audit: for every LSH candidate pair, the MinHash
 # ESTIMATE of Jaccard (fraction of agreeing signature components) next
 # to the EXACT distinct-shingle Jaccard — the standard calibration

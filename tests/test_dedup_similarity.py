@@ -45,6 +45,42 @@ def test_lsh_pairs_catch_near_duplicates(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_lsh_pairs_delta_equals_full_recompute(spark):
+    # the incremental-ingestion rule: pairs(old ∪ Δ) must equal
+    # pairs(old) ∪ pairs_delta(old, Δ) — candidacy is monotone under
+    # inserts, so the delta path may never add or lose a pair
+    docs = load_tables(spark, SF_ORACLE).documents.select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(docs, "text", "doc_id").collect()
+    }
+    old_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(old, "text", "doc_id").collect()
+    }
+    dp = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_pairs_delta(old, delta, "text", "doc_id").collect()
+    }
+    assert dp, "split produced no delta pairs — pick a denser split"
+    assert old_pairs | dp == full
+    assert not (old_pairs & dp), "delta pairs must be NEW pairs only"
+
+
+def test_lsh_pairs_delta_every_pair_touches_delta(spark):
+    # the scale contract: old⋈old is never recomputed, so every
+    # returned pair must have at least one endpoint in the delta batch
+    docs = load_tables(spark, SF_ORACLE).documents.select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    for r in D.lsh_pairs_delta(old, delta, "text", "doc_id").collect():
+        assert r["id_a"] in delta_ids or r["id_b"] in delta_ids
+        assert r["id_a"] < r["id_b"]  # one-shot sweep's orientation
+
+
 def test_simhash_near_dup_small_hamming(spark):
     base = "spark catalyst optimizer rewrites logical plans into physical plans"
     df = spark.createDataFrame(
