@@ -138,7 +138,14 @@ GATE_PRIORITY = [
     # via a8_percentiles in this window; a9 stays green in
     # MIRROR.json) for ivm_sketch_distinct — incremental
     # approx-distinct view maintenance with mergeable HLL sketches.
-    "ivm_sketch_distinct",
+    # ivm_sketch_distinct rotated OUT late-r12 (gated green r5-r12;
+    # incremental-view-maintenance evidence stays gate-carried by
+    # ivm_join_view in this window, whose oracle is the full
+    # recompute; the row stays green in MIRROR.json) for
+    # dedup_incremental_lsh — the r12-new insert-only incremental LSH
+    # dedup, gated from birth (its oracle equality IS the proof that
+    # the delta rule adds exactly the pairs a full recompute would).
+    "dedup_incremental_lsh",
     # a10_zscore_outliers rotated OUT r6 (z-score anomaly evidence
     # stays via w1_w2_group_outliers' windowed mean/stddev outlier
     # flags in this window; a10 stays green in MIRROR.json) for
