@@ -113,27 +113,43 @@ def lsh_banded_index(
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
-    return banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.col(f"band_{b}").alias("band_hash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    return (
+        banded.select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band_{b}").alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("band"),
+        )
+        .select(id_col, "band.band_idx", "band.band_hash")
+        # band_key = the SINGLE-COLUMN join key (band_idx has a fixed
+        # ':'-free rendering and band_hash a fixed length, so the
+        # concat decomposes uniquely — equi-joining on band_key IS the
+        # (band_idx, band_hash) join). One key matters at the storage
+        # layer: a table bucketed on band_key serves the incremental
+        # probe exchange-free, where Spark will not satisfy a
+        # composite-key join distribution from a single-key bucket
+        # layout (measured: the two-key join shuffles BOTH sides).
+        .withColumn(
+            "band_key",
+            F.concat_ws(":", F.col("band_idx"), F.col("band_hash")),
+        )
+    )
 
 
 def lsh_pairs_delta(
-    old_docs: DataFrame,
+    old_docs: DataFrame | None,
     delta_docs: DataFrame,
     text_col: str,
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
+    old_index: DataFrame | None = None,
 ) -> DataFrame:
     """Insert-only incremental LSH dedup: the candidate pairs ADDED
     when a delta batch lands on an already-indexed corpus —
@@ -142,20 +158,35 @@ def lsh_pairs_delta(
     which is a join of the index with itself: pairs(old ∪ Δ) =
     pairs(old) ∪ pairs_delta because band-bucket candidacy is
     monotone under inserts). This is the shape continuous ingestion
-    needs at 100 TB: per batch, only the DELTA is shingled/hashed
-    (delta-proportional work), it equi-joins the stored band index
-    (`lsh_banded_index`, bucketed on (band_idx, band_hash) in a real
-    warehouse ⇒ exchange-free probe), and the returned pair set is
-    exactly what a full recompute would have added — proven by the
-    corpus query's oracle, which re-derives the FULL banded self-join
-    in SQL and keeps the pairs touching Δ. Deletes are out of scope
-    by the same contract as `join_view_delta` (candidacy is not
-    monotone under deletes). Pair orientation matches the one-shot
-    sweep: id_a < id_b regardless of which side of the ingestion
-    boundary each document sits on."""
-    old_idx = track_persist(
-        lsh_banded_index(old_docs, text_col, id_col, num_hashes, bands)
-    )
+    needs at 100 TB: per batch only the DELTA is shingled/hashed
+    (delta-proportional work) when the caller passes `old_index` —
+    the production path: a `lsh_banded_index` frame read back from
+    the warehouse, bucketed on `band_key` so the probe leaves the
+    corpus-sized index exchange-free (single-key bucket layouts do
+    not satisfy composite-key join distributions, which is why the
+    join rides band_key, not (band_idx, band_hash) — plan-pinned in
+    tests). Passing `old_docs` instead hashes the old side in-line —
+    the convenience path the oracle-gated corpus query uses so the
+    full pipeline stays SQL-mirrorable from raw documents. The
+    returned pair set is exactly what a full recompute would have
+    added — proven by the corpus query's oracle, which re-derives
+    the FULL banded self-join in SQL and keeps the pairs touching Δ.
+    Deletes are out of scope by the same contract as
+    `join_view_delta` (candidacy is not monotone under deletes).
+    Pair orientation matches the one-shot sweep: id_a < id_b, and a
+    re-ingested document (same id on both sides of the boundary)
+    never pairs with itself."""
+    if (old_docs is None) == (old_index is None):
+        raise ValueError(
+            "lsh_pairs_delta: pass exactly one of old_docs (in-line "
+            "hash) or old_index (stored lsh_banded_index frame)"
+        )
+    if old_index is None:
+        old_idx = track_persist(
+            lsh_banded_index(old_docs, text_col, id_col, num_hashes, bands)
+        )
+    else:
+        old_idx = old_index
     new_idx = track_persist(
         lsh_banded_index(delta_docs, text_col, id_col, num_hashes, bands)
     )
@@ -163,8 +194,7 @@ def lsh_pairs_delta(
     cross = (
         a.join(
             old_idx.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
+            F.col("a.band_key") == F.col("b.band_key"),
         )
         .select(
             F.least(
@@ -174,12 +204,12 @@ def lsh_pairs_delta(
                 F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
             ).alias("id_b"),
         )
+        .filter(F.col("id_a") < F.col("id_b"))
     )
     intra = (
         a.join(
             new_idx.alias("c"),
-            (F.col("a.band_idx") == F.col("c.band_idx"))
-            & (F.col("a.band_hash") == F.col("c.band_hash"))
+            (F.col("a.band_key") == F.col("c.band_key"))
             & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
         )
         .select(

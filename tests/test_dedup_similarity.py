@@ -81,6 +81,69 @@ def test_lsh_pairs_delta_every_pair_touches_delta(spark):
         assert r["id_a"] < r["id_b"]  # one-shot sweep's orientation
 
 
+def test_lsh_delta_probe_keeps_bucketed_index_exchange_free(spark):
+    # the 100 TB shape the operator's docstring promises: store the
+    # band index bucketed on band_hash and the nightly delta probe
+    # never shuffles it — only the (tiny) delta side may exchange.
+    # Spark satisfies the (band_idx, band_hash) join distribution from
+    # the single-key bucket partitioning (subset-key co-partitioning,
+    # SPARK-35703), so the stored scan carries no Exchange above it.
+    from healthcare_research_data_pipeline_project_spark.operators import (
+        scale as SC,
+    )
+    from healthcare_research_data_pipeline_project_spark.plans import (
+        explain as X,
+    )
+
+    docs = load_tables(spark, SF_ORACLE).documents.select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    spark.sql("DROP TABLE IF EXISTS b_lsh_index")
+    SC.write_bucketed(
+        D.lsh_banded_index(old, "text", "doc_id"),
+        "b_lsh_index",
+        "band_key",
+        4,
+        sort_cols=["band_key"],
+    )
+    stored = SC.read_bucketed(spark, "b_lsh_index")
+    # the stored-index path must return the exact same delta pairs as
+    # the in-line convenience path
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_pairs_delta(old, delta, "text", "doc_id").collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_pairs_delta(
+            None, delta, "text", "doc_id", old_index=stored
+        ).collect()
+    }
+    assert got == expected and got
+    # plan pin on the isolated Δ⋈index probe in the shuffle-join
+    # regime (broadcast off — with broadcast on the tiny delta
+    # broadcasts and the question never arises): exactly ONE Exchange
+    # node, the delta side repartitioning to the index's band_key
+    # bucket layout; the corpus-sized stored scan is exchange-free
+    probe = (
+        D.lsh_banded_index(delta, "text", "doc_id")
+        .alias("a")
+        .join(
+            stored.alias("b"),
+            F.col("a.band_key") == F.col("b.band_key"),
+        )
+    )
+    old_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = X.plan(probe)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_conf)
+    tree = plan.split("(1) ")[0]  # the tree section of formatted mode
+    assert tree.count("Exchange") == 1, plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
 def test_simhash_near_dup_small_hamming(spark):
     base = "spark catalyst optimizer rewrites logical plans into physical plans"
     df = spark.createDataFrame(
