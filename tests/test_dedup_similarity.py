@@ -144,6 +144,56 @@ def test_lsh_delta_probe_keeps_bucketed_index_exchange_free(spark):
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
 
 
+def test_lsh_ingest_stream_equals_batch_sweep(spark, tmp_path):
+    # stream ≡ batch for the continuously-maintained LSH index: feed
+    # the corpus as two file drops (one per micro-batch), run the
+    # foreachBatch maintainer, and the union of per-batch pair
+    # emissions must equal the one-shot lsh_candidate_pairs sweep —
+    # then a THIRD drop continues from the checkpoint and emits only
+    # the new delta pairs (nothing re-hashed, nothing re-emitted)
+    from healthcare_research_data_pipeline_project_spark.streaming.lsh_ingest import (
+        read_pairs,
+        run_lsh_ingest,
+    )
+
+    docs = (
+        load_tables(spark, SF_ORACLE)
+        .documents.select("doc_id", "lang", "source", "text")
+    )
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "index")
+    prs = str(tmp_path / "pairs")
+    ckp = str(tmp_path / "ckpt")
+    part1 = docs.filter(F.col("doc_id") % 3 == 0)
+    part2 = docs.filter(F.col("doc_id") % 3 == 1)
+    part3 = docs.filter(F.col("doc_id") % 3 == 2)
+    part1.coalesce(1).write.parquet(src + "/d1")
+    part2.coalesce(1).write.parquet(src + "/d2")
+    run_lsh_ingest(spark, src + "/d*/*.parquet", idx, prs, ckp)
+    streamed = {
+        (r["id_a"], r["id_b"]) for r in read_pairs(spark, prs).collect()
+    }
+    expected12 = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(
+            part1.unionByName(part2), "text", "doc_id"
+        ).collect()
+    }
+    assert streamed == expected12 and streamed
+    # third drop: checkpoint resume processes ONLY the new file
+    part3.coalesce(1).write.parquet(src + "/d3")
+    run_lsh_ingest(spark, src + "/d*/*.parquet", idx, prs, ckp)
+    streamed_all = {
+        (r["id_a"], r["id_b"]) for r in read_pairs(spark, prs).collect()
+    }
+    expected_all = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(docs, "text", "doc_id").collect()
+    }
+    assert streamed_all == expected_all
+    assert streamed_all > streamed  # the new drop added pairs
+
+
 def test_simhash_near_dup_small_hamming(spark):
     base = "spark catalyst optimizer rewrites logical plans into physical plans"
     df = spark.createDataFrame(
