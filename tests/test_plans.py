@@ -207,6 +207,87 @@ def test_temperature_mix_has_no_window(spark):
     assert plan.count("Scan parquet") == 1
 
 
+#: Queries whose plans contain a WindowExec fed by an Exchange
+#: SinglePartition — each allowed because the FRAME under the window
+#: is bounded by construction, never data-sized (and each is verified
+#: near-flat in SCALE_PROBE.json: worst 10x ratio in this set is 1.34):
+#:   - prefix_sum consumers: the per-partition-OFFSETS window —
+#:     #shuffle-partitions rows (ds_pack_sequences, ds_length_buckets,
+#:     ds_surrogate_keys, t_max_concurrency, a24/a26's cumulative
+#:     share, t_ks_two_sample/t_autocorr's ECDF ranks)
+#:   - aggregate-table windows: frames sized by category/bucket/
+#:     digit/cell/source/replica count, bounded corpus metadata
+#:     (a12_distribution_pct, a13_histogram, a23_chisq_contingency,
+#:     dq_benford_audit 9 digits, ds_corpus_mix #sources,
+#:     stat_mannwhitney_u value-histogram partials,
+#:     stat_bootstrap_ci #replicas)
+#: Adding a query here requires the same justification — the sweep
+#: below fails CI on any UNLISTED single-partition window, which is
+#: what keeps the "no unpartitioned windows over data" doctrine
+#: grep-enforceable as the corpus grows.
+_BOUNDED_SP_WINDOW_ALLOW = {
+    "a12_distribution_pct",
+    "a13_histogram",
+    "a23_chisq_contingency",
+    "a24_gini_concentration",
+    "a26_pareto_share",
+    "dq_benford_audit",
+    "ds_corpus_mix",
+    "ds_length_buckets",
+    "ds_pack_sequences",
+    "ds_surrogate_keys",
+    "stat_bootstrap_ci",
+    "stat_mannwhitney_u",
+    "t_autocorr",
+    "t_ks_two_sample",
+    "t_max_concurrency",
+}
+
+
+def test_corpus_sweep_no_unlisted_single_partition_windows(spark):
+    # build EVERY corpus query's physical plan and flag any WindowExec
+    # sitting on an Exchange SinglePartition that is not on the
+    # documented bounded-frame allowlist above. This is the doctrine
+    # from VERDICT r11 wrong-item #1 turned into CI: a new query that
+    # windows over a data-sized single partition fails here before it
+    # ever reaches a cluster. (~2 min: plan-build only, no execution.)
+    import re as _re
+
+    from healthcare_research_data_pipeline_project_spark.caching import (
+        unpersist_tracked,
+    )
+
+    offenders: dict[str, int] = {}
+    for name, fn in Q.QUERIES.items():
+        try:
+            plan = X.plan(fn(spark, SF_ORACLE), "simple")
+        finally:
+            unpersist_tracked()
+        lines = plan.splitlines()
+        hits = 0
+        for i, ln in enumerate(lines):
+            if _re.search(r"\bWindow\b", ln):
+                if any(
+                    "Exchange SinglePartition" in lines[j]
+                    for j in range(i + 1, min(i + 5, len(lines)))
+                ):
+                    hits += 1
+        if hits:
+            offenders[name] = hits
+    unlisted = {
+        n: c for n, c in offenders.items()
+        if n not in _BOUNDED_SP_WINDOW_ALLOW
+    }
+    assert not unlisted, (
+        f"unlisted single-partition windows (justify + allowlist or "
+        f"rewrite on prefix_sum / broadcast-scalar): {unlisted}"
+    )
+    # the allowlist must not rot: a listed query that no longer plans
+    # one should be removed (its justification is stale)
+    stale = _BOUNDED_SP_WINDOW_ALLOW - set(offenders)
+    assert not stale, f"allowlist entries no longer needed: {stale}"
+
+
 def test_ks_two_sample_scans_fact_once_in_final_plan(spark):
     df = Q.QUERIES["t_ks_two_sample"](spark, SF_ORACLE)
     df.collect()
