@@ -291,3 +291,102 @@ def test_bloom_never_false_negative(spark, keys, probes):
         .collect()
     }
     assert set(keys) <= kept
+
+
+@given(
+    words=st.lists(
+        st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=8
+    ),
+    positions=st.lists(st.integers(0, 511), min_size=1, max_size=16),
+)
+@settings(max_examples=15, deadline=None)
+def test_bloom_byte_probe_bit_exact(spark, words, positions):
+    # the r12 binary-literal probe reads bit p as bit (p % 8) of byte
+    # (p div 8) of the little-endian packed blob — prove it equals a
+    # pure-Python bit lookup on the packed words for ARBITRARY word
+    # patterns (especially sign-bit-set words, where an 8-byte conv
+    # decode would overflow bigint) and arbitrary positions
+    import struct
+
+    from pyspark.sql import functions as SF
+
+    nwords = len(words)
+    blob = struct.pack(f"<{nwords}q", *words)
+    m = nwords * 64
+    pos = sorted({p % m for p in positions})
+    df = spark.createDataFrame([(p,) for p in pos], "p: bigint")
+    byte = (
+        "cast(conv(hex(substring(__bb, cast(p div 8 as int) + 1, 1)),"
+        " 16, 10) as int)"
+    )
+    got = {
+        r["p"]: r["bit"]
+        for r in df.withColumn("__bb", SF.lit(blob))
+        .withColumn(
+            "bit",
+            SF.expr(f"(({byte}) & shiftleft(1, cast(p % 8 as int))) <> 0"),
+        )
+        .collect()
+    }
+    for p in pos:
+        w = words[p // 64] & ((1 << 64) - 1)
+        assert got[p] == bool((w >> (p % 64)) & 1), (p, words)
+
+
+_DELTA_BASES = [
+    "spark catalyst optimizer rewrites logical plans into physical "
+    "plans with whole stage codegen across exchange boundaries",
+    "minhash signatures estimate jaccard similarity between shingle "
+    "sets by hashing every shingle with an affine family of functions",
+    "completely unrelated filler sentence about weather patterns and "
+    "migratory birds crossing the continental divide every autumn",
+]
+
+
+@given(
+    variants=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3)),
+        min_size=3,
+        max_size=10,
+    ),
+    split_bits=st.lists(st.booleans(), min_size=3, max_size=10),
+)
+@settings(max_examples=10, deadline=None)
+def test_lsh_delta_rule_holds_for_arbitrary_splits(
+    spark, variants, split_bits
+):
+    # the incremental-ingestion identity for ARBITRARY corpora and
+    # ARBITRARY old/delta splits: pairs(old ∪ Δ) == pairs(old) ∪
+    # pairs_delta(old, Δ), and the delta set never overlaps pairs(old)
+    from healthcare_research_data_pipeline_project_spark.operators import (
+        dedup as D,
+    )
+
+    docs = [
+        (i, _DELTA_BASES[b] + (" extra" * suf))
+        for i, (b, suf) in enumerate(variants)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bits = (split_bits * len(docs))[: len(docs)]
+    old_ids = [i for i, keep in enumerate(bits) if keep]
+    old = df.filter(F.col("doc_id").isin(old_ids) if old_ids else F.lit(False))
+    delta = df.filter(
+        ~F.col("doc_id").isin(old_ids) if old_ids else F.lit(True)
+    )
+
+    def pairs(frame):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in D.lsh_candidate_pairs(
+                frame, "text", "doc_id"
+            ).collect()
+        }
+
+    full = pairs(df)
+    old_pairs = pairs(old) if old_ids else set()
+    dp = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_pairs_delta(old, delta, "text", "doc_id").collect()
+    }
+    assert old_pairs | dp == full
+    assert not (old_pairs & dp)
