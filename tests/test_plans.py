@@ -258,11 +258,17 @@ def test_corpus_sweep_no_unlisted_single_partition_windows(spark):
     )
 
     offenders: dict[str, int] = {}
+    cartesian: list[str] = []
     for name, fn in Q.QUERIES.items():
         try:
             plan = X.plan(fn(spark, SF_ORACLE), "simple")
         finally:
             unpersist_tracked()
+        # piggybacked invariant, same pass: NO query may ever plan a
+        # CartesianProduct — one-row scalar broadcasts legitimately
+        # plan as BroadcastNestedLoopJoin, a true cartesian is a bug
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
         lines = plan.splitlines()
         hits = 0
         for i, ln in enumerate(lines):
@@ -274,6 +280,7 @@ def test_corpus_sweep_no_unlisted_single_partition_windows(spark):
                     hits += 1
         if hits:
             offenders[name] = hits
+    assert not cartesian, f"cartesian products planned: {cartesian}"
     unlisted = {
         n: c for n, c in offenders.items()
         if n not in _BOUNDED_SP_WINDOW_ALLOW
