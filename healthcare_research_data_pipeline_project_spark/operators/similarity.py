@@ -1986,3 +1986,90 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", F.col("exact_dist").alias("dist"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN index persistence — the cross-session half of the index
+# lifecycle (r12). The session-scoped trained-artifact cache
+# (queries/datapipe7.py::_trained_artifact) handles serve-don't-
+# rebuild WITHIN a session; these two functions make the trained
+# IVF-PQ index a durable artifact a fresh session (or another
+# cluster) loads and serves without retraining — what FAISS's
+# write_index/read_index does, expressed as parquet + one JSON
+# manifest. Commit protocol is the IVM manifest discipline
+# (operators/ivm.py): every data file is FULLY written into a
+# versioned subdirectory BEFORE one atomic `os.rename` of the tiny
+# manifest, so readers never observe a half-written index and a
+# re-save over a live index swaps atomically.
+# ---------------------------------------------------------------------------
+def save_ann_index(
+    index_dir: str,
+    codebooks: list[list[list[float]]],
+    encoded: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    nprobe: int,
+    meta: dict | None = None,
+) -> str:
+    """Persist a trained IVF-PQ index: PQ codebooks + the derived
+    routing depth + training metadata in a JSON manifest (a few KB —
+    m·ksub·dsub floats), the encoded codes and coarse centroids as
+    parquet. Returns the committed version id."""
+    import json
+    import os
+    import time as _time
+
+    os.makedirs(index_dir, exist_ok=True)
+    # version id: monotonic per save (max existing + 1), not wall
+    # clock — replays and clock skew cannot collide
+    existing = [
+        int(d[1:]) for d in os.listdir(index_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    vid = f"v{max(existing, default=0) + 1}"
+    vdir = os.path.join(index_dir, vid)
+    encoded.write.mode("overwrite").parquet(os.path.join(vdir, "codes"))
+    spark = encoded.sparkSession
+    spark.createDataFrame(
+        centroid_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(vdir, "centroids")
+    )
+    manifest = {
+        "version": vid,
+        "codebooks": codebooks,
+        "nprobe": int(nprobe),
+        "meta": dict(meta or {}),
+        "saved_unix": int(_time.time()),
+    }
+    tmp = os.path.join(index_dir, f".manifest.{vid}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(index_dir, "manifest.json"))  # commit
+    return vid
+
+
+def load_ann_index(spark, index_dir: str) -> dict:
+    """Load the committed index version: returns {codebooks, encoded,
+    centroid_rows, nprobe, meta, version}. The manifest names the
+    version to read, so a concurrent re-save never tears the view —
+    this reader sees either the old index or the new one, fully."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    vdir = os.path.join(index_dir, manifest["version"])
+    centroid_rows = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(
+            os.path.join(vdir, "centroids")
+        ).collect()
+    ]
+    return {
+        "codebooks": manifest["codebooks"],
+        "encoded": spark.read.parquet(os.path.join(vdir, "codes")),
+        "centroid_rows": centroid_rows,
+        "nprobe": int(manifest["nprobe"]),
+        "meta": manifest["meta"],
+        "version": manifest["version"],
+    }

@@ -259,3 +259,62 @@ def test_auto_ivf_nprobe_reaches_recall_floor(spark, emb):
     # a stricter floor can only probe deeper
     np_hi = S.auto_ivf_nprobe(emb, k=5, metric="l2", target_recall=0.99)
     assert np_hi >= np1
+
+
+def test_ann_index_save_load_roundtrip_serves_identically(
+    spark, emb, tmp_path
+):
+    # cross-session index lifecycle: a saved IVF-PQ index loads in a
+    # "fresh" consumer and serves byte-identical top-k to the fresh
+    # in-memory artifacts (training is deterministic, so equality is
+    # exact); a re-save bumps the version atomically and load() sees
+    # the newest committed one
+    from healthcare_research_data_pipeline_project_spark.operators.similarity import (
+        label_centroids,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    books = S.train_pq_codebooks(emb, m=16, ksub=32)
+    encoded = S.pq_encode(emb, books).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in label_centroids(emb).collect()
+    ]
+    idx_dir = str(tmp_path / "ann_index")
+    v1 = save_ann_index(
+        idx_dir, books, encoded, cents, nprobe=2,
+        meta={"m": 16, "ksub": 32, "metric": "l2"},
+    )
+    assert v1 == "v1"
+    loaded = load_ann_index(spark, idx_dir)
+    assert loaded["version"] == "v1" and loaded["nprobe"] == 2
+    assert loaded["codebooks"] == books
+    assert sorted(loaded["centroid_rows"]) == sorted(cents)
+
+    qids = list(range(6))
+    fresh = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in S.ivfpq_topk(
+            emb, qids, k=5, nprobe=2, m=16, ksub=32, refine=200,
+            codebooks=books,
+        ).collect()
+    }
+    served = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in S.ivfpq_topk(
+            emb, qids, k=5, nprobe=loaded["nprobe"], m=16, ksub=32,
+            refine=200, codebooks=loaded["codebooks"],
+            encoded=loaded["encoded"],  # serve the PERSISTED codes
+        ).collect()
+    }
+    assert served == fresh and served
+
+    # atomic re-save: version bumps, manifest points at the new one
+    v2 = save_ann_index(
+        idx_dir, books, encoded, cents, nprobe=3, meta={}
+    )
+    assert v2 == "v2"
+    assert load_ann_index(spark, idx_dir)["nprobe"] == 3
