@@ -42,6 +42,8 @@ from urllib.parse import urlparse
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from ..caching import track_persist
+
 
 def _rm_local(path: str) -> None:
     """Best-effort removal of a LOCAL checkpoint dir (tempdir default).
@@ -325,6 +327,153 @@ def dedup_clusters(
         "cluster_id",
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
         (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    )
+
+
+def incremental_dedup_clusters(
+    stored: DataFrame,
+    delta_docs: DataFrame,
+    delta_pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    changed_only: bool = False,
+) -> DataFrame:
+    """Insert-only incremental maintenance of the `dedup_clusters`
+    assignment table: merge a delta batch's candidate pairs into the
+    STORED per-document (doc_id, cluster_id, cluster_size, is_keeper)
+    assignments without recomputing connected components over the
+    full pair history — the IVM discipline (`join_view_delta`,
+    `lsh_pairs_delta`) applied to the clustering step, which is what
+    production dedup actually serves (VERDICT r12 #5).
+
+    Why the delta rule is exact: component labels are min-reachable
+    ids, so every stored cluster is fully described by its
+    representative (the min id — every member id ≥ it). New pairs can
+    only MERGE clusters (candidacy and connectivity are monotone
+    under inserts; deletes are refused by the same contract as the
+    pair delta), and a merge of clusters is exactly a union-find over
+    their representatives: map each delta-pair endpoint to its stored
+    rep (itself if unseen), union-find the rep-level edge set —
+    |edges| ≤ |Δ pairs|, so `connected_components` takes its exact
+    driver fast path — and the merged component's label min(member
+    ids) = min(member reps) falls out because reps ARE cluster
+    minima and new nodes are their own rep. Equality with the full
+    recompute is oracle-pinned by the `dedup_incremental_clusters`
+    corpus query (its DuckDB oracle is the full RECURSIVE-CTE
+    recompute over ALL pairs) and property-tested against
+    `dedup_clusters` on random splits.
+
+    Scale shape (stored is corpus-sized, Δ is batch-sized): the
+    corpus-sized assignment table is NEVER shuffled — it is scanned
+    exactly twice, once streaming against the broadcast endpoint set
+    (rep lookup) and once streaming against the broadcast rep-map
+    (label update); the only aggregations shuffle delta-proportional
+    row sets (the touched-membership counts are filtered to map hits
+    BEFORE their exchange). `changed_only=True` returns just the
+    rows a warehouse MERGE would upsert (touched stored rows + the
+    delta batch); False returns the full updated table (what the
+    oracle compares).
+
+    `delta_docs` must carry ids disjoint from `stored` (insert-only:
+    a re-ingested id would shadow its stored row); `delta_pairs` is
+    the `lsh_pairs_delta` output — every pair touches ≥1 delta doc.
+    """
+    sid = stored.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+    pairs = delta_pairs.select(
+        F.col(pair_a).cast("long").alias("pa"),
+        F.col(pair_b).cast("long").alias("pb"),
+    )
+    # endpoint set → stored-rep lookup: inner join streams the stored
+    # scan against the broadcast endpoints (build side is the tiny
+    # set, probe side never exchanges)
+    eps = (
+        pairs.select(F.explode(F.array("pa", "pb")).alias("ep"))
+        .distinct()
+    )
+    found = track_persist(
+        sid.join(F.broadcast(eps), sid[id_col] == F.col("ep"))
+        .select(F.col("ep"), F.col("cluster_id").alias("rep"))
+    )
+    # rep-level edge set: endpoint → stored rep, itself if unseen.
+    # found is endpoint-bounded, so it broadcasts onto the pair set.
+    fa = found.select(F.col("ep").alias("pa"), F.col("rep").alias("rep_a"))
+    fb = found.select(F.col("ep").alias("pb"), F.col("rep").alias("rep_b"))
+    rep_edges = (
+        pairs.join(F.broadcast(fa), "pa", "left")
+        .join(F.broadcast(fb), "pb", "left")
+        .select(
+            F.coalesce("rep_a", "pa").alias("u"),
+            F.coalesce("rep_b", "pb").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # union-find over reps: ≤ 2·|Δ pairs| nodes — the exact driver
+    # path of connected_components by construction. The map keeps
+    # IDENTITY rows too (rep already the merged min): those clusters'
+    # labels don't move but their MEMBERSHIP does (delta docs joined
+    # them), so they must re-count.
+    rep_map = connected_components(rep_edges, "u", "v").select(
+        F.col("node").alias("rep"), F.col("component").alias("new_comp")
+    )
+    found.unpersist()
+    rep_map = track_persist(rep_map)
+
+    upd_stored = sid.join(
+        F.broadcast(rep_map), sid["cluster_id"] == F.col("rep"), "left"
+    ).select(
+        id_col,
+        F.coalesce("new_comp", "cluster_id").alias("cluster_id"),
+        "cluster_size",
+        F.col("rep").isNotNull().alias("touched"),
+    )
+    upd_delta = (
+        delta_docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(F.broadcast(rep_map), F.col(id_col) == F.col("rep"), "left")
+        .select(
+            id_col,
+            F.coalesce("new_comp", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    # changed-cluster sizes: touched stored members + all delta
+    # members, grouped by the NEW label — both inputs are
+    # delta-proportional (the filter precedes the exchange)
+    sizes = track_persist(
+        upd_stored.filter("touched")
+        .select("cluster_id")
+        .unionByName(upd_delta.select("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_size"))
+    )
+    out_stored = upd_stored.join(
+        F.broadcast(sizes), "cluster_id", "left"
+    ).select(
+        id_col,
+        "cluster_id",
+        F.coalesce("new_size", "cluster_size").alias("cluster_size"),
+        "touched",
+    )
+    if changed_only:
+        out_stored = out_stored.filter("touched")
+    out_delta = upd_delta.join(F.broadcast(sizes), "cluster_id", "left").select(
+        id_col, "cluster_id", F.col("new_size").alias("cluster_size")
+    )
+    return (
+        out_stored.drop("touched")
+        .unionByName(out_delta)
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col(id_col) == F.col("cluster_id"))
+            .cast("int")
+            .alias("is_keeper"),
+        )
     )
 
 

@@ -513,6 +513,42 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental cluster maintenance (r13, VERDICT r12 #5): the ~10%
+# hash-split delta batch (same split as dedup_incremental_lsh) lands
+# on the other ~90%'s STORED cluster assignments. The engine computes
+# the delta pairs (Δ⋈old-index ∪ Δ⋈Δ — old⋈old never recomputed) and
+# merges them into the stored assignments via a union-find over
+# cluster REPRESENTATIVES only — components are never recomputed over
+# the full pair history. The oracle is deliberately the full
+# recompute: the RECURSIVE min-label-propagation CTE over the
+# complete banded self-join pair set of ALL documents — the same
+# oracle `dedup_clusters` pins, so hash-equality here proves
+# pairs(old∪Δ)=pairs(old)∪Δpairs AND clusters(old∪Δ)=merge(stored,
+# Δpairs) end to end.
+# ---------------------------------------------------------------------------
+@register("dedup_incremental_clusters", _dedup_clusters_oracle())
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    from ..operators.graph import dedup_clusters, incremental_dedup_clusters
+    from ..operators.scale import hash_bucket
+    from .datapipe import _ILSH_CUT, _ILSH_SALT, _LSH_BANDS, _LSH_HASHES
+
+    t = load_tables(spark, sf_dir)
+    bucket = hash_bucket("doc_id", 1000, _ILSH_SALT)
+    old = t.documents.filter(bucket < _ILSH_CUT)
+    delta = t.documents.filter(bucket >= _ILSH_CUT)
+    old_pairs = D.lsh_candidate_pairs(
+        old, "text", "doc_id", num_hashes=_LSH_HASHES, bands=_LSH_BANDS
+    )
+    stored = dedup_clusters(old, old_pairs)
+    delta_pairs = D.lsh_pairs_delta(
+        old, delta, "text", "doc_id",
+        num_hashes=_LSH_HASHES, bands=_LSH_BANDS,
+    )
+    return incremental_dedup_clusters(stored, delta, delta_pairs)
+
+
+# ---------------------------------------------------------------------------
 # BPE-ish regex tokenization (SURVEY's "token counting: whitespace + a
 # BPE-ish regex"): alternation of alphanumeric runs and single
 # non-space symbols — the GPT-2-style pre-tokenizer shape. Pure map

@@ -42,6 +42,64 @@ def _index_glob(index_dir: str) -> str:
     return os.path.join(index_dir, "batch=*")
 
 
+def _has_index(spark: SparkSession, index_dir: str) -> bool:
+    """True iff the stored band index has ≥1 committed batch subdir.
+
+    Probed through the Hadoop FileSystem API — NOT driver-local
+    os.listdir — because index_dir is a Spark path: on HDFS/S3 (the
+    deployment the module docstring maps to Delta/Iceberg appends) a
+    local listdir is silently False every batch, which would silently
+    drop every cross-batch candidate pair. globStatus returns null
+    when the parent does not exist and an empty array when nothing
+    matches; both mean "no index yet"."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    path = jvm.org.apache.hadoop.fs.Path(_index_glob(index_dir))
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(path)
+    return statuses is not None and len(statuses) > 0
+
+
+#: schema of the maintained cluster-assignment snapshot (the
+#: `dedup_clusters` output shape)
+_CLUSTER_SCHEMA = "doc_id long, cluster_id long, cluster_size long, is_keeper int"
+
+
+def _committed_batch_ids(spark: SparkSession, state_dir: str) -> list[int]:
+    """Batch ids with a committed subdir under `state_dir`, via the
+    Hadoop FS API (works on any scheme — see `_has_index`)."""
+    sc = spark.sparkContext
+    path = sc._jvm.org.apache.hadoop.fs.Path(
+        os.path.join(state_dir, "batch=*")
+    )
+    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(path)
+    ids = []
+    for st in statuses or []:
+        suffix = st.getPath().getName().split("=", 1)[-1]
+        if suffix.isdigit():
+            ids.append(int(suffix))
+    return sorted(ids)
+
+
+def _latest_cluster_state(
+    spark: SparkSession, clusters_dir: str, before_batch_id: int
+) -> DataFrame:
+    """Newest committed cluster snapshot with batch id STRICTLY below
+    `before_batch_id` — a replayed batch must fold onto the pre-batch
+    state, never onto its own prior (possibly partial) write, so
+    replays converge to the same snapshot."""
+    ids = [
+        b for b in _committed_batch_ids(spark, clusters_dir)
+        if b < before_batch_id
+    ]
+    if not ids:
+        return spark.createDataFrame([], _CLUSTER_SCHEMA)
+    return spark.read.parquet(
+        os.path.join(clusters_dir, _BATCH_FMT.format(max(ids)))
+    )
+
+
 def process_document_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -50,6 +108,7 @@ def process_document_batch(
     pairs_dir: str,
     num_hashes: int = 16,
     bands: int = 4,
+    clusters_dir: str | None = None,
 ) -> None:
     """One ingestion step: emit the batch's delta pairs against the
     stored index, then append the batch's band rows to the index.
@@ -60,11 +119,7 @@ def process_document_batch(
     new_idx = lsh_banded_index(
         batch_df, "text", "doc_id", num_hashes, bands
     )
-    has_index = any(
-        e.startswith("batch=") for e in (
-            os.listdir(index_dir) if os.path.isdir(index_dir) else []
-        )
-    )
+    has_index = _has_index(spark, index_dir)
     # first batch: probe an EMPTY index — the Δ⋈Δ branch alone emits
     # the batch's intra pairs. (The batch is hashed once for the pair
     # computation and once for the index write — both delta-sized; the
@@ -79,12 +134,37 @@ def process_document_batch(
         num_hashes, bands, old_index=old_index,
     )
     try:
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_dir, _BATCH_FMT.format(batch_id))
-        )
+        batch_pairs_dir = os.path.join(pairs_dir, _BATCH_FMT.format(batch_id))
+        pairs.write.mode("overwrite").parquet(batch_pairs_dir)
         new_idx.write.mode("overwrite").parquet(
             os.path.join(index_dir, _BATCH_FMT.format(batch_id))
         )
+        if clusters_dir is not None:
+            # cluster maintenance rides the SAME delta rule one level
+            # up (VERDICT r12 #5): merge this batch's pairs into the
+            # pre-batch assignment snapshot via a union-find over
+            # cluster representatives only — components are never
+            # recomputed over the pair history. Inputs are both
+            # replay-stable (pre-batch snapshot by construction of
+            # _latest_cluster_state; the pair subdir was rewritten
+            # above from the pre-batch index), so a replayed batch
+            # converges to the identical snapshot. The local twin
+            # materializes the FULL snapshot per batch (bounded test
+            # corpora; ping-pong-style retention is the caller's); a
+            # production deployment MERGEs the `changed_only=True`
+            # rows into a Delta/Iceberg table keyed on doc_id instead
+            # — the delta-proportional write shape.
+            from ..operators.graph import incremental_dedup_clusters
+
+            stored = _latest_cluster_state(spark, clusters_dir, batch_id)
+            updated = incremental_dedup_clusters(
+                stored,
+                batch_df.select("doc_id"),
+                spark.read.parquet(batch_pairs_dir),
+            )
+            updated.write.mode("overwrite").parquet(
+                os.path.join(clusters_dir, _BATCH_FMT.format(batch_id))
+            )
     finally:
         unpersist_tracked()
 
@@ -96,11 +176,15 @@ def run_lsh_ingest(
     pairs_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    clusters_dir: str | None = None,
 ) -> None:
     """Process the currently-available document backlog
     (Trigger.AvailableNow) through the incremental dedup, then stop.
     Re-running after new document files land continues from the
-    checkpoint — only the new files are hashed and probed."""
+    checkpoint — only the new files are hashed and probed. With
+    `clusters_dir`, each batch also folds its pairs into the
+    maintained cluster-assignment snapshot (incremental connected
+    components over cluster reps)."""
     docs = (
         spark.readStream.schema(DOCUMENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -109,7 +193,8 @@ def run_lsh_ingest(
     q = (
         docs.writeStream.foreachBatch(
             lambda bdf, bid: process_document_batch(
-                spark, bdf, bid, index_dir, pairs_dir
+                spark, bdf, bid, index_dir, pairs_dir,
+                clusters_dir=clusters_dir,
             )
         )
         .outputMode("append")
@@ -118,6 +203,16 @@ def run_lsh_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def read_clusters(spark: SparkSession, clusters_dir: str) -> DataFrame:
+    """The current (newest committed) cluster-assignment snapshot."""
+    ids = _committed_batch_ids(spark, clusters_dir)
+    if not ids:
+        return spark.createDataFrame([], _CLUSTER_SCHEMA)
+    return spark.read.parquet(
+        os.path.join(clusters_dir, _BATCH_FMT.format(max(ids)))
+    )
 
 
 def read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:

@@ -226,6 +226,89 @@ def test_dedup_clusters_match_union_find(spark):
     assert got == expected
 
 
+def test_incremental_clusters_hand_case(spark):
+    from healthcare_research_data_pipeline_project_spark.operators.graph import (
+        incremental_dedup_clusters,
+    )
+
+    # stored state: {1,2,3} rep 1, {10,11} rep 10, {20} and {30}
+    # singletons. Delta docs {0, 5, 15}; delta pairs bridge 3-5-11
+    # (merging clusters 1 and 10 THROUGH a delta node) and 0-20 (the
+    # new id is SMALLER than the old rep, so the merged label must
+    # move to 0); 15 pairs with nothing (new singleton); 30 untouched.
+    stored = spark.createDataFrame(
+        [(1, 1, 3, 1), (2, 1, 3, 0), (3, 1, 3, 0),
+         (10, 10, 2, 1), (11, 10, 2, 0), (20, 20, 1, 1), (30, 30, 1, 1)],
+        "doc_id long, cluster_id long, cluster_size long, is_keeper int",
+    )
+    delta_docs = spark.createDataFrame(
+        [(0,), (5,), (15,)], "doc_id long"
+    )
+    delta_pairs = spark.createDataFrame(
+        [(3, 5), (5, 11), (0, 20)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in incremental_dedup_clusters(
+            stored, delta_docs, delta_pairs
+        ).collect()
+    }
+    assert got == {
+        1: (1, 6, 1), 2: (1, 6, 0), 3: (1, 6, 0),
+        10: (1, 6, 0), 11: (1, 6, 0), 5: (1, 6, 0),
+        0: (0, 2, 1), 20: (0, 2, 0),
+        15: (15, 1, 1), 30: (30, 1, 1),
+    }
+    # changed_only: exactly the rows a warehouse MERGE would upsert —
+    # every member of a touched cluster plus the whole delta batch;
+    # the untouched singleton 30 stays out
+    changed = {
+        r["doc_id"]
+        for r in incremental_dedup_clusters(
+            stored, delta_docs, delta_pairs, changed_only=True
+        ).collect()
+    }
+    assert changed == {0, 1, 2, 3, 5, 10, 11, 15, 20}
+
+
+def test_incremental_clusters_match_full_recompute(spark):
+    # the registry query's delta rule on real corpus data: stored
+    # assignments over the old split merged with the delta pairs must
+    # equal dedup_clusters over everything (the DuckDB oracle pins
+    # the same identity at sf0.01; this pins it at SF_SMOKE with a
+    # different split so both regimes stay covered)
+    from healthcare_research_data_pipeline_project_spark.operators import (
+        dedup as D,
+    )
+    from healthcare_research_data_pipeline_project_spark.operators.graph import (
+        dedup_clusters,
+        incremental_dedup_clusters,
+    )
+    from healthcare_research_data_pipeline_project_spark.tables import (
+        load_tables,
+    )
+
+    docs = load_tables(spark, SF_SMOKE).documents.select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    stored = dedup_clusters(
+        old, D.lsh_candidate_pairs(old, "text", "doc_id")
+    )
+    dp = D.lsh_pairs_delta(old, delta, "text", "doc_id")
+    assert dp.count(), "split produced no delta pairs — pick denser"
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in incremental_dedup_clusters(stored, delta, dp).collect()
+    }
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in dedup_clusters(
+            docs, D.lsh_candidate_pairs(docs, "text", "doc_id")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_udtf_tokenize_matches_explode_fast_path(spark):
     from healthcare_research_data_pipeline_project_spark.functions.text import tokens
     from healthcare_research_data_pipeline_project_spark.functions.udtf_ops import (

@@ -194,6 +194,62 @@ def test_lsh_ingest_stream_equals_batch_sweep(spark, tmp_path):
     assert streamed_all > streamed  # the new drop added pairs
 
 
+def test_lsh_ingest_maintains_cluster_snapshot(spark, tmp_path):
+    # stream ≡ batch for the maintained CLUSTER state (r13): with
+    # clusters_dir set, every micro-batch folds its delta pairs into
+    # the stored assignment snapshot via the rep-level union-find —
+    # after the backlog drains, the snapshot must equal the one-shot
+    # dedup_clusters over everything ingested, and a checkpoint
+    # resume over a third drop must converge the same way.
+    from healthcare_research_data_pipeline_project_spark.operators.graph import (
+        dedup_clusters,
+    )
+    from healthcare_research_data_pipeline_project_spark.streaming.lsh_ingest import (
+        read_clusters,
+        run_lsh_ingest,
+    )
+
+    docs = (
+        load_tables(spark, SF_ORACLE)
+        .documents.select("doc_id", "lang", "source", "text")
+    )
+    src = str(tmp_path / "docs")
+    dirs = {
+        k: str(tmp_path / k) for k in ("index", "pairs", "ckpt", "clusters")
+    }
+    part1 = docs.filter(F.col("doc_id") % 3 == 0)
+    part2 = docs.filter(F.col("doc_id") % 3 == 1)
+    part3 = docs.filter(F.col("doc_id") % 3 == 2)
+    part1.coalesce(1).write.parquet(src + "/d1")
+    part2.coalesce(1).write.parquet(src + "/d2")
+
+    def snapshot():
+        return {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+            for r in read_clusters(spark, dirs["clusters"]).collect()
+        }
+
+    def oneshot(frame):
+        return {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+            for r in dedup_clusters(
+                frame, D.lsh_candidate_pairs(frame, "text", "doc_id")
+            ).collect()
+        }
+
+    run_lsh_ingest(
+        spark, src + "/d*/*.parquet", dirs["index"], dirs["pairs"],
+        dirs["ckpt"], clusters_dir=dirs["clusters"],
+    )
+    assert snapshot() == oneshot(part1.unionByName(part2))
+    part3.coalesce(1).write.parquet(src + "/d3")
+    run_lsh_ingest(
+        spark, src + "/d*/*.parquet", dirs["index"], dirs["pairs"],
+        dirs["ckpt"], clusters_dir=dirs["clusters"],
+    )
+    assert snapshot() == oneshot(docs)
+
+
 def test_simhash_near_dup_small_hamming(spark):
     base = "spark catalyst optimizer rewrites logical plans into physical plans"
     df = spark.createDataFrame(

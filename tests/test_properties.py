@@ -390,3 +390,54 @@ def test_lsh_delta_rule_holds_for_arbitrary_splits(
     }
     assert old_pairs | dp == full
     assert not (old_pairs & dp)
+
+
+@given(
+    variants=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3)),
+        min_size=3,
+        max_size=10,
+    ),
+    split_bits=st.lists(st.booleans(), min_size=3, max_size=10),
+)
+@settings(max_examples=8, deadline=None)
+def test_incremental_cluster_rule_holds_for_arbitrary_splits(
+    spark, variants, split_bits
+):
+    # the r13 cluster-maintenance identity for ARBITRARY corpora and
+    # splits: merging the delta pairs into the stored assignments via
+    # the rep-level union-find equals recomputing dedup_clusters over
+    # everything — including the empty-stored and empty-delta edges
+    # hypothesis will generate
+    from healthcare_research_data_pipeline_project_spark.operators import (
+        dedup as D,
+    )
+    from healthcare_research_data_pipeline_project_spark.operators.graph import (
+        dedup_clusters,
+        incremental_dedup_clusters,
+    )
+
+    docs = [
+        (i, _DELTA_BASES[b] + (" extra" * suf))
+        for i, (b, suf) in enumerate(variants)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bits = (split_bits * len(docs))[: len(docs)]
+    old_ids = [i for i, keep in enumerate(bits) if keep]
+    old = df.filter(F.col("doc_id").isin(old_ids) if old_ids else F.lit(False))
+    delta = df.filter(
+        ~F.col("doc_id").isin(old_ids) if old_ids else F.lit(True)
+    )
+    stored = dedup_clusters(old, D.lsh_candidate_pairs(old, "text", "doc_id"))
+    dp = D.lsh_pairs_delta(old, delta, "text", "doc_id")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in incremental_dedup_clusters(stored, delta, dp).collect()
+    }
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in dedup_clusters(
+            df, D.lsh_candidate_pairs(df, "text", "doc_id")
+        ).collect()
+    }
+    assert got == want
