@@ -16,10 +16,14 @@ Scale posture:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import track_persist
+
+_log = logging.getLogger("hrdp.similarity")
 
 
 def _dot(a: str, b: str) -> F.Column:
@@ -1518,9 +1522,18 @@ def _ivf_candidate_scores(
         .select(
             "qid", "qe", "cell",
             # cosine to the centroid (|qe| is constant per query, so
-            # dividing by the centroid norm alone fixes the ranking)
-            (_dot("qe", "centroid") / F.sqrt(_dot("centroid", "centroid")))
-            .alias("cdot"),
+            # dividing by the centroid norm alone fixes the ranking).
+            # Ranked on ROUND(·, 6), the sim_ivfpq_topk routing
+            # doctrine: rounding absorbs float summation-order, so
+            # the probe set is engine-reproducible and a SQL oracle
+            # can re-derive it (sim_ivf_range_search_routed, r13); a
+            # 1e-6 centroid-cosine tie is far below any routing-
+            # quality signal, and ties still break on cell id.
+            F.round(
+                _dot("qe", "centroid")
+                / F.sqrt(_dot("centroid", "centroid")),
+                6,
+            ).alias("cdot"),
         )
         .withColumn(
             "crank",
@@ -2002,6 +2015,22 @@ def ivfpq_topk(
 # manifest, so readers never observe a half-written index and a
 # re-save over a live index swaps atomically.
 # ---------------------------------------------------------------------------
+def corpus_fingerprint(df: DataFrame) -> dict:
+    """Order-insensitive corpus identity for index-staleness checks:
+    row count + bit_xor of xxhash64 over every column of every row —
+    one aggregation pass (the index-build path scans the corpus
+    anyway), 16 bytes of manifest. Any inserted/deleted/changed row
+    flips it; xor makes it partitioning- and order-independent."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(struct(*)))").alias("h"),
+    ).collect()[0]
+    return {
+        "n_rows": int(row["n"]),
+        "xor64": int(row["h"]) if row["h"] is not None else 0,
+    }
+
+
 def save_ann_index(
     index_dir: str,
     codebooks: list[list[list[float]]],
@@ -2009,24 +2038,48 @@ def save_ann_index(
     centroid_rows: list[tuple[int, list[float]]],
     nprobe: int,
     meta: dict | None = None,
+    corpus: DataFrame | None = None,
+    keep_versions: int = 3,
 ) -> str:
     """Persist a trained IVF-PQ index: PQ codebooks + the derived
     routing depth + training metadata in a JSON manifest (a few KB —
     m·ksub·dsub floats), the encoded codes and coarse centroids as
-    parquet. Returns the committed version id."""
+    parquet. Returns the committed version id.
+
+    Lifecycle (r13, VERDICT r12 #6): pass `corpus` (the frame the
+    index was trained on) to stamp its `corpus_fingerprint` into the
+    manifest — `load_ann_index` can then refuse/warn when asked to
+    serve against a changed corpus. After the commit, version dirs
+    beyond the newest `keep_versions` are garbage-collected (the r12
+    form accreted every superseded version forever); the committed
+    version is always retained, and K≥2 leaves the previous version
+    for readers that resolved the old manifest just before the swap.
+    `keep_versions=0` disables GC."""
     import json
     import os
+    import shutil as _shutil
     import time as _time
 
     os.makedirs(index_dir, exist_ok=True)
     # version id: monotonic per save (max existing + 1), not wall
-    # clock — replays and clock skew cannot collide
-    existing = [
-        int(d[1:]) for d in os.listdir(index_dir)
-        if d.startswith("v") and d[1:].isdigit()
-    ]
-    vid = f"v{max(existing, default=0) + 1}"
-    vdir = os.path.join(index_dir, vid)
+    # clock — replays and clock skew cannot collide. The id is
+    # RESERVED by os.mkdir (fails on collision, retry with the next
+    # id) BEFORE any data file is written: two concurrent saves that
+    # both computed max+1 would otherwise interleave parquet writes
+    # into one version dir, voiding the atomic-manifest guarantee
+    # that readers never observe a half-written index.
+    while True:
+        existing = [
+            int(d[1:]) for d in os.listdir(index_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        vid = f"v{max(existing, default=0) + 1}"
+        vdir = os.path.join(index_dir, vid)
+        try:
+            os.mkdir(vdir)  # reservation: each writer owns its dir
+            break
+        except FileExistsError:
+            continue
     encoded.write.mode("overwrite").parquet(os.path.join(vdir, "codes"))
     spark = encoded.sparkSession
     spark.createDataFrame(
@@ -2041,23 +2094,67 @@ def save_ann_index(
         "meta": dict(meta or {}),
         "saved_unix": int(_time.time()),
     }
+    if corpus is not None:
+        manifest["corpus_fingerprint"] = corpus_fingerprint(corpus)
     tmp = os.path.join(index_dir, f".manifest.{vid}.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.rename(tmp, os.path.join(index_dir, "manifest.json"))  # commit
+    if keep_versions > 0:
+        # GC strictly AFTER the commit: everything older than the
+        # newest keep_versions ids goes; the just-committed version is
+        # the max id so it always survives, and keep_versions >= 2
+        # leaves the previous version for a reader that resolved the
+        # old manifest just before the rename
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(index_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        for old in versions[:-keep_versions]:
+            _shutil.rmtree(
+                os.path.join(index_dir, f"v{old}"), ignore_errors=True
+            )
     return vid
 
 
-def load_ann_index(spark, index_dir: str) -> dict:
+def load_ann_index(
+    spark,
+    index_dir: str,
+    corpus: DataFrame | None = None,
+    on_stale: str = "raise",
+) -> dict:
     """Load the committed index version: returns {codebooks, encoded,
     centroid_rows, nprobe, meta, version}. The manifest names the
     version to read, so a concurrent re-save never tears the view —
-    this reader sees either the old index or the new one, fully."""
+    this reader sees either the old index or the new one, fully.
+
+    Staleness guard (r13): pass the SERVING `corpus` to check it
+    against the manifest's training-time `corpus_fingerprint` —
+    without this an index trained on a different corpus would happily
+    serve wrong neighbors. `on_stale`: "raise" (default), "warn"
+    (serve anyway, log the mismatch), or "ignore". A manifest saved
+    without a fingerprint cannot be checked; that too raises/warns,
+    so the knob can't silently no-op."""
     import json
     import os
 
+    if on_stale not in ("raise", "warn", "ignore"):
+        raise ValueError(f"on_stale must be raise|warn|ignore, got {on_stale!r}")
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
+    if corpus is not None and on_stale != "ignore":
+        want = manifest.get("corpus_fingerprint")
+        got = corpus_fingerprint(corpus)
+        problem = None
+        if want is None:
+            problem = "manifest carries no corpus_fingerprint (pre-r13 save)"
+        elif want != got:
+            problem = f"index trained on {want}, serving corpus is {got}"
+        if problem:
+            msg = f"stale ANN index at {index_dir}: {problem}"
+            if on_stale == "raise":
+                raise RuntimeError(msg)
+            _log.warning(msg)
     vdir = os.path.join(index_dir, manifest["version"])
     centroid_rows = [
         (int(r["cell"]), [float(x) for x in r["centroid"]])

@@ -428,13 +428,91 @@ def sim_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell is scanned, so the candidate set is the full corpus) —
     giving the routing machinery a real value-hash oracle, the same
     identity `sim_ivf_topk` pins for top-k. The partial-probe scale
-    setting (nprobe < #cells — what makes IVF an ANN at 100 TB) is
-    pytest-pinned by the radius-recall test at the auto-derived
-    depth; its candidate set depends on centroid ranking and is
-    deliberately not oracled."""
+    setting is oracled by `sim_ivf_range_search_routed` below (r13)
+    and pytest-pinned by the radius-recall test at the auto-derived
+    depth."""
     from ..operators.similarity import ivf_range_search
 
     t = load_tables(spark, sf_dir)
     return ivf_range_search(
         t.embeddings, _RANGE_QUERY_IDS, _RANGE_TAU, nprobe=1_000_000
+    )
+
+
+# ---------------------------------------------------------------------------
+# The DEPLOYED radius scale path as a first-class registry row
+# (VERDICT r12 #3): partial-probe IVF radius search at the
+# auto-derived τ-regime depth. Unlike the probe-all identity above,
+# THIS oracle recomputes the routing itself — the sim_ivfpq_topk
+# doctrine transplanted to the cosine/radius regime: cell centroids
+# are plain per-(cell, dim) averages DuckDB rebuilds, cells rank by
+# ROUND(cos(query, centroid), 6) DESC (rounding absorbs float
+# summation order — the serving route rounds identically since r13;
+# ties break on cell id), and candidates are screened at the same
+# 4-dp-rounded τ inside the derived probe set. The depth literal is
+# the FROZEN output of `auto_ivf_nprobe(metric="cos", tau=τ)` at the
+# oracle SF (sf0.01: 10 cells, p25 per-query radius recall ≥ 0.85
+# first reached at nprobe=9), pinned by
+# tests/test_pq.py::test_auto_ivf_radius_frozen_nprobe — a tuner /
+# sampler / corpus move surfaces as a gate hash mismatch and a pytest
+# failure, never a silent probe-set divergence.
+# ---------------------------------------------------------------------------
+_RANGE_ROUTED_NPROBE = 9
+
+
+def _routed_range_oracle() -> str:
+    ids = ", ".join(map(str, _RANGE_QUERY_IDS))
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id IN ({ids})),
+    xp AS (SELECT label AS cell, unnest(embedding) AS x,
+                  unnest(generate_series(1, len(embedding))) AS pos
+           FROM embeddings),
+    cent AS (SELECT cell, pos, AVG(CAST(x AS DOUBLE)) AS mu
+             FROM xp GROUP BY cell, pos),
+    cn AS (SELECT cell, sqrt(SUM(mu * mu)) AS cnorm FROM cent
+           GROUP BY cell),
+    route AS (
+      SELECT q.qid, cent.cell,
+             SUM(CAST(qe[pos] AS DOUBLE) * mu) AS qdot
+      FROM q JOIN cent ON TRUE GROUP BY q.qid, cent.cell
+    ),
+    rr AS (SELECT r.qid, r.cell,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY r.qid
+                    ORDER BY ROUND(r.qdot / cn.cnorm, 6) DESC, r.cell
+                  ) AS cr
+           FROM route r JOIN cn USING (cell)),
+    probe AS (SELECT qid, cell FROM rr WHERE cr <= {_RANGE_ROUTED_NPROBE}),
+    p AS (
+      SELECT pr.qid, e.vec_id AS cid,
+             CAST(ROUND({_dot_sql('q.qe', 'e.embedding')} /
+                        (sqrt({_dot_sql('q.qe', 'q.qe')}) *
+                         sqrt({_dot_sql('e.embedding', 'e.embedding')})), 4)
+               AS DOUBLE) AS cos_sim
+      FROM probe pr
+      JOIN q ON q.qid = pr.qid
+      JOIN embeddings e ON e.label = pr.cell AND e.vec_id <> pr.qid
+    )
+    SELECT qid, cid, cos_sim
+    FROM p WHERE cos_sim >= {_RANGE_TAU}
+    ORDER BY qid, cid
+    """
+
+
+@register("sim_ivf_range_search_routed", _routed_range_oracle())
+def sim_ivf_range_search_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import auto_ivf_nprobe, ivf_range_search
+    from .datapipe7 import _trained_artifact
+
+    t = load_tables(spark, sf_dir)
+    # depth derived once per (session, corpus) — serve-don't-rebuild,
+    # the ivfpq lifecycle; at the oracle SF the derivation lands on
+    # _RANGE_ROUTED_NPROBE (frozen in the oracle SQL above)
+    nprobe = _trained_artifact(
+        spark, sf_dir, "ivf-range-nprobe",
+        lambda: auto_ivf_nprobe(t.embeddings, metric="cos", tau=_RANGE_TAU),
+    )
+    return ivf_range_search(
+        t.embeddings, _RANGE_QUERY_IDS, _RANGE_TAU, nprobe=nprobe
     )

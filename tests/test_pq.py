@@ -6,6 +6,7 @@ ranking on the smoke corpus."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from healthcare_research_data_pipeline_project_spark.operators import (
     similarity as S,
@@ -228,6 +229,47 @@ def test_ivfpq_shares_pq_index_artifact(spark):
         assert len(r["probed_cells"].split(",")) == derived
 
 
+def test_auto_ivf_radius_frozen_nprobe(spark):
+    # sim_ivf_range_search_routed bakes _RANGE_ROUTED_NPROBE into its
+    # oracle SQL while the runtime derives the τ-regime depth — pin
+    # derivation == frozen literal at the oracle SF (the same
+    # discipline as test_auto_ivf_frozen_nprobe for the l2/top-k
+    # regime)
+    from tests.conftest import SF_ORACLE
+    import healthcare_research_data_pipeline_project_spark.queries.datapipe11 as d11
+
+    emb = load_tables(spark, SF_ORACLE).embeddings
+    assert (
+        S.auto_ivf_nprobe(emb, metric="cos", tau=d11._RANGE_TAU)
+        == d11._RANGE_ROUTED_NPROBE
+    )
+
+
+def test_ivf_range_routed_probe_is_cell_bounded(spark):
+    # the plan pin VERDICT r12 #3 asks for: the deployed radius route
+    # must expand candidates ONLY through the cell equi-join — no
+    # cartesian product anywhere, and the corpus-sided scan joins on
+    # the cell key (the probe set bounds the scan). The only
+    # nested-loop join allowed is the bounded query×centroid routing
+    # cross (≤ queries × #cells rows by construction).
+    from tests.conftest import SF_ORACLE
+    from healthcare_research_data_pipeline_project_spark.queries import (
+        QUERIES,
+    )
+
+    df = QUERIES["sim_ivf_range_search_routed"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().explainString("simple")
+    assert "CartesianProduct" not in plan
+    # the candidate expansion is an equi-join on the cell id
+    assert "cell" in plan and (
+        "hashpartitioning(cell" in plan
+        or "[cell" in plan
+        or "cell#" in plan
+    )
+    got = {(r["qid"], r["cid"]) for r in df.collect()}
+    assert got, "routed radius search returned nothing at the oracle SF"
+
+
 def test_auto_ivf_frozen_nprobe(spark):
     # the sim_ivfpq_topk oracle SQL bakes _IVFPQ_NPROBE as a literal
     # while the runtime derives the routing depth from the corpus —
@@ -318,3 +360,61 @@ def test_ann_index_save_load_roundtrip_serves_identically(
     )
     assert v2 == "v2"
     assert load_ann_index(spark, idx_dir)["nprobe"] == 3
+
+
+def test_ann_index_staleness_guard_and_gc(spark, emb, tmp_path):
+    # r13 lifecycle (VERDICT r12 #6): the manifest stamps the training
+    # corpus fingerprint; load refuses (or warns) when the serving
+    # corpus changed, and refuses when an old manifest has no
+    # fingerprint to check; superseded version dirs are GC'd down to
+    # keep_versions with the committed version always retained
+    import os
+
+    from healthcare_research_data_pipeline_project_spark.operators.similarity import (
+        label_centroids,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    books = S.train_pq_codebooks(emb, m=16, ksub=32)
+    encoded = S.pq_encode(emb, books).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in label_centroids(emb).collect()
+    ]
+    idx_dir = str(tmp_path / "ann_index")
+    save_ann_index(idx_dir, books, encoded, cents, nprobe=2, corpus=emb)
+    # same corpus: loads clean
+    assert load_ann_index(spark, idx_dir, corpus=emb)["nprobe"] == 2
+    # changed corpus (one row dropped): refusal by default, served
+    # with a warning on opt-in, unchecked on ignore
+    changed = emb.filter(F.col("vec_id") != 0)
+    with pytest.raises(RuntimeError, match="stale ANN index"):
+        load_ann_index(spark, idx_dir, corpus=changed)
+    assert load_ann_index(
+        spark, idx_dir, corpus=changed, on_stale="warn"
+    )["nprobe"] == 2
+    assert load_ann_index(
+        spark, idx_dir, corpus=changed, on_stale="ignore"
+    )["nprobe"] == 2
+    # a fingerprint-less manifest cannot be checked — that raises too
+    # (the knob must not silently no-op)
+    legacy_dir = str(tmp_path / "legacy_index")
+    save_ann_index(legacy_dir, books, encoded, cents, nprobe=2)
+    with pytest.raises(RuntimeError, match="no corpus_fingerprint"):
+        load_ann_index(spark, legacy_dir, corpus=emb)
+    # GC: after 4 more saves with keep_versions=2 only the newest two
+    # version dirs remain and the manifest serves the newest
+    for n in (3, 4, 5, 6):
+        save_ann_index(
+            idx_dir, books, encoded, cents, nprobe=n, corpus=emb,
+            keep_versions=2,
+        )
+    left = sorted(
+        d for d in os.listdir(idx_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    assert left == ["v4", "v5"]
+    assert load_ann_index(spark, idx_dir, corpus=emb)["nprobe"] == 6
