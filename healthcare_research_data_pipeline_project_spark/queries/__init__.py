@@ -56,7 +56,13 @@ GATE_PRIORITY = [
     # window; the row stays green in MIRROR.json) for
     # t_funnel_conversion — the r9 single-scan/single-shuffle funnel
     # rewrite that never had a driver gate row (VERDICT r9 #4).
-    "t_funnel_conversion",
+    # t_funnel_conversion rotated OUT r13 (gated green r10-r12;
+    # ordered event-sequence gating stays gate-evidenced by the
+    # incoming t_retention_cohorts' cohort-period event gating in
+    # this window; the row stays green in MIRROR.json) for
+    # t_retention_cohorts — in the never-gated temporal set VERDICT
+    # r12 #1 named.
+    "t_retention_cohorts",
     "j1_star_join",
     "j2_band_self_join",
     # j3_left_join_pred rotated OUT r5 (left-join-with-side-predicate
@@ -117,7 +123,14 @@ GATE_PRIORITY = [
     # pair-lift query whose n_orders computation was rewritten r10
     # from an unpartitioned window to a broadcast scalar aggregate
     # (rotate refactored queries into the gate, VERDICT r9 #1/#4).
-    "mb_pair_lift",
+    # mb_pair_lift rotated OUT r13 (gated green r10-r12; pair
+    # co-occurrence expansion stays gate-evidenced by
+    # text_containment_pairs' posting-list pair expansion in this
+    # window, and the broadcast-scalar n_orders shape stays plan-
+    # pinned by test_mb_pair_lift_scans_fact_once_in_final_plan; the row stays
+    # green in MIRROR.json) for a17_pivot — grouping-set/pivot
+    # semantics had NO gate representative (VERDICT r12 #1 named it).
+    "a17_pivot",
     # g_pagerank_centrality rotated OUT r9 (the recursive-CTE PageRank
     # oracle stays green in MIRROR.json; PageRank stays gate-evidenced
     # by g_pagerank_knn AND the new canonical row below) for
@@ -125,13 +138,30 @@ GATE_PRIORITY = [
     # whose r8 blocked-scan + r9 broadcast-anti-join refactor touched
     # both stages (rotate refactored queries into the gate, VERDICT r8
     # #2).
-    "g_pagerank_canonical",
+    # g_pagerank_canonical rotated OUT r13 (gated green r9-r12;
+    # PageRank stays gate-evidenced by g_pagerank_knn in this window,
+    # and the canonicalize/connected-components stage stays gate-
+    # evidenced by the incoming dedup_incremental_clusters, whose
+    # RECURSIVE-CTE oracle re-derives the full component sweep; the
+    # row stays green in MIRROR.json) for dedup_incremental_clusters
+    # — the r13-new insert-only cluster maintenance (VERDICT r12 #5),
+    # gated from birth: its oracle equality IS the proof that merging
+    # delta pairs via the rep-level union-find equals the full
+    # recompute.
+    "dedup_incremental_clusters",
     # g_kcore_dense_region rotated OUT r9 (recursive-peel k-core stays
     # gate-evidenced by g_kcore_knn in this window; the dense-region
     # row stays green in MIRROR.json) for g_triangle_knn — triangle /
     # clustering-coefficient over the mutual kNN graph, an r8
     # blocked-scan consumer never driver-gated before.
-    "g_triangle_knn",
+    # g_triangle_knn rotated OUT r13 (gated green r11-r12; mutual-kNN
+    # edge-set consumption stays gate-evidenced TWICE in this window
+    # by g_pagerank_knn and g_kcore_knn, which consume the same
+    # oracled edge set; the row stays green in MIRROR.json) for
+    # t_ks_two_sample — the ECDF rank statistic, in the never-gated
+    # stat/temporal set VERDICT r12 #1 named (its oracle carries a
+    # full two-sample D computation).
+    "t_ks_two_sample",
     "a1_agg_battery",
     "a8_percentiles",
     # a9_iqr_outliers rotated OUT r5 (exact-quantile evidence stays
@@ -190,7 +220,15 @@ GATE_PRIORITY = [
     # first).
     "text_containment_pairs",
     "a14_quality_metrics",
-    "w1_w2_group_outliers",
+    # w1_w2_group_outliers rotated OUT r13 (gated green r4-r12;
+    # AVG/STDDEV OVER (PARTITION BY) outlier flags stay gate-
+    # evidenced by hc_q6_drg_outliers' windowed z-scores in this
+    # window, and the incoming w7_rank_battery keeps a dedicated
+    # window-function gate row; the row stays green in MIRROR.json)
+    # for a18_cube — CUBE grouping-set semantics, in the never-gated
+    # agg-battery set VERDICT r12 #1 named (a17_pivot + a18_cube
+    # together give the grouping-set family its first gate rows).
+    "a18_cube",
     # w3_topn_per_group rotated OUT r5 (top-N-per-frame stays
     # evidenced by w4's argmax + g_pagerank_centrality's row_number
     # top-3 in this window) for stat_mannwhitney_u — the r4
@@ -201,7 +239,15 @@ GATE_PRIORITY = [
     # the row stays green in MIRROR.json) for t_resample_ohlc — the
     # time-bucket resample battery, part of the never-gated temporal
     # family VERDICT r11 #7 named.
-    "t_resample_ohlc",
+    # t_resample_ohlc rotated OUT r13 (gated green r12; time-bucket
+    # windowing stays gate-evidenced by events_hopping_rollup's
+    # window() bucketing and the temporal family keeps
+    # t_asof_nearest / t_rate_limit_window / t_max_concurrency in
+    # this window; the row stays green in MIRROR.json) for
+    # w7_rank_battery — the rank/dense_rank/ntile battery VERDICT
+    # r12 #1 named FIRST (15,000-row hash signal; the window-function
+    # family had no dedicated gate representative).
+    "w7_rank_battery",
     # w4_latest_per_entity rotated OUT r5 (latest-per-entity argmax
     # stays evidenced by hc_q7's latest-A1C in this window; w4 stays
     # green in MIRROR.json) for a2c_sketch_rollup — the mergeable-HLL
@@ -282,7 +328,14 @@ GATE_PRIORITY = [
     # this window, and the df-capped variant stays green in
     # MIRROR.json) for dq_expectations_orders — the data-quality
     # expectations battery, never gated before r6.
-    "dq_expectations_orders",
+    # dq_expectations_orders rotated OUT r13 (gated green r6-r12; the
+    # data-quality audit family stays gate-evidenced by
+    # a14_quality_metrics and hc_q10_data_quality's UNION ALL
+    # null-scan in this window; the row stays green in MIRROR.json)
+    # for scd2_customer_segments — the slowly-changing-dimension
+    # type-2 history build, in the never-gated set VERDICT r12 #1
+    # named (no gate row has ever covered the SCD2 operator family).
+    "scd2_customer_segments",
     # dedup_lsh_pairs rotated OUT late-r11 (MinHash-LSH banded
     # bucketing stays gate-evidenced by sim_lsh_auto_topk and the
     # dedup family's dedup_canonical_keep/dedup_semantic_blocks in
@@ -300,7 +353,15 @@ GATE_PRIORITY = [
     # for the first time in r7 (audit verdicts: data-adaptive
     # k-formula equality, assignment coverage, label-pair-set value
     # equality, recall floor).
-    "dedup_semantic_blocks",
+    # dedup_semantic_blocks rotated OUT r13 (gated green r7-r12;
+    # trained-quantizer-cell assignment stays gate-evidenced by
+    # sim_ivfpq_topk, whose oracle recomputes the routing against
+    # the SAME per-cell centroids, and the embedding-cosine screen
+    # stays gate-evidenced by sim_range_search in this window; the
+    # row stays green in MIRROR.json) for sim_sq8_topk — the
+    # scalar-quantized (SQ8) served-ANN variant, in the never-gated
+    # served-ANN set VERDICT r12 #1 named.
+    "sim_sq8_topk",
     # sim_bruteforce_topk rotated OUT r7 for sim_ivf_topk, whose
     # oracle IS the brute-force cosine SQL (nprobe=all ≡ exhaustive
     # search, proven in r6) — the brute-force semantics stay gate-
@@ -318,7 +379,17 @@ GATE_PRIORITY = [
     # pins the identical bucket/probe computation (superset: probes
     # include the query's own bucket), and single-bucket LSH stays
     # green in MIRROR.json.
-    "sim_lsh_auto_topk",
+    # sim_lsh_auto_topk rotated OUT r13 (gated green r7-r12; LSH
+    # band/bucket equi-join candidacy stays gate-evidenced by
+    # dedup_incremental_lsh in this window, and the auto-derived
+    # (planes, nprobe) stay pytest-pinned by test_auto_lsh_frozen_pair;
+    # the row stays green in MIRROR.json) for
+    # sim_ivf_range_search_routed — the r13-new DEPLOYED radius scale
+    # path (VERDICT r12 #3), gated from birth: its oracle recomputes
+    # the τ-regime routing itself (SQL centroids + rounded
+    # cosine-to-centroid ranks + the frozen derived depth), so the
+    # partial-probe candidate set finally has a value-hash row.
+    "sim_ivf_range_search_routed",
     # mm_media_manifest rotated OUT r7 (multimodal stays gate-
     # evidenced by mm_decode_stats' sha256 counter-mode decode oracle
     # in this window; the manifest row stays green in MIRROR.json)
@@ -333,7 +404,15 @@ GATE_PRIORITY = [
     # search whose oracle pins the Q-broadcast path against brute
     # force, in the never-gated r11-new set VERDICT r11 #1 named.
     "sim_range_search",
-    "text_token_stats",
+    # text_token_stats rotated OUT r13 (gated green r4-r12; the
+    # token-stat HOF machinery stays gate-evidenced by
+    # text_quality_score, which consumes the same tokenizer and
+    # ratio chain, plus text_substring_dedup/text_containment_pairs
+    # in this window; the row stays green in MIRROR.json) for
+    # f_map_battery — the map-type function battery VERDICT r12 #1
+    # named (14,743-row hash signal; map_from_entries /
+    # map_filter / transform_values semantics had no gate row).
+    "f_map_battery",
     "text_quality_score",
     # text_langid rotated OUT r10 (n-gram language-ID stays green in
     # MIRROR.json; the text family keeps two in-window rows above)
