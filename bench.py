@@ -158,28 +158,75 @@ def main() -> None:
     # work. A third pass re-samples only the queries still over the
     # 1.8 s budget after two passes — the band where one decorrelated
     # sample changes the verdict; fast queries never pay it.
-    best: dict[str, float] = {}
-    canaries = [_machine_canary()]
-    loop_t0 = time.time()
-    for pass_i in range(3):
-        for name, fn in Q.QUERIES.items():
-            if pass_i == 2 and best[name] <= 1.8:
-                continue
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            if name not in best or dt < best[name]:
-                best[name] = dt
-            # release query-internal persists inside the timed span's
-            # accounting boundary: cached blocks must not accumulate
-            # across a 162-query pass and squeeze the storage pool
-            unpersist_tracked()
-        canaries.append(_machine_canary())
+    def _timed_corpus() -> tuple[dict[str, float], list[dict], float, float]:
+        best: dict[str, float] = {}
+        canaries = [_machine_canary()]
+        loop_t0 = time.time()
+        for pass_i in range(3):
+            for name, fn in Q.QUERIES.items():
+                if pass_i == 2 and best[name] <= 1.8:
+                    continue
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                if name not in best or dt < best[name]:
+                    best[name] = dt
+                # release query-internal persists inside the timed
+                # span's accounting boundary: cached blocks must not
+                # accumulate across a 170+-query pass and squeeze the
+                # storage pool
+                unpersist_tracked()
+            canaries.append(_machine_canary())
+        return best, canaries, time.time() - loop_t0, loop_t0
+
+    def _canary_spread(cs: list[dict]) -> float:
+        """Worst within-run max/min ratio across both fixed workloads
+        — the drift fingerprint bench_compare adjudicates on."""
+        worst = 1.0
+        for key in ("py_loop_sec", "blas_matmul_sec"):
+            vals = [c[key] for c in cs if c.get(key)]
+            if vals and min(vals) > 0:
+                worst = max(worst, max(vals) / min(vals))
+        return worst
+
+    # canary-clean designation (r13, VERDICT r12 #2): the r12 headline
+    # was captured during host drift (blas within-run x2.41), which
+    # turned BENCH_REGRESSIONS.json into 54 rows of annotated noise —
+    # a real 30% code regression would have been indistinguishable. A
+    # DESIGNATED run (SPARK_GRAFT_BENCH_ROUND set) is therefore
+    # conditional on a steady host: if the within-run canary spread
+    # exceeds the limit, the whole timed loop re-runs (up to
+    # SPARK_GRAFT_BENCH_CANARY_ATTEMPTS, default 3) and the first
+    # clean window is stamped. Undesignated runs never retry. The
+    # artifact records canary_clean / canary_spread / bench_attempts
+    # either way, so bench_compare and the round summary can insist
+    # on clean-vs-clean comparisons.
+    designated = bool(os.environ.get("SPARK_GRAFT_BENCH_ROUND"))
+    max_attempts = (
+        max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CANARY_ATTEMPTS", "3")))
+        if designated
+        else 1
+    )
+    spread_limit = float(
+        os.environ.get("SPARK_GRAFT_BENCH_CANARY_LIMIT", "1.25")
+    )
+    for attempt in range(1, max_attempts + 1):
+        best, canaries, wall, loop_t0 = _timed_corpus()
+        spread = _canary_spread(canaries)
+        canary_clean = spread <= spread_limit
+        if canary_clean:
+            break
+        print(
+            f"# designated-run attempt {attempt}: canary spread "
+            f"x{spread:.2f} > x{spread_limit} — host drifted mid-run; "
+            + ("re-running" if attempt < max_attempts
+               else "attempts exhausted, stamping UNCLEAN"),
+            file=sys.stderr,
+        )
     timings = {name: round(b, 3) for name, b in best.items()}
     total = sum(best.values())
     for name, b in best.items():
         print(f"# {name}: {b:.2f}s", file=sys.stderr)
-    wall = time.time() - loop_t0
 
     # canary-normalized timings (r11): the shared host drifts ±15%
     # within a day (observed same-code spans 114.4-133.8 s), so raw
@@ -226,6 +273,10 @@ def main() -> None:
         "wall_sec": round(wall, 3),
         "median_sec": median,
         "machine_canary": canaries,
+        "canary_spread": round(spread, 3),
+        "canary_spread_limit": spread_limit,
+        "canary_clean": canary_clean,
+        "bench_attempts": attempt,
         "run_id": run_id,
         "normalized": normalized,
         "headline": {n: timings[n] for n in headline_names},
@@ -251,6 +302,15 @@ def main() -> None:
     # run (compare run_id before quoting).
     round_tag = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
     if round_tag:
+        # the tag is interpolated into a filename: reject separators /
+        # traversal so a malformed env var cannot write outside the repo
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9_-]+", round_tag):
+            raise ValueError(
+                f"SPARK_GRAFT_BENCH_ROUND must match [A-Za-z0-9_-]+, "
+                f"got {round_tag!r}"
+            )
         with open(
             os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),

@@ -316,8 +316,17 @@ def ds_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no WindowExec, no persist, no BNLJ. The sqrt/divide/floor chain
     # runs in IEEE-754 doubles in the same operation order as the
     # DuckDB oracle's expression, so the permille — and therefore the
-    # kept SET — stays engine-identical (same doctrine as before,
-    # Python doubles ARE IEEE-754).
+    # kept SET — stays engine-identical for that chain (same doctrine
+    # as before, Python doubles ARE IEEE-754). CAVEAT (ADVICE r12):
+    # the identical-by-construction claim does NOT extend to sum_w —
+    # Python accumulates it in sorted-source order while the oracle's
+    # SUM(...) OVER () adds in engine order, so a last-ulp difference
+    # in sum_w could flip floor() on data where a source's rate lands
+    # EXACTLY on a permille boundary. With ~20 sources of
+    # well-conditioned magnitudes no real corpus sits on that
+    # boundary (the gate/mirror equality is the standing check); if
+    # one ever does, sort the oracle's accumulation too or derive
+    # keep_permille with a documented epsilon.
     import math
 
     census = sorted(

@@ -110,6 +110,22 @@ def load_canary(path: str) -> list[dict] | None:
     return None
 
 
+def load_clean_flag(path: str) -> bool | None:
+    """The r13 `canary_clean` stamp: True iff the run's within-run
+    canary spread stayed under bench.py's designation limit. None for
+    pre-r13 artifacts (no stamp — treat as unknown, not clean)."""
+    try:
+        d = json.load(open(path))
+    except Exception:  # noqa: BLE001
+        return None
+    for cand in (d, d.get("parsed") or {}):
+        if isinstance(cand, dict) and isinstance(
+            cand.get("canary_clean"), bool
+        ):
+            return cand["canary_clean"]
+    return None
+
+
 def canary_verdict(
     before: list[dict] | None,
     after: list[dict] | None,
@@ -188,6 +204,19 @@ def main() -> int:
     drifted, canary_evidence = canary_verdict(
         load_canary(args.before), load_canary(args.after)
     )
+    # clean-vs-clean discipline (r13): a comparison is only a code-
+    # regression signal when BOTH artifacts were stamped canary-clean;
+    # otherwise say so up front rather than emitting wolf-cry rows.
+    before_clean = load_clean_flag(args.before)
+    after_clean = load_clean_flag(args.after)
+    print(
+        f"canary_clean: before={before_clean} after={after_clean}"
+        + (
+            ""
+            if before_clean and after_clean
+            else "  (NOT clean-vs-clean — deltas below mix in host weather)"
+        )
+    )
     auto_note = (
         f"auto-canary: host drifted during/between runs — {canary_evidence}"
         if drifted
@@ -238,7 +267,12 @@ def main() -> int:
             "basis": basis,
             "threshold_pct": args.pct,
             "budget_pct": args.budget_pct,
-            "canary": {"drifted": drifted, "evidence": canary_evidence},
+            "canary": {
+                "drifted": drifted,
+                "evidence": canary_evidence,
+                "before_clean": before_clean,
+                "after_clean": after_clean,
+            },
             "regressions": [
                 {
                     "query": k,
