@@ -477,6 +477,143 @@ def incremental_dedup_clusters(
     )
 
 
+def decremental_dedup_clusters(
+    stored: DataFrame,
+    index: DataFrame,
+    delete_ids: DataFrame,
+    id_col: str = "doc_id",
+    changed_only: bool = False,
+) -> DataFrame:
+    """Delete-aware incremental maintenance of the `dedup_clusters`
+    assignment table: remove a batch of document ids and repair the
+    stored per-document (doc_id, cluster_id, cluster_size, is_keeper)
+    assignments WITHOUT recomputing connected components over the
+    full corpus — the counterpart of `incremental_dedup_clusters`
+    for the non-monotone direction. Inserts only ever MERGE clusters
+    (a rep-level union-find suffices); deletes can SPLIT them, so the
+    delta rule is localized recompute: re-run components over exactly
+    the clusters that lost a member, from candidate pairs re-derived
+    out of the stored `lsh_banded_index` frame.
+
+    Why the localized recompute is exact, given the contract that
+    `stored`'s clusters are the components of the candidate relation
+    of `index` (docs sharing >= 1 band bucket — what `dedup_clusters`
+    over `lsh_candidate_pairs` produces):
+      * candidate pairs never cross cluster boundaries (a shared
+        bucket IS an edge, and components are edge-closed), so the
+        pair set of the remaining corpus partitions into pairs inside
+        untouched clusters (unchanged) and pairs among the SURVIVORS
+        of affected clusters;
+      * restricting the index scan to survivor ids therefore captures
+        every remaining pair of every affected cluster — a bucket row
+        of a non-survivor doc is either deleted (must be excluded) or
+        belongs to an untouched cluster (cannot co-bucket with an
+        affected doc, by the same closure);
+      * untouched clusters keep their labels and sizes verbatim: the
+        label is the min member id, and no member left.
+    Equality with the full recompute over the remaining corpus is
+    oracle-pinned by the `dedup_incremental_delete` corpus query
+    (DuckDB RECURSIVE-CTE over all surviving pairs) and
+    property-tested against `dedup_clusters` on random delete sets.
+
+    Scale shape (stored and index are corpus-sized, the delete batch
+    and the affected-cluster membership are delta-proportional): the
+    assignment table is NEVER shuffled — it streams once against the
+    broadcast delete set + broadcast affected-cluster set (the
+    classify pass) and once more for the untouched passthrough; the
+    index streams once against the broadcast survivor set; the only
+    self-join is over the survivor-restricted index (delta-sized
+    buckets), and `connected_components` takes its exact driver fast
+    path at that edge count. Deletes of whole clusters and of ids
+    absent from `stored` are no-ops beyond dropping the rows.
+
+    Streaming note: the `lsh_ingest` foreachBatch twin stays
+    insert-only (its sources are append logs); wiring deletes through
+    it needs a CDC source carrying tombstones — apply THIS operator in
+    the maintenance batch that consumes them.
+
+    `changed_only=True` returns just the repaired survivor rows (the
+    UPDATE half of a warehouse MERGE — the DELETE half is the
+    `delete_ids` batch itself); False returns the full post-delete
+    assignment table (what the oracle compares).
+    """
+    sid = stored.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+    dels = delete_ids.select(
+        F.col(id_col).cast("long").alias("del_id")
+    ).distinct()
+    # affected clusters = clusters that lost >= 1 member. Inner join
+    # streams the assignment scan against the broadcast delete set.
+    aff = (
+        sid.join(F.broadcast(dels), sid[id_col] == F.col("del_id"))
+        .select("cluster_id")
+        .distinct()
+        .withColumn("_aff", F.lit(True))
+    )
+    marked = sid.join(F.broadcast(aff), "cluster_id", "left")
+    untouched = marked.filter(F.col("_aff").isNull()).select(
+        id_col, "cluster_id", "cluster_size"
+    )
+    surv = track_persist(
+        marked.filter(F.col("_aff"))
+        .join(
+            F.broadcast(dels),
+            F.col(id_col) == F.col("del_id"),
+            "left_anti",
+        )
+        .select(id_col)
+    )
+    # survivor pairs, re-derived from the stored index: restrict the
+    # index to survivor ids (broadcast semi-join — one streaming
+    # index scan), then the standard in-bucket self-join. idx_r is
+    # delta-proportional, so both self-join sides are small.
+    idx_r = track_persist(
+        index.join(F.broadcast(surv), id_col, "left_semi").select(
+            id_col, "band_key"
+        )
+    )
+    a = idx_r.alias("a")
+    pairs = (
+        a.join(
+            idx_r.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias(id_col), F.col("component").alias("new_comp")
+    )
+    relab = surv.join(F.broadcast(comp), id_col, "left").select(
+        id_col,
+        F.coalesce("new_comp", F.col(id_col)).alias("cluster_id"),
+    )
+    sizes = relab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    repaired = relab.join(F.broadcast(sizes), "cluster_id", "left").select(
+        id_col, "cluster_id", "cluster_size"
+    )
+    out = repaired if changed_only else untouched.unionByName(repaired)
+    # idx_r is fully consumed by the eager component build above;
+    # surv stays cached — it appears twice in the returned plan
+    # (relabel + size branches) and is released by unpersist_tracked.
+    idx_r.unpersist()
+    return out.select(
+        id_col,
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    )
+
+
 def _driver_pagerank(
     spark, src_arr, dst_arr, damping: float, max_iter: int, tol: float
 ) -> DataFrame:

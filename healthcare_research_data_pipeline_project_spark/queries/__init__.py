@@ -175,7 +175,16 @@ GATE_PRIORITY = [
     # dedup_incremental_lsh — the r12-new insert-only incremental LSH
     # dedup, gated from birth (its oracle equality IS the proof that
     # the delta rule adds exactly the pairs a full recompute would).
-    "dedup_incremental_lsh",
+    # dedup_incremental_lsh rotated OUT r13 (gated green in r12; the
+    # Δ⋈index ∪ Δ⋈Δ pair rule stays gate-evidenced by
+    # dedup_incremental_clusters in this window, which CONSUMES
+    # lsh_pairs_delta and whose full-recompute oracle pins the pair
+    # set end to end; the row stays green in MIRROR.json) for
+    # dedup_incremental_delete — the r13-new delete-direction twin
+    # (localized cluster repair from the stored band index), gated
+    # from birth: its oracle equality IS the proof that the repair
+    # equals the full recompute over survivors.
+    "dedup_incremental_delete",
     # a10_zscore_outliers rotated OUT r6 (z-score anomaly evidence
     # stays via w1_w2_group_outliers' windowed mean/stddev outlier
     # flags in this window; a10 stays green in MIRROR.json) for

@@ -549,6 +549,78 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Decremental cluster maintenance (r13): a ~8% hash-derived delete
+# batch is removed from the full corpus's STORED cluster assignments.
+# The engine repairs only the clusters that lost a member — survivors
+# of affected clusters get components recomputed from candidate pairs
+# re-derived out of the stored band index restricted to survivor ids
+# (closed by candidate-edge closure: co-bucketed docs share a
+# cluster); untouched clusters pass through verbatim. The oracle is
+# again the full recompute: the RECURSIVE min-label-propagation CTE
+# over ALL surviving pairs of ALL surviving documents — hash-equality
+# proves clusters(corpus \\ del) = repair(stored, index, del) end to
+# end, completing the insert (merge-only) + delete (split-capable)
+# IVM pair for the dedup assignment table.
+# ---------------------------------------------------------------------------
+_DDEL_SALT, _DDEL_CUT = "ddel", 80
+
+
+def _dedup_delete_oracle() -> str:
+    from .datapipe import _lsh_pairs_oracle
+
+    lsh = _lsh_pairs_oracle().strip()
+    assert lsh.startswith("WITH "), "expected a WITH-form LSH oracle"
+    head, final = lsh[len("WITH "):].rsplit("SELECT DISTINCT", 1)
+    bucket = duck_hash_bucket("doc_id", 1000, _DDEL_SALT)
+    return f"""
+    WITH RECURSIVE {head.rstrip()},
+    pairs AS (SELECT DISTINCT {final}),
+    keep AS (SELECT doc_id FROM documents WHERE {bucket} >= {_DDEL_CUT}),
+    kp AS (SELECT id_a, id_b FROM pairs
+           WHERE id_a IN (SELECT doc_id FROM keep)
+             AND id_b IN (SELECT doc_id FROM keep)),
+    e AS (SELECT id_a AS u, id_b AS v FROM kp
+          UNION ALL SELECT id_b, id_a FROM kp),
+    r(node, lab) AS (
+      SELECT doc_id, doc_id FROM keep
+      UNION
+      SELECT e.u, r.lab FROM r JOIN e ON r.node = e.v
+    ),
+    cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM r GROUP BY node),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc
+           GROUP BY cluster_id)
+    SELECT cc.doc_id, cc.cluster_id,
+           CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+           CAST(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS INT)
+             AS is_keeper
+    FROM cc JOIN sz USING (cluster_id)
+    """
+
+
+@register("dedup_incremental_delete", _dedup_delete_oracle())
+def dedup_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+    from ..operators.graph import (
+        decremental_dedup_clusters,
+        dedup_clusters,
+    )
+    from .datapipe import _LSH_BANDS, _LSH_HASHES
+
+    t = load_tables(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(
+        t.documents, "text", "doc_id", num_hashes=_LSH_HASHES, bands=_LSH_BANDS
+    )
+    stored = dedup_clusters(t.documents, pairs)
+    index = D.lsh_banded_index(
+        t.documents, "text", "doc_id", _LSH_HASHES, _LSH_BANDS
+    )
+    dels = t.documents.filter(
+        hash_bucket("doc_id", 1000, _DDEL_SALT) < _DDEL_CUT
+    ).select("doc_id")
+    return decremental_dedup_clusters(stored, index, dels)
+
+
+# ---------------------------------------------------------------------------
 # BPE-ish regex tokenization (SURVEY's "token counting: whitespace + a
 # BPE-ish regex"): alternation of alphanumeric runs and single
 # non-space symbols — the GPT-2-style pre-tokenizer shape. Pure map

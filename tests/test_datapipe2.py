@@ -309,6 +309,94 @@ def test_incremental_clusters_match_full_recompute(spark):
     assert got == want
 
 
+def test_decremental_clusters_hand_case(spark):
+    from healthcare_research_data_pipeline_project_spark.operators.graph import (
+        decremental_dedup_clusters,
+    )
+
+    # stored state (consistent with the hand index below): chain
+    # {1,2,3} via buckets k1(1,2)+k2(2,3), pair {10,11} via k3,
+    # singletons {20} (k4) and {30} (k5), triangle {40,41,42} all
+    # sharing k6. Delete {2,10,30,41}: deleting 2 SPLITS its chain
+    # into singletons {1} and {3}; deleting 10 leaves {11} a
+    # singleton whose label must MOVE off the deleted rep; deleting
+    # 30 removes a whole cluster; deleting 41 shrinks the triangle
+    # but 40-42 still co-bucket, so that cluster survives re-counted;
+    # {20} is untouched and must pass through verbatim.
+    stored = spark.createDataFrame(
+        [(1, 1, 3, 1), (2, 1, 3, 0), (3, 1, 3, 0),
+         (10, 10, 2, 1), (11, 10, 2, 0), (20, 20, 1, 1), (30, 30, 1, 1),
+         (40, 40, 3, 1), (41, 40, 3, 0), (42, 40, 3, 0)],
+        "doc_id long, cluster_id long, cluster_size long, is_keeper int",
+    )
+    index = spark.createDataFrame(
+        [(1, "k1"), (2, "k1"), (2, "k2"), (3, "k2"),
+         (10, "k3"), (11, "k3"), (20, "k4"), (30, "k5"),
+         (40, "k6"), (41, "k6"), (42, "k6")],
+        "doc_id long, band_key string",
+    )
+    dels = spark.createDataFrame(
+        [(2,), (10,), (30,), (41,)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in decremental_dedup_clusters(stored, index, dels).collect()
+    }
+    assert got == {
+        1: (1, 1, 1), 3: (3, 1, 1), 11: (11, 1, 1),
+        20: (20, 1, 1), 40: (40, 2, 1), 42: (40, 2, 0),
+    }
+    # changed_only: exactly the UPDATE half of the warehouse MERGE —
+    # repaired survivors of affected clusters; the untouched {20}
+    # stays out (the DELETE half is the delete batch itself)
+    changed = {
+        r["doc_id"]
+        for r in decremental_dedup_clusters(
+            stored, index, dels, changed_only=True
+        ).collect()
+    }
+    assert changed == {1, 3, 11, 40, 42}
+
+
+def test_decremental_clusters_match_full_recompute(spark):
+    # the registry query's localized-repair rule on real corpus data:
+    # stored assignments minus a delete batch, repaired from the
+    # stored band index, must equal dedup_clusters recomputed over
+    # the surviving documents (the DuckDB oracle pins the same
+    # identity at sf0.01; this pins it at SF_SMOKE with a different
+    # delete set so both regimes stay covered)
+    from healthcare_research_data_pipeline_project_spark.operators import (
+        dedup as D,
+    )
+    from healthcare_research_data_pipeline_project_spark.operators.graph import (
+        decremental_dedup_clusters,
+        dedup_clusters,
+    )
+    from healthcare_research_data_pipeline_project_spark.tables import (
+        load_tables,
+    )
+
+    docs = load_tables(spark, SF_SMOKE).documents.select("doc_id", "text")
+    stored = dedup_clusters(
+        docs, D.lsh_candidate_pairs(docs, "text", "doc_id")
+    )
+    index = D.lsh_banded_index(docs, "text", "doc_id")
+    dels = docs.filter(F.col("doc_id") % 6 == 1).select("doc_id")
+    assert dels.count(), "delete set is empty — pick a denser modulus"
+    remaining = docs.filter(F.col("doc_id") % 6 != 1)
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in decremental_dedup_clusters(stored, index, dels).collect()
+    }
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in dedup_clusters(
+            remaining, D.lsh_candidate_pairs(remaining, "text", "doc_id")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_udtf_tokenize_matches_explode_fast_path(spark):
     from healthcare_research_data_pipeline_project_spark.functions.text import tokens
     from healthcare_research_data_pipeline_project_spark.functions.udtf_ops import (

@@ -253,12 +253,16 @@ def test_ivf_range_routed_probe_is_cell_bounded(spark):
     # nested-loop join allowed is the bounded query×centroid routing
     # cross (≤ queries × #cells rows by construction).
     from tests.conftest import SF_ORACLE
-    from healthcare_research_data_pipeline_project_spark.queries import (
-        QUERIES,
+    from healthcare_research_data_pipeline_project_spark import queries as Q
+
+    from healthcare_research_data_pipeline_project_spark.plans import (
+        explain as X,
     )
 
-    df = QUERIES["sim_ivf_range_search_routed"](spark, SF_ORACLE)
-    plan = df._jdf.queryExecution().explainString("simple")
+    Q.load_all()  # order-independent: registration must not depend
+    # on which sibling test imported the defining module first
+    df = Q.QUERIES["sim_ivf_range_search_routed"](spark, SF_ORACLE)
+    plan = X.plan(df, "simple")
     assert "CartesianProduct" not in plan
     # the candidate expansion is an equi-join on the cell id
     assert "cell" in plan and (

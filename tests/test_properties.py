@@ -441,3 +441,57 @@ def test_incremental_cluster_rule_holds_for_arbitrary_splits(
         ).collect()
     }
     assert got == want
+
+
+@given(
+    variants=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3)),
+        min_size=3,
+        max_size=10,
+    ),
+    del_bits=st.lists(st.booleans(), min_size=3, max_size=10),
+)
+@settings(max_examples=8, deadline=None)
+def test_decremental_cluster_rule_holds_for_arbitrary_deletes(
+    spark, variants, del_bits
+):
+    # the delete-direction twin of the arbitrary-split property:
+    # repairing the stored assignments from the stored band index
+    # after ANY delete batch equals recomputing dedup_clusters over
+    # the survivors — including the everything-deleted and
+    # nothing-deleted edges hypothesis will generate
+    from healthcare_research_data_pipeline_project_spark.operators import (
+        dedup as D,
+    )
+    from healthcare_research_data_pipeline_project_spark.operators.graph import (
+        decremental_dedup_clusters,
+        dedup_clusters,
+    )
+
+    docs = [
+        (i, _DELTA_BASES[b] + (" extra" * suf))
+        for i, (b, suf) in enumerate(variants)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bits = (del_bits * len(docs))[: len(docs)]
+    del_ids = [i for i, d in enumerate(bits) if d]
+    stored = dedup_clusters(df, D.lsh_candidate_pairs(df, "text", "doc_id"))
+    index = D.lsh_banded_index(df, "text", "doc_id")
+    dels = df.filter(
+        F.col("doc_id").isin(del_ids) if del_ids else F.lit(False)
+    ).select("doc_id")
+    remaining = df.filter(
+        ~F.col("doc_id").isin(del_ids) if del_ids else F.lit(True)
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in decremental_dedup_clusters(stored, index, dels).collect()
+    }
+    want = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in dedup_clusters(
+            remaining,
+            D.lsh_candidate_pairs(remaining, "text", "doc_id"),
+        ).collect()
+    }
+    assert got == want
