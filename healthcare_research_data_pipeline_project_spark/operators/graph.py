@@ -78,6 +78,42 @@ def _driver_union_find(spark, edge_rows) -> DataFrame:
     return spark.createDataFrame(rows, "node long, component long")
 
 
+def collected_union_find(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    edge_cap: int | None = None,  # default: _DRIVER_EDGE_CAP (below)
+) -> DataFrame:
+    """Exact components for edge sets that are SMALL BY CONSTRUCTION
+    (the delta-proportional maintenance paths): ONE capped collect
+    into the driver union-find, no regime probe. `connected_components`'
+    derived-threshold decision pays an extra count action and with it
+    a SECOND evaluation of the edge plan — which dominates wall-clock
+    when the edge set is tiny but its producing plan is not (measured
+    on the r13 incremental-cluster path: the probe+collect pair cost
+    ~3.0 s against ~0.5 s for the single collect). Same raise-don't-
+    thrash cap semantics as the driver fast path: over `edge_cap`
+    edges this raises with routing guidance instead of OOMing the
+    driver — callers whose edge sets are NOT delta-bounded belong on
+    `connected_components`."""
+    if edge_cap is None:
+        edge_cap = _DRIVER_EDGE_CAP
+    rows = (
+        edges.select(
+            F.col(src).cast("long"), F.col(dst).cast("long")
+        )
+        .limit(edge_cap + 1)
+        .collect()
+    )
+    if len(rows) > edge_cap:
+        raise ValueError(
+            f"collected_union_find: over {edge_cap} edges — this edge "
+            "set is not delta-bounded; route it through "
+            "connected_components (distributed label propagation)."
+        )
+    return _driver_union_find(edges.sparkSession, rows)
+
+
 # ---------------------------------------------------------------------------
 # Driver/distributed regime crossover — derived, not static (r11).
 #
@@ -384,9 +420,16 @@ def incremental_dedup_clusters(
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
-    pairs = delta_pairs.select(
-        F.col(pair_a).cast("long").alias("pa"),
-        F.col(pair_b).cast("long").alias("pb"),
+    # persist the delta pair set: it feeds BOTH the endpoint branch
+    # and the rep-edge branch of the single union-find collect —
+    # without the cache the physical plan evaluates the (join-heavy)
+    # pair subtree twice inside that one job (r13 measured the double
+    # evaluation at ~2x the collect wall-clock)
+    pairs = track_persist(
+        delta_pairs.select(
+            F.col(pair_a).cast("long").alias("pa"),
+            F.col(pair_b).cast("long").alias("pb"),
+        )
     )
     # endpoint set → stored-rep lookup: inner join streams the stored
     # scan against the broadcast endpoints (build side is the tiny
@@ -411,14 +454,18 @@ def incremental_dedup_clusters(
             F.coalesce("rep_b", "pb").alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
+        # no .distinct(): union-find is idempotent under duplicate
+        # edges, the collect volume stays ≤ |Δ pairs| either way, and
+        # the dedup exchange was pure stage latency on the hot path
     )
-    # union-find over reps: ≤ 2·|Δ pairs| nodes — the exact driver
-    # path of connected_components by construction. The map keeps
-    # IDENTITY rows too (rep already the merged min): those clusters'
-    # labels don't move but their MEMBERSHIP does (delta docs joined
-    # them), so they must re-count.
-    rep_map = connected_components(rep_edges, "u", "v").select(
+    # union-find over reps: ≤ 2·|Δ pairs| nodes by construction, so
+    # the capped single-collect driver path applies — no regime probe
+    # (the probe's count action re-evaluated the whole delta-pair
+    # plan; r13 measured it at ~3.0 s vs ~0.5 s for one collect). The
+    # map keeps IDENTITY rows too (rep already the merged min): those
+    # clusters' labels don't move but their MEMBERSHIP does (delta
+    # docs joined them), so they must re-count.
+    rep_map = collected_union_find(rep_edges, "u", "v").select(
         F.col("node").alias("rep"), F.col("component").alias("new_comp")
     )
     found.unpersist()
@@ -588,7 +635,10 @@ def decremental_dedup_clusters(
         )
         .distinct()
     )
-    comp = connected_components(pairs, "id_a", "id_b").select(
+    # survivor pair sets are delta-bounded (affected clusters only),
+    # so the capped single-collect union-find applies — the regime
+    # probe would re-evaluate the restricted-index self-join twice
+    comp = collected_union_find(pairs, "id_a", "id_b").select(
         F.col("node").alias(id_col), F.col("component").alias("new_comp")
     )
     relab = surv.join(F.broadcast(comp), id_col, "left").select(

@@ -1463,6 +1463,96 @@ def label_centroids(
     )
 
 
+def semdedup_keep(
+    emb: DataFrame,
+    tau: float,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) keep policy over
+    cell-bounded semantic duplicate groups: near-duplicate pairs form
+    only INSIDE a coarse cell (`embedding_near_dup_pairs` — the
+    paper's k-means-cluster candidate bound), connected components
+    turn them into duplicate groups, and each group KEEPS exactly the
+    member LEAST similar to its cell centroid — the paper's
+    diversity-preserving rule (high-centroid-sim members are the
+    redundant core; the outlier carries the information). Returns the
+    full per-vector assignment: (id, cell, group_id, group_size,
+    cent_cos, is_keeper) — `is_keeper=0` rows are what a curation
+    pipeline drops.
+
+    Engine-portable selection: the centroid is the per-(cell, dim)
+    mean (`label_centroids` — SQL-expressible), and `cent_cos` is
+    rounded HALF_UP to 4 dp BEFORE both output and the keeper ordering
+    (ties break on id), so float summation-order drift across
+    engines/partitionings is absorbed the same way the pair threshold
+    and the routed-IVF centroid ranking absorb it.
+
+    Scale shape: candidates are cell-bounded (pass a trained adaptive
+    assignment as `cell_col` at production scale — the
+    `dedup_semantic_blocks` posture: k ∝ n keeps per-cell pair work
+    bounded); the centroid table is ≤ #cells rows and broadcasts onto
+    the corpus scan; component edges are the thresholded pair set
+    (bounded by construction); group labeling + keeper selection is
+    ONE hash exchange on group_id shared by both window functions.
+    """
+    from .graph import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=tau, block_col=cell_col,
+        id_col=id_col, vec_col=vec_col,
+    )
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias(id_col), F.col("component").alias("grp")
+    )
+    cn = label_centroids(emb, cell_col, vec_col).select(
+        "cell",
+        "centroid",
+        F.sqrt(
+            F.expr("aggregate(centroid, 0.0D, (a, x) -> a + x * x)")
+        ).alias("cnorm"),
+    )
+    m = (
+        emb.select(
+            F.col(id_col),
+            F.col(cell_col).alias("cell"),
+            F.col(vec_col).alias("v"),
+        )
+        .join(F.broadcast(cn), "cell")
+        .select(
+            id_col,
+            "cell",
+            F.round(
+                _dot("v", "centroid")
+                / (F.sqrt(_dot("v", "v")) * F.col("cnorm")),
+                4,
+            ).cast("double").alias("cent_cos"),
+        )
+    )
+    # no broadcast hint on comp: its row count is the number of
+    # matched nodes — corpus-bounded, not cell-bounded — so AQE picks
+    # the strategy from runtime stats instead of a hard-coded hint
+    lab = m.join(comp, id_col, "left").select(
+        id_col,
+        "cell",
+        F.coalesce("grp", F.col(id_col)).alias("group_id"),
+        "cent_cos",
+    )
+    w = Window.partitionBy("group_id")
+    wk = Window.partitionBy("group_id").orderBy(
+        F.asc("cent_cos"), F.asc(id_col)
+    )
+    return lab.select(
+        id_col,
+        "cell",
+        "group_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        "cent_cos",
+        (F.row_number().over(wk) == 1).cast("int").alias("is_keeper"),
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],

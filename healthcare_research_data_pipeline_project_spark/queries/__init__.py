@@ -412,7 +412,16 @@ GATE_PRIORITY = [
     # MIRROR.json) for sim_range_search — the r11-new exact radius
     # search whose oracle pins the Q-broadcast path against brute
     # force, in the never-gated r11-new set VERDICT r11 #1 named.
-    "sim_range_search",
+    # sim_range_search rotated OUT late-r13 (gated green in r12-r13;
+    # the 4-dp-rounded radius screen stays gate-evidenced by
+    # sim_ivf_range_search_routed in this window — its oracle applies
+    # the SAME τ screen inside the derived probe set — and the exact
+    # full-scan identity stays pinned by sim_ivf_range_search's
+    # probe-all oracle in MIRROR.json) for dedup_semdedup_keep — the
+    # r13-new SemDeDup keep policy, gated from birth: its oracle
+    # rebuilds centroids, pair threshold, components AND the keeper
+    # argmin in SQL, so the keep decision itself is value-hash-pinned.
+    "dedup_semdedup_keep",
     # text_token_stats rotated OUT r13 (gated green r4-r12; the
     # token-stat HOF machinery stays gate-evidenced by
     # text_quality_score, which consumes the same tokenizer and

@@ -516,3 +516,81 @@ def sim_ivf_range_search_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_range_search(
         t.embeddings, _RANGE_QUERY_IDS, _RANGE_TAU, nprobe=nprobe
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup keep policy (r13; Abbas et al. 2023, arXiv:2303.09540):
+# cell-bounded semantic duplicate groups with the paper's
+# diversity-preserving keep — each group keeps exactly the member
+# LEAST similar to its cell centroid. The oracle rebuilds the whole
+# pipeline in SQL: per-(cell, dim) AVG centroids (the routed-IVF
+# doctrine), 4-dp-rounded intra-cell pair threshold, RECURSIVE
+# min-label components over those pairs, 4-dp-rounded member-centroid
+# cosine, and the keeper ROW_NUMBER with the id tie-break — so the
+# keep decision itself is value-hash-pinned across engines. At
+# production scale the cell column is a trained adaptive k-means
+# assignment (dedup_semantic_blocks posture); the fixed label cells
+# here keep the oracle exact.
+# ---------------------------------------------------------------------------
+_SEMD_TAU = 0.35
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, label AS cell, embedding,
+                 sqrt({_dot_sql('embedding', 'embedding')}) AS vnorm
+          FROM embeddings),
+    xp AS (SELECT label AS cell, unnest(embedding) AS x,
+                  unnest(generate_series(1, len(embedding))) AS pos
+           FROM embeddings),
+    cent AS (SELECT cell, pos, AVG(CAST(x AS DOUBLE)) AS mu
+             FROM xp GROUP BY cell, pos),
+    cn AS (SELECT cell, sqrt(SUM(mu * mu)) AS cnorm FROM cent
+           GROUP BY cell),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE CAST(ROUND({_dot_sql('a.embedding', 'b.embedding')} /
+                       (a.vnorm * b.vnorm), 4) AS DOUBLE) >= {_SEMD_TAU}
+    ),
+    e AS (SELECT id_a AS u, id_b AS w FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    r(node, lab) AS (
+      SELECT vec_id, vec_id FROM v
+      UNION
+      SELECT e.u, r.lab FROM r JOIN e ON r.node = e.w
+    ),
+    cc AS (SELECT node, MIN(lab) AS grp FROM r GROUP BY node),
+    vd AS (SELECT v.vec_id,
+                  SUM(CAST(v.embedding[pos] AS DOUBLE) * mu) AS vdot
+           FROM v JOIN cent ON cent.cell = v.cell
+           GROUP BY v.vec_id),
+    m AS (SELECT v.vec_id, v.cell, cc.grp AS group_id,
+                 CAST(ROUND(vd.vdot / (v.vnorm * cn.cnorm), 4) AS DOUBLE)
+                   AS cent_cos
+          FROM v
+          JOIN vd ON vd.vec_id = v.vec_id
+          JOIN cc ON cc.node = v.vec_id
+          JOIN cn ON cn.cell = v.cell),
+    sz AS (SELECT group_id, COUNT(*) AS n FROM m GROUP BY group_id),
+    k AS (SELECT m.*,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY group_id
+                   ORDER BY cent_cos ASC, vec_id ASC
+                 ) AS rn
+          FROM m)
+    SELECT k.vec_id, k.cell, k.group_id,
+           CAST(sz.n AS BIGINT) AS group_size,
+           k.cent_cos,
+           CAST(CASE WHEN k.rn = 1 THEN 1 ELSE 0 END AS INT) AS is_keeper
+    FROM k JOIN sz USING (group_id)
+    """
+
+
+@register("dedup_semdedup_keep", _semdedup_oracle())
+def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semdedup_keep
+
+    t = load_tables(spark, sf_dir)
+    return semdedup_keep(t.embeddings, tau=_SEMD_TAU)

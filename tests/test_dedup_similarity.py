@@ -657,3 +657,58 @@ def test_knn_graph_ann_candidates_are_bucket_bounded(spark):
     pairs = {(r["src"], r["dst"]) for r in g}
     # identical/near-identical vectors share every band bucket
     assert (0, 1) in pairs and (1, 0) in pairs
+
+
+def test_semdedup_keep_hand_case(spark):
+    # cell 0: ids 1,2 identical (cos 1 -> one group; centroid-cos TIE
+    # by symmetry -> keeper is the min id), id 3 orthogonal
+    # (singleton). cell 1: ids 4,5 at cos 0.8 with UNEQUAL norms, so
+    # the centroid leans toward the longer vector and the keep rule
+    # picks the LESS-central member (id 4: 1.3/sqrt(2.05)=0.9080 vs
+    # id 5: 2.8/(2*sqrt(2.05))=0.9778).
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0, 0.0, 0.0]),
+            (2, 0, [1.0, 0.0, 0.0, 0.0]),
+            (3, 0, [0.0, 1.0, 0.0, 0.0]),
+            (4, 1, [0.0, 0.0, 1.0, 0.0]),
+            (5, 1, [0.0, 0.0, 1.6, 1.2]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (
+            r["group_id"], r["group_size"], r["cent_cos"], r["is_keeper"]
+        )
+        for r in S.semdedup_keep(emb, tau=0.5).collect()
+    }
+    assert got == {
+        1: (1, 2, 0.8944, 1),
+        2: (1, 2, 0.8944, 0),
+        3: (3, 1, 0.4472, 1),
+        4: (4, 2, 0.908, 1),
+        5: (4, 2, 0.9778, 0),
+    }
+
+
+def test_semdedup_keep_invariants_on_corpus(spark):
+    # real-data invariants the oracle's exact pin rides on: one
+    # keeper per group, the keeper is the group's (cent_cos, id)
+    # argmin, group sizes recount, and every vector is assigned
+    emb = load_tables(spark, SF_ORACLE).embeddings
+    rows = S.semdedup_keep(emb, tau=0.35).collect()
+    n = emb.count()
+    assert len(rows) == n
+    by_group: dict[int, list] = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], []).append(r)
+    assert any(len(v) > 1 for v in by_group.values()), (
+        "tau produced no multi-member groups — the keep rule is untested"
+    )
+    for gid, members in by_group.items():
+        assert all(m["group_size"] == len(members) for m in members)
+        keepers = [m for m in members if m["is_keeper"] == 1]
+        assert len(keepers) == 1
+        assert min(
+            (m["cent_cos"], m["vec_id"]) for m in members
+        ) == (keepers[0]["cent_cos"], keepers[0]["vec_id"])
