@@ -120,6 +120,20 @@ SHOWCASE: dict[str, tuple[str, list[str]]] = {
         "window over the data",
         [r"windowspecdefinition", r"rangepartitioning"],
     ),
+    "dedup_incremental_delete": (
+        "decremental cluster repair: the corpus-sized stored "
+        "assignment scans stream against BROADCAST delete/affected "
+        "sets (never shuffled), the rep/size maps broadcast back, and "
+        "the only self-join is over the survivor-restricted index",
+        [r"BroadcastHashJoin", r"Scan parquet", r"BroadcastExchange"],
+    ),
+    "dedup_semdedup_keep": (
+        "SemDeDup keep: cell-bounded pair scan feeds a driver-side "
+        "component map; centroids (≤ #cells rows) broadcast onto the "
+        "corpus scan, and group labeling + keeper selection share ONE "
+        "hash exchange on group_id (both windows ride it)",
+        [r"Window", r"hashpartitioning\(group_id", r"BroadcastExchange"],
+    ),
 }
 
 
