@@ -331,7 +331,18 @@ GATE_PRIORITY = [
     # dedup_ngram_jaccard_capped — the df-capped n-gram Jaccard
     # inverted index, the corpus's steepest non-graph 20x scaling row
     # and never gated (VERDICT r10 #3/#4).
-    "dedup_ngram_jaccard_capped",
+    # dedup_ngram_jaccard_capped rotated OUT late-r13 (gated green
+    # r11-r12; df-capped posting-list candidate expansion stays gate-
+    # evidenced by text_containment_pairs in this window — the same
+    # df-cap discipline with an exact hot-shingle correction — and
+    # banded-minhash pair semantics by dedup_incremental_clusters /
+    # dedup_incremental_delete, whose RECURSIVE-CTE oracles re-derive
+    # the LSH pair set end to end; the row stays green in MIRROR.json)
+    # for ds_dsir_sample — the r13-new DSIR importance-resampling
+    # data-selection operator (hashed-bigram likelihood-ratio weights
+    # + deterministic Gumbel top-k), gated from birth per the
+    # newest-ops-first discipline.
+    "ds_dsir_sample",
     # dedup_ngram_jaccard rotated OUT r6 (exact n-gram Jaccard stays
     # gate-evidenced by dedup_lsh_pairs' exact-Jaccard verify stage in
     # this window, and the df-capped variant stays green in

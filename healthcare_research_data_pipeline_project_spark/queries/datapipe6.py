@@ -425,3 +425,201 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al., "Data Selection for Language Models
+# via Importance Resampling", NeurIPS 2023): pick the raw-corpus docs
+# that look most like a curated TARGET distribution, by importance
+# weights in a hashed-bigram feature space, then Gumbel-top-k
+# resampling. Everything is the paper's estimator, made engine-exact:
+#
+#   * features: word bigrams hashed into _DSIR_B buckets (the paper's
+#     hashed n-gram space — collisions are part of the estimator);
+#   * bucket LMs: Laplace-smoothed unigram models over buckets for
+#     the target slice (source IN _DSIR_TARGET) and the full raw
+#     corpus; the per-bucket log-likelihood ratio
+#     ln p_t(b) − ln p_r(b) is rounded ONCE to integer micro-nats
+#     (the text_unigram_logprob doctrine: after that every per-doc
+#     sum is exact BIGINT arithmetic, order-independent on both
+#     engines);
+#   * per-doc log-weight: Σ_b c_doc[b]·λ[b] — c ≤ doc length,
+#     |λ| ≤ ~2e7 micro-nats, so the sum stays far inside BIGINT;
+#   * sampling WITHOUT replacement via the Gumbel-top-k trick
+#     (Vieira 2014): key = logw + g, g = −ln(−ln(u)) with u a
+#     deterministic hash-uniform in (0,1) — u = (h + 0.5)/2^20 is
+#     dyadic-exact, g rounds to micro-nats, the key is an exact
+#     BIGINT sum, ties break on doc_id. Top-k of an integer key is
+#     engine-portable with no float-boundary risk.
+#
+# Scale shape: explode(bigrams) → map-side-combined count to
+# (doc, bucket); bucket stats aggregate to ≤ _DSIR_B rows, so λ rides
+# a BROADCAST join back onto the (doc, bucket) counts; one more
+# groupBy(doc) and a TakeOrderedAndProject(k) — no data-sized sort,
+# no window, no cartesian. The docs⋈weights left join is a
+# co-partitionable equi-join on doc_id (docs with <2 tokens have no
+# bigram rows but stay sample candidates at logw = 0).
+# ---------------------------------------------------------------------------
+_DSIR_B = 1024  # hashed-feature buckets
+_DSIR_K = 50  # sample size (without replacement)
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")  # curated target slice
+_DSIR_GMOD = 1_048_576  # 2^20: Gumbel coin resolution ((h+0.5)/2^20 is exact)
+
+
+@register(
+    "ds_dsir_sample",
+    f"""
+    WITH d AS (SELECT doc_id, source, {_DOC_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(generate_series(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS bigs
+      FROM d
+    ),
+    x AS (SELECT doc_id, source, unnest(bigs) AS bgr FROM bg),
+    bc AS (
+      SELECT doc_id, source, {duck_hash64('bgr', 'dsirb')} % {_DSIR_B} AS bkt,
+             COUNT(*) AS c
+      FROM x GROUP BY doc_id, source, {duck_hash64('bgr', 'dsirb')} % {_DSIR_B}
+    ),
+    bs AS (
+      SELECT bkt,
+             SUM(CASE WHEN source IN {_DSIR_TARGET} THEN c ELSE 0 END) AS tc,
+             SUM(c) AS rc
+      FROM bc GROUP BY bkt
+    ),
+    tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM bs),
+    lam AS (
+      SELECT bkt,
+             CAST(ROUND((ln(CAST(tc + 1 AS DOUBLE))
+                         - ln(CAST(tt + {_DSIR_B} AS DOUBLE))
+                         - ln(CAST(rc + 1 AS DOUBLE))
+                         + ln(CAST(rt + {_DSIR_B} AS DOUBLE))) * 1000000, 0)
+                  AS BIGINT) AS lam
+      FROM bs, tot
+    ),
+    dw AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(SUM(c * lam) AS BIGINT) AS lw
+      FROM bc JOIN lam USING (bkt) GROUP BY doc_id
+    ),
+    s AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(dw.n_bigrams, 0) AS n_bigrams,
+             COALESCE(dw.lw, 0) AS logw_micro,
+             {duck_hash64('CAST(d.doc_id AS VARCHAR)', 'dsirg')}
+               % {_DSIR_GMOD} AS h
+      FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id
+    ),
+    k AS (
+      SELECT doc_id, source, n_bigrams, logw_micro,
+             logw_micro + CAST(ROUND(
+               -ln(-ln((CAST(h AS DOUBLE) + 0.5) / {_DSIR_GMOD}))
+               * 1000000, 0) AS BIGINT) AS key_micro
+      FROM s
+    )
+    SELECT doc_id, source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           {duck_round_div('logw_micro', '1000000', 4)} AS logw_nats,
+           CAST(key_micro AS BIGINT) AS key_micro
+    FROM k
+    ORDER BY key_micro DESC, doc_id
+    LIMIT {_DSIR_K}
+    """,
+)
+def ds_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    )
+    bg = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN "
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) "
+            "ELSE array() END"
+        ).alias("bigs"),
+    )
+    x = bg.select("doc_id", "source", F.explode("bigs").alias("bgr"))
+    bc = (
+        x.select(
+            "doc_id",
+            "source",
+            (F.expr(hash64_expr("bgr", "dsirb")) % _DSIR_B).alias("bkt"),
+        )
+        .groupBy("doc_id", "source", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_target = F.col("source").isin(*_DSIR_TARGET)
+    bs = bc.groupBy("bkt").agg(
+        F.sum(F.when(is_target, F.col("c")).otherwise(F.lit(0))).alias("tc"),
+        F.sum("c").alias("rc"),
+    )
+    tot = bs.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
+    lam = bs.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.round(
+            (
+                F.log((F.col("tc") + 1).cast("double"))
+                - F.log((F.col("tt") + _DSIR_B).cast("double"))
+                - F.log((F.col("rc") + 1).cast("double"))
+                + F.log((F.col("rt") + _DSIR_B).cast("double"))
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("lam"),
+    )
+    dw = (
+        bc.join(F.broadcast(lam), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lam")).cast("long").alias("lw"),
+        )
+    )
+    s = (
+        t.documents.select("doc_id", "source")
+        .join(dw, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("lw", F.lit(0)).cast("long").alias("logw_micro"),
+            (
+                F.expr(hash64_expr("cast(doc_id as string)", "dsirg"))
+                % _DSIR_GMOD
+            ).alias("h"),
+        )
+    )
+    k = s.select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        "logw_micro",
+        (
+            F.col("logw_micro")
+            + F.round(
+                -F.log(
+                    -F.log((F.col("h").cast("double") + 0.5) / _DSIR_GMOD)
+                )
+                * 1000000,
+                0,
+            ).cast("long")
+        ).alias("key_micro"),
+    )
+    return (
+        k.orderBy(F.col("key_micro").desc(), "doc_id")
+        .limit(_DSIR_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            round_div(F.col("logw_micro"), F.lit(1000000), "logw_nats", 4),
+            F.col("key_micro").cast("long").alias("key_micro"),
+        )
+    )

@@ -196,3 +196,59 @@ def test_psi_drift_partition_invariant(spark):
         spark, {"events": events.repartition(17)}, "dq_psi_drift"
     )
     assert a["psi"] == b["psi"]
+
+
+def test_dsir_sample_upweights_target_like_docs(spark):
+    # target slice (src0) speaks vocabulary A; the raw remainder
+    # (src9) speaks vocabulary B — except three "gold" src9 docs that
+    # speak A. DSIR's whole point: the gold docs must carry strictly
+    # higher importance weights than every B-speaking doc.
+    voc_a = "alpha beta gamma delta " * 20
+    voc_b = "omega sigma theta kappa " * 20
+    rows = [(i, voc_a, "en", "src0", 1) for i in range(10)]
+    rows += [(100 + i, voc_b, "en", "src9", 1) for i in range(10)]
+    rows += [(200 + i, voc_a, "en", "src9", 1) for i in range(3)]
+    got = _with_tables(
+        spark, {"documents": _docs(spark, rows)}, "ds_dsir_sample"
+    )
+    # 23 docs < K=50: the whole corpus comes back (Gumbel top-k over
+    # everything), keys strictly descending with doc_id tie-break
+    assert len(got) == 23
+    keys = [(r["key_micro"], -r["doc_id"]) for r in got]
+    assert keys == sorted(keys, reverse=True)
+    by_id = {r["doc_id"]: r for r in got}
+    gold = [by_id[200 + i]["logw_nats"] for i in range(3)]
+    bad = [by_id[100 + i]["logw_nats"] for i in range(10)]
+    assert min(gold) > max(bad)
+    # identical text => identical weight (features are content-only)
+    assert len(set(gold)) == 1 and len(set(bad)) == 1
+
+
+def test_dsir_sample_short_docs_stay_candidates(spark):
+    # a doc with < 2 tokens has no bigram features; it must still be
+    # a sample candidate with logw = 0 (left-join path), not vanish
+    rows = [(1, "solo", "en", "src9", 1), (2, "a b c d", "en", "src0", 1)]
+    got = {r["doc_id"]: r for r in _with_tables(
+        spark, {"documents": _docs(spark, rows)}, "ds_dsir_sample"
+    )}
+    assert set(got) == {1, 2}
+    assert got[1]["n_bigrams"] == 0 and got[1]["logw_nats"] == 0.0
+    assert got[2]["n_bigrams"] == 3
+
+
+def test_dsir_sample_partition_invariant(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)),
+         "en", f"src{i % 6}", 1)
+        for i in range(80)
+    ]
+    docs = _docs(spark, rows)
+    a = _with_tables(spark, {"documents": docs}, "ds_dsir_sample")
+    b = _with_tables(
+        spark, {"documents": docs.repartition(13)}, "ds_dsir_sample"
+    )
+    key = lambda r: (
+        r["doc_id"], r["source"], r["n_bigrams"], r["logw_nats"],
+        r["key_micro"],
+    )
+    assert sorted(map(key, a)) == sorted(map(key, b))
