@@ -18,6 +18,17 @@ needing one here because the batch id IS the key. On a real deployment
 the subdir layout maps to Delta/Iceberg appends with the batch id as
 the idempotent txn key.
 
+Lifecycle at scale (r13): per-batch subdirs accrete — 10k micro-batches
+of 32-file writes is 300k+ tiny parquet files, the small-files wall
+where index probes pay per-file listing/open cost. `compact_lsh_index`
+folds the committed subdirs into one band_key-partitioned `compact=W`
+segment under an atomic-rename watermark protocol (readers take the
+newest segment plus batch dirs ABOVE its id, so every step is
+crash-consistent), and `gc_snapshots` bounds the cluster-snapshot
+retention to the newest K. Run compaction offline between
+AvailableNow ingest runs; the checkpoint must outlive the index (ids
+below the watermark are refused as a reset-checkpoint signal).
+
 Reference anchor: the reference has no streaming ingestion at all
 (SURVEY §4 — batch ETL into an RDBMS); this module is part of the
 beyond-reference LLM-pipeline surface, composing §2.10 streaming with
@@ -37,27 +48,23 @@ from .surveillance import DOCUMENT_SCHEMA
 #: band-index subdirs and pair subdirs are keyed by micro-batch id
 _BATCH_FMT = "batch={0}"
 
+#: a compacted index segment: the union of every batch subdir with id
+#: ≤ the watermark, rewritten band_key-partitioned in one directory.
+#: The watermark id makes the read protocol crash-consistent — see
+#: `compact_lsh_index`.
+_COMPACT_FMT = "compact={0}"
 
-def _index_glob(index_dir: str) -> str:
-    return os.path.join(index_dir, "batch=*")
 
-
-def _has_index(spark: SparkSession, index_dir: str) -> bool:
-    """True iff the stored band index has ≥1 committed batch subdir.
-
-    Probed through the Hadoop FileSystem API — NOT driver-local
-    os.listdir — because index_dir is a Spark path: on HDFS/S3 (the
-    deployment the module docstring maps to Delta/Iceberg appends) a
-    local listdir is silently False every batch, which would silently
-    drop every cross-batch candidate pair. globStatus returns null
-    when the parent does not exist and an empty array when nothing
-    matches; both mean "no index yet"."""
+def _fs_for(spark: SparkSession, path_str: str):
+    """(Hadoop FileSystem, Path) for a Spark path string — resolved
+    through the Hadoop FileSystem API, NOT driver-local os.listdir,
+    because these are Spark paths: on HDFS/S3 (the deployment the
+    module docstring maps to Delta/Iceberg appends) a local listdir
+    is silently empty every batch, which would silently drop every
+    cross-batch candidate pair."""
     sc = spark.sparkContext
-    jvm = sc._jvm
-    path = jvm.org.apache.hadoop.fs.Path(_index_glob(index_dir))
-    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
-    statuses = fs.globStatus(path)
-    return statuses is not None and len(statuses) > 0
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path_str)
+    return jpath.getFileSystem(sc._jsc.hadoopConfiguration()), jpath
 
 
 #: schema of the maintained cluster-assignment snapshot (the
@@ -65,14 +72,12 @@ def _has_index(spark: SparkSession, index_dir: str) -> bool:
 _CLUSTER_SCHEMA = "doc_id long, cluster_id long, cluster_size long, is_keeper int"
 
 
-def _committed_batch_ids(spark: SparkSession, state_dir: str) -> list[int]:
-    """Batch ids with a committed subdir under `state_dir`, via the
-    Hadoop FS API (works on any scheme — see `_has_index`)."""
-    sc = spark.sparkContext
-    path = sc._jvm.org.apache.hadoop.fs.Path(
-        os.path.join(state_dir, "batch=*")
-    )
-    fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+def _committed_ids(
+    spark: SparkSession, state_dir: str, prefix: str = "batch"
+) -> list[int]:
+    """Ids with a committed `{prefix}=N` subdir under `state_dir`, via
+    the Hadoop FS API (works on any scheme — see `_fs_for`)."""
+    fs, path = _fs_for(spark, os.path.join(state_dir, f"{prefix}=*"))
     statuses = fs.globStatus(path)
     ids = []
     for st in statuses or []:
@@ -80,6 +85,156 @@ def _committed_batch_ids(spark: SparkSession, state_dir: str) -> list[int]:
         if suffix.isdigit():
             ids.append(int(suffix))
     return sorted(ids)
+
+
+def _committed_batch_ids(spark: SparkSession, state_dir: str) -> list[int]:
+    return _committed_ids(spark, state_dir, "batch")
+
+
+def _index_watermark(spark: SparkSession, index_dir: str) -> int:
+    """Newest compacted segment's id, or -1 if never compacted."""
+    cids = _committed_ids(spark, index_dir, "compact")
+    return max(cids) if cids else -1
+
+
+def _effective_index_parts(
+    spark: SparkSession, index_dir: str
+) -> list[str]:
+    """The subdirectories that together ARE the current index: the
+    newest `compact=W` segment (if any) plus every `batch=i` subdir
+    with i > W. Batch subdirs at or below the watermark are ALREADY
+    folded into the segment and must be ignored — that rule is what
+    makes compaction crash-consistent (a crash between the segment
+    rename and the batch-dir GC leaves both visible; the watermark
+    dedups them) and replay-convergent (a replayed batch rewrites a
+    dir the readers ignore)."""
+    w = _index_watermark(spark, index_dir)
+    parts = []
+    if w >= 0:
+        parts.append(os.path.join(index_dir, _COMPACT_FMT.format(w)))
+    parts.extend(
+        os.path.join(index_dir, _BATCH_FMT.format(b))
+        for b in _committed_batch_ids(spark, index_dir)
+        if b > w
+    )
+    return parts
+
+
+def read_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The current stored band index (compacted segment + tail
+    batches), or None when nothing has been committed yet."""
+    parts = _effective_index_parts(spark, index_dir)
+    if not parts:
+        return None
+    return spark.read.parquet(*parts)
+
+
+def compact_lsh_index(
+    spark: SparkSession,
+    index_dir: str,
+    num_files: int | None = None,
+) -> int:
+    """Fold every committed index subdir into ONE band_key-partitioned
+    segment, then GC the dirs it superseded. Returns the new
+    watermark (-1 when there was nothing to compact).
+
+    Why this exists: continuous ingestion appends one `batch=N`
+    subdir per micro-batch, each holding up to shuffle-partitions
+    parquet files — after 10k micro-batches the index is 100k+ tiny
+    files, and every probe pays per-file listing/open/footer cost
+    (the classic small-files wall; on S3 the listing alone dominates).
+    Compaction rewrites the effective index as one segment with
+    `num_files` band_key-partitioned files, so the delta probe reads
+    few, well-sized, co-bucketed files.
+
+    Commit protocol (crash-consistent at every step):
+      1. read the EFFECTIVE index (watermark rule — never double-reads
+         a batch already folded into an older segment);
+      2. write it to a `_tmp_compact=<W>` dir, partitioned by
+         band_key (W = the highest id folded in);
+      3. atomically rename the tmp dir to `compact=<W>` — THE commit;
+      4. GC: delete batch dirs ≤ W and compact segments < W. A crash
+         before 3 leaves only tmp garbage (re-running overwrites it);
+         a crash during 4 leaves dirs the watermark rule ignores.
+
+    Run it OFFLINE, between `run_lsh_ingest` invocations (the
+    AvailableNow trigger returns when the backlog drains, so there is
+    a natural quiesce point). The streaming checkpoint must live as
+    long as the index: batch ids below the watermark are treated as
+    already-ingested, so `process_document_batch` refuses ids that
+    jump BELOW it (a reset checkpoint restarting at 0 would otherwise
+    silently skip indexing new documents)."""
+    w_old = _index_watermark(spark, index_dir)
+    batch_ids = [
+        b for b in _committed_batch_ids(spark, index_dir) if b > w_old
+    ]
+    if not batch_ids:
+        return w_old  # nothing new to fold
+    w_new = max(batch_ids)
+    eff = read_index(spark, index_dir)
+    if num_files is None:
+        num_files = max(
+            1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4
+        )
+    tmp = os.path.join(index_dir, f"_tmp_compact={w_new}")
+    final = os.path.join(index_dir, _COMPACT_FMT.format(w_new))
+    # band_key-partitioned: the probe join's bucket layout (see
+    # lsh_banded_index — single-key bucketing serves the corpus-sized
+    # side exchange-free)
+    eff.repartition(num_files, "band_key").write.mode("overwrite").parquet(
+        tmp
+    )
+    fs, tmp_path = _fs_for(spark, tmp)
+    final_path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(final)
+    if fs.exists(final_path):  # re-run after a crash past step 3
+        fs.delete(tmp_path, True)
+    elif not fs.rename(tmp_path, final_path):
+        raise IOError(
+            f"compact_lsh_index: rename {tmp} -> {final} failed"
+        )
+    # step 4: GC superseded dirs (pure cleanup — readers already
+    # ignore them via the watermark rule)
+    for b in batch_ids:
+        fs.delete(
+            spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
+                os.path.join(index_dir, _BATCH_FMT.format(b))
+            ),
+            True,
+        )
+    if w_old >= 0:
+        fs.delete(
+            spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
+                os.path.join(index_dir, _COMPACT_FMT.format(w_old))
+            ),
+            True,
+        )
+    return w_new
+
+
+def gc_snapshots(
+    spark: SparkSession, state_dir: str, keep_last: int = 2
+) -> list[int]:
+    """Delete all but the newest `keep_last` `batch=N` snapshot dirs
+    under `state_dir` (the cluster-assignment snapshots are FULL
+    copies per batch — without retention the state dir grows as
+    corpus × batches). Returns the deleted ids. Never deletes the
+    newest snapshot (keep_last < 1 is coerced to 1): `read_clusters`
+    serves from max(id), which a replayed batch never rewrites
+    (replays fold onto the strictly-older snapshot)."""
+    keep_last = max(1, keep_last)
+    ids = _committed_batch_ids(spark, state_dir)
+    doomed = ids[:-keep_last] if len(ids) > keep_last else []
+    if not doomed:
+        return []
+    fs, _ = _fs_for(spark, state_dir)
+    for b in doomed:
+        fs.delete(
+            spark.sparkContext._jvm.org.apache.hadoop.fs.Path(
+                os.path.join(state_dir, _BATCH_FMT.format(b))
+            ),
+            True,
+        )
+    return doomed
 
 
 def _latest_cluster_state(
@@ -119,16 +274,28 @@ def process_document_batch(
     new_idx = lsh_banded_index(
         batch_df, "text", "doc_id", num_hashes, bands
     )
-    has_index = _has_index(spark, index_dir)
+    watermark = _index_watermark(spark, index_dir)
+    if batch_id < watermark:
+        # a compacted index treats ids ≤ watermark as already folded
+        # in (read protocol) — a batch id BELOW it means the streaming
+        # checkpoint was reset while the index survived, and every
+        # restarted batch would be silently ignored. Fail loudly.
+        # (== is legal: the LAST pre-compaction batch replays with its
+        # own band rows already in the segment; the emitted pair set
+        # is unchanged — Δ⋈Δ and Δ⋈index duplicates collapse in the
+        # delta rule's distinct — and its index rewrite is ignored.)
+        raise ValueError(
+            f"lsh_ingest: batch id {batch_id} is below the compaction "
+            f"watermark {watermark} — the checkpoint was reset against "
+            "a compacted index. Restore the checkpoint or start a "
+            "fresh index_dir."
+        )
     # first batch: probe an EMPTY index — the Δ⋈Δ branch alone emits
     # the batch's intra pairs. (The batch is hashed once for the pair
     # computation and once for the index write — both delta-sized; the
     # corpus-sized index is never re-hashed, which is the contract.)
-    old_index = (
-        spark.read.parquet(_index_glob(index_dir))
-        if has_index
-        else new_idx.limit(0)
-    )
+    stored = read_index(spark, index_dir)
+    old_index = stored if stored is not None else new_idx.limit(0)
     pairs = lsh_pairs_delta(
         None, batch_df, "text", "doc_id",
         num_hashes, bands, old_index=old_index,

@@ -712,3 +712,119 @@ def test_semdedup_keep_invariants_on_corpus(spark):
         assert min(
             (m["cent_cos"], m["vec_id"]) for m in members
         ) == (keepers[0]["cent_cos"], keepers[0]["vec_id"])
+
+
+def test_lsh_index_compaction_preserves_pairs(spark, tmp_path):
+    # compaction lifecycle (r13): fold the per-batch index subdirs
+    # into one band_key-partitioned segment; the effective index must
+    # be row-identical, subsequent ingestion must keep emitting the
+    # correct delta pairs, and the superseded dirs must be GC'd.
+    import os
+
+    from healthcare_research_data_pipeline_project_spark.streaming.lsh_ingest import (
+        _committed_ids,
+        compact_lsh_index,
+        read_index,
+        read_pairs,
+        run_lsh_ingest,
+    )
+
+    docs = (
+        load_tables(spark, SF_ORACLE)
+        .documents.select("doc_id", "lang", "source", "text")
+    )
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "index")
+    prs = str(tmp_path / "pairs")
+    ckp = str(tmp_path / "ckpt")
+    part1 = docs.filter(F.col("doc_id") % 3 == 0)
+    part2 = docs.filter(F.col("doc_id") % 3 == 1)
+    part3 = docs.filter(F.col("doc_id") % 3 == 2)
+    part1.coalesce(1).write.parquet(src + "/d1")
+    part2.coalesce(1).write.parquet(src + "/d2")
+    run_lsh_ingest(spark, src + "/d*/*.parquet", idx, prs, ckp)
+
+    def idx_rows():
+        return sorted(
+            (r["doc_id"], r["band_idx"], r["band_hash"], r["band_key"])
+            for r in read_index(spark, idx).collect()
+        )
+
+    before = idx_rows()
+    w = compact_lsh_index(spark, idx, num_files=2)
+    assert w >= 0
+    assert idx_rows() == before  # compaction is a pure rewrite
+    # superseded batch dirs gone; exactly one compact segment remains
+    assert _committed_ids(spark, idx, "batch") == []
+    assert _committed_ids(spark, idx, "compact") == [w]
+    data_files = [
+        f for f in os.listdir(os.path.join(idx, f"compact={w}"))
+        if f.endswith(".parquet")
+    ]
+    assert len(data_files) == 2  # num_files honored
+
+    # ingestion continues against the compacted segment: the third
+    # drop's pairs close the gap to the one-shot sweep
+    part3.coalesce(1).write.parquet(src + "/d3")
+    run_lsh_ingest(spark, src + "/d*/*.parquet", idx, prs, ckp)
+    streamed = {
+        (r["id_a"], r["id_b"]) for r in read_pairs(spark, prs).collect()
+    }
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(docs, "text", "doc_id").collect()
+    }
+    assert streamed == expected and streamed
+    # idempotent re-compaction folds the new tail batch in
+    w2 = compact_lsh_index(spark, idx)
+    assert w2 > w
+    assert compact_lsh_index(spark, idx) == w2  # no-op when no tail
+
+
+def test_lsh_ingest_refuses_batch_below_watermark(spark, tmp_path):
+    # a reset checkpoint restarts batch ids at 0; against a compacted
+    # index those ids are "already folded" to readers, so ingestion
+    # must fail loudly instead of silently skipping documents
+    import pytest
+
+    from healthcare_research_data_pipeline_project_spark.streaming.lsh_ingest import (
+        compact_lsh_index,
+        process_document_batch,
+    )
+
+    docs = (
+        load_tables(spark, SF_ORACLE)
+        .documents.select("doc_id", "lang", "source", "text")
+        .limit(30)
+    )
+    idx = str(tmp_path / "index")
+    prs = str(tmp_path / "pairs")
+    process_document_batch(spark, docs, 5, idx, prs)
+    assert compact_lsh_index(spark, idx) == 5
+    with pytest.raises(ValueError, match="below the compaction watermark"):
+        process_document_batch(spark, docs, 0, idx, prs)
+    # == watermark is the legal replay case and must converge
+    process_document_batch(spark, docs, 5, idx, prs)
+
+
+def test_gc_snapshots_keeps_newest(spark, tmp_path):
+    from healthcare_research_data_pipeline_project_spark.streaming.lsh_ingest import (
+        _committed_ids,
+        gc_snapshots,
+        read_clusters,
+    )
+
+    snaps = str(tmp_path / "clusters")
+    rows = [(1, 1, 2, 1), (2, 1, 2, 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, cluster_id long, cluster_size long, is_keeper int"
+    )
+    for b in (3, 7, 9, 12):
+        df.coalesce(1).write.parquet(f"{snaps}/batch={b}")
+    assert gc_snapshots(spark, snaps, keep_last=2) == [3, 7]
+    assert _committed_ids(spark, snaps, "batch") == [9, 12]
+    got = {r["doc_id"] for r in read_clusters(spark, snaps).collect()}
+    assert got == {1, 2}
+    # keep_last below 1 still never deletes the serving snapshot
+    assert gc_snapshots(spark, snaps, keep_last=0) == [9]
+    assert _committed_ids(spark, snaps, "batch") == [12]
