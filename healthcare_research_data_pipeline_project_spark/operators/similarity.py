@@ -2130,6 +2130,7 @@ def save_ann_index(
     meta: dict | None = None,
     corpus: DataFrame | None = None,
     keep_versions: int = 3,
+    base_code_dirs: list[str] | None = None,
 ) -> str:
     """Persist a trained IVF-PQ index: PQ codebooks + the derived
     routing depth + training metadata in a JSON manifest (a few KB —
@@ -2183,6 +2184,12 @@ def save_ann_index(
         "nprobe": int(nprobe),
         "meta": dict(meta or {}),
         "saved_unix": int(_time.time()),
+        # the code SEGMENTS (index_dir-relative) that together form
+        # the served index: a fresh save owns exactly its own codes;
+        # `append_to_ann_index` chains the prior segments plus its
+        # delta, so appends write delta-sized parquet, never the
+        # corpus (the FAISS add_with_ids shape)
+        "code_dirs": list(base_code_dirs or []) + [f"{vid}/codes"],
     }
     if corpus is not None:
         manifest["corpus_fingerprint"] = corpus_fingerprint(corpus)
@@ -2192,15 +2199,23 @@ def save_ann_index(
     os.rename(tmp, os.path.join(index_dir, "manifest.json"))  # commit
     if keep_versions > 0:
         # GC strictly AFTER the commit: everything older than the
-        # newest keep_versions ids goes; the just-committed version is
-        # the max id so it always survives, and keep_versions >= 2
-        # leaves the previous version for a reader that resolved the
-        # old manifest just before the rename
+        # newest keep_versions ids goes — EXCEPT versions the new
+        # manifest still references as code segments (an appended
+        # index serves codes out of its ancestor versions; deleting
+        # them would tear the committed view). The just-committed
+        # version is the max id so it always survives, and
+        # keep_versions >= 2 leaves the previous version for a reader
+        # that resolved the old manifest just before the rename.
+        referenced = {
+            d.split("/", 1)[0] for d in manifest["code_dirs"]
+        }
         versions = sorted(
             int(d[1:]) for d in os.listdir(index_dir)
             if d.startswith("v") and d[1:].isdigit()
         )
         for old in versions[:-keep_versions]:
+            if f"v{old}" in referenced:
+                continue
             _shutil.rmtree(
                 os.path.join(index_dir, f"v{old}"), ignore_errors=True
             )
@@ -2252,11 +2267,109 @@ def load_ann_index(
             os.path.join(vdir, "centroids")
         ).collect()
     ]
+    # code segments: an appended index serves the union of its
+    # ancestors' codes plus its deltas (manifest["code_dirs"]);
+    # a pre-segment manifest owns exactly its version's codes
+    code_dirs = manifest.get(
+        "code_dirs", [f"{manifest['version']}/codes"]
+    )
     return {
         "codebooks": manifest["codebooks"],
-        "encoded": spark.read.parquet(os.path.join(vdir, "codes")),
+        "encoded": spark.read.parquet(
+            *[os.path.join(index_dir, d) for d in code_dirs]
+        ),
         "centroid_rows": centroid_rows,
         "nprobe": int(manifest["nprobe"]),
         "meta": manifest["meta"],
         "version": manifest["version"],
+        "code_dirs": list(code_dirs),
     }
+
+
+def append_to_ann_index(
+    spark,
+    index_dir: str,
+    delta: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    keep_versions: int = 3,
+    max_segments: int = 8,
+) -> str:
+    """Add new vectors to a trained, persisted IVF-PQ index WITHOUT
+    retraining — the FAISS `add_with_ids` shape, made delta-
+    proportional on disk. The committed index's codebooks and coarse
+    centroids are FROZEN: the delta is PQ-encoded against them
+    (map-side Catalyst HOFs, no shuffle), assigned to its nearest
+    stored coarse centroid when it carries no `label_col` (the apply
+    half of the trained quantizer — `clustering.assign`), and written
+    as a NEW code segment; the committed manifest then chains the
+    ancestor segments plus this delta, so an append writes
+    O(|delta|) parquet while readers keep seeing one atomic index
+    (`load_ann_index` unions the segments). Ids already present in
+    the index are refused — appends are insert-only, like the LSH
+    delta rule; a re-encode of an existing id would serve that id
+    twice with possibly different codes.
+
+    Accuracy contract: appended vectors are quantized by codebooks
+    trained WITHOUT them — exactly FAISS's add-after-train semantics.
+    Codebooks drift from the data distribution as the corpus grows;
+    the `corpus_fingerprint` staleness guard plus a periodic retrain
+    (fresh `save_ann_index`, which restarts the segment chain) is the
+    production cadence. `corpus` stamps the post-append serving
+    corpus into the manifest so the staleness check keeps working
+    across appends.
+
+    Segment compaction: chained segments also chain their version
+    dirs out of GC's reach, so without a bound appends would accrete
+    versions forever (the small-files/live-forever failure the LSH
+    index solves with its watermark compaction). When the chain would
+    exceed `max_segments`, this append instead writes ONE folded
+    segment (ancestors ∪ delta — an O(corpus) rewrite, amortized
+    O(delta) per append at any fixed bound) and restarts the chain,
+    after which normal GC reclaims the ancestor versions. Returns
+    the committed version id."""
+    idx = load_ann_index(spark, index_dir)
+    books = idx["codebooks"]
+    dcodes = pq_encode(delta, books, vec_col=vec_col, id_col=id_col)
+    if label_col in delta.columns:
+        dcodes = dcodes.join(
+            delta.select(id_col, label_col), id_col
+        )
+    else:
+        from .clustering import assign
+
+        cents = {c: v for c, v in idx["centroid_rows"]}
+        dcodes = dcodes.join(
+            assign(delta, cents, vec_col=vec_col, id_col=id_col)
+            .select(id_col, F.col("cid").alias(label_col)),
+            id_col,
+        )
+    dup = (
+        dcodes.join(
+            idx["encoded"].select(id_col), id_col, "left_semi"
+        )
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"append_to_ann_index: id {dup[0][id_col]} is already in "
+            f"the index at {index_dir} — appends are insert-only "
+            "(retrain with save_ann_index to re-encode)"
+        )
+    compacting = len(idx["code_dirs"]) + 1 > max(1, max_segments)
+    if compacting:
+        dcodes = idx["encoded"].unionByName(dcodes)
+    return save_ann_index(
+        index_dir,
+        books,
+        dcodes,
+        idx["centroid_rows"],
+        idx["nprobe"],
+        meta={**idx["meta"], "appended_to": idx["version"]},
+        corpus=corpus,
+        keep_versions=keep_versions,
+        base_code_dirs=None if compacting else idx["code_dirs"],
+    )

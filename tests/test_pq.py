@@ -422,3 +422,141 @@ def test_ann_index_staleness_guard_and_gc(spark, emb, tmp_path):
     )
     assert left == ["v4", "v5"]
     assert load_ann_index(spark, idx_dir, corpus=emb)["nprobe"] == 6
+
+
+def test_ann_index_append_serves_union_without_retraining(
+    spark, emb, tmp_path
+):
+    # FAISS add_with_ids semantics (r13): train+save on a base slice,
+    # append the remainder — the served index must equal encoding the
+    # delta with the FROZEN codebooks and unioning in memory, the
+    # append must write a delta-sized segment (not rewrite the
+    # corpus), and re-appending an existing id must refuse
+    import os
+
+    from healthcare_research_data_pipeline_project_spark.operators.similarity import (
+        append_to_ann_index,
+        label_centroids,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    books = S.train_pq_codebooks(base, m=16, ksub=32)
+    enc_base = S.pq_encode(base, books).join(
+        base.select("vec_id", "label"), "vec_id"
+    )
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in label_centroids(base).collect()
+    ]
+    idx_dir = str(tmp_path / "ann_index")
+    save_ann_index(idx_dir, books, enc_base, cents, nprobe=2, corpus=base)
+
+    v2 = append_to_ann_index(spark, idx_dir, delta, corpus=emb)
+    assert v2 == "v2"
+    loaded = load_ann_index(spark, idx_dir, corpus=emb)
+    assert loaded["code_dirs"] == ["v1/codes", "v2/codes"]
+    assert loaded["meta"]["appended_to"] == "v1"
+    # the delta segment holds ONLY the delta's rows
+    n_delta = delta.count()
+    assert spark.read.parquet(
+        os.path.join(idx_dir, "v2/codes")
+    ).count() == n_delta
+    assert loaded["encoded"].count() == emb.count()
+
+    # served ranking == frozen-codebook encode-then-union, exactly
+    expect_enc = enc_base.unionByName(
+        S.pq_encode(delta, books).join(
+            delta.select("vec_id", "label"), "vec_id"
+        )
+    )
+    qids = list(range(6))
+    want = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in S.ivfpq_topk(
+            emb, qids, k=5, nprobe=2, m=16, ksub=32, refine=200,
+            codebooks=books, encoded=expect_enc,
+        ).collect()
+    }
+    got = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in S.ivfpq_topk(
+            emb, qids, k=5, nprobe=loaded["nprobe"], m=16, ksub=32,
+            refine=200, codebooks=loaded["codebooks"],
+            encoded=loaded["encoded"],
+        ).collect()
+    }
+    assert got == want and got
+
+    # insert-only: an id already indexed refuses loudly
+    with pytest.raises(ValueError, match="insert-only"):
+        append_to_ann_index(spark, idx_dir, delta.limit(1))
+
+
+def test_ann_index_append_assigns_cells_and_compacts(spark, emb, tmp_path):
+    # label-less deltas route to the nearest stored coarse centroid
+    # (the trained-quantizer apply path), and a chain longer than
+    # max_segments folds into ONE segment so GC can reclaim ancestors
+    import os
+
+    from healthcare_research_data_pipeline_project_spark.operators.clustering import (
+        assign,
+    )
+    from healthcare_research_data_pipeline_project_spark.operators.similarity import (
+        append_to_ann_index,
+        label_centroids,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    base = emb.filter(F.col("vec_id") >= 40)
+    books = S.train_pq_codebooks(base, m=16, ksub=32)
+    enc_base = S.pq_encode(base, books).join(
+        base.select("vec_id", "label"), "vec_id"
+    )
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in label_centroids(base).collect()
+    ]
+    idx_dir = str(tmp_path / "ann_index")
+    save_ann_index(idx_dir, books, enc_base, cents, nprobe=2)
+
+    # no label column: cells must equal clustering.assign against the
+    # STORED centroids
+    delta = emb.filter(F.col("vec_id") < 8).drop("label")
+    append_to_ann_index(spark, idx_dir, delta)
+    loaded = load_ann_index(spark, idx_dir)
+    got_cells = {
+        r["vec_id"]: r["label"]
+        for r in loaded["encoded"].filter(F.col("vec_id") < 8).collect()
+    }
+    want_cells = {
+        r["vec_id"]: r["cid"]
+        for r in assign(delta, dict(cents)).collect()
+    }
+    assert got_cells == want_cells and got_cells
+
+    # drive the chain past max_segments=3: the breaching append
+    # compacts to ONE segment and the chain restarts
+    for lo in (8, 16, 24):
+        d = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 8)
+        )
+        append_to_ann_index(
+            spark, idx_dir, d, max_segments=3, keep_versions=2
+        )
+    loaded = load_ann_index(spark, idx_dir)
+    # the lo=16 append would have chained segment #4 > max_segments=3,
+    # so it compacted into one folded segment (v4) and the chain
+    # restarted; lo=24 then chained normally onto it
+    assert loaded["code_dirs"] == ["v4/codes", "v5/codes"]
+    assert loaded["encoded"].count() == base.count() + 32
+    # ancestors reclaimed: the pre-compaction versions v1-v3 are no
+    # longer referenced, so GC pruned to the keep_versions=2 window
+    vdirs = sorted(
+        d for d in os.listdir(idx_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    assert vdirs == ["v4", "v5"]
