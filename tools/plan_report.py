@@ -134,6 +134,13 @@ SHOWCASE: dict[str, tuple[str, list[str]]] = {
         "hash exchange on group_id (both windows ride it)",
         [r"Window", r"hashpartitioning\(group_id", r"BroadcastExchange"],
     ),
+    "ds_dsir_sample": (
+        "DSIR importance resampling: bucket stats aggregate to ≤ 1024 "
+        "rows and the λ table BROADCASTS back onto the (doc, bucket) "
+        "counts; selection is TakeOrderedAndProject over an exact "
+        "integer Gumbel key — no data-sized sort, no window",
+        [r"BroadcastHashJoin", r"TakeOrderedAndProject", r"HashAggregate"],
+    ),
 }
 
 
