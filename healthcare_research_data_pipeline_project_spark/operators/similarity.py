@@ -1828,6 +1828,44 @@ def pq_query_luts(
     )
 
 
+def _query_frame_luts(
+    qdf: DataFrame,
+    codebooks: list[list[list[float]]],
+    qid_col: str = "qid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`pq_query_luts` for an ARBITRARY query frame (qid, vector) —
+    the serving path, where queries arrive from outside the indexed
+    corpus (a request stream) instead of being corpus members
+    selected by id. Same in-plan broadcast-codebook HOF expression."""
+    spark = qdf.sparkSession
+    dsub = len(codebooks[0][0])
+    crow = spark.createDataFrame(
+        [(codebooks,)], "__cb array<array<array<double>>>"
+    )
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+        lambda j: F.transform(
+            F.get(F.col("__cb"), j),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), j * dsub + 1, F.lit(dsub)),
+                    c,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    return qdf.crossJoin(F.broadcast(crow)).select(
+        F.col(qid_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        lut.alias("lut"),
+    )
+
+
 def pq_adc_expr(lut_col: str = "lut", code_col: str = "code"):
     """ADC distance expression: Σ_j LUT[j][code[j]] — m array lookups
     per candidate row, the compressed-scan scoring kernel."""
@@ -2372,4 +2410,86 @@ def append_to_ann_index(
         corpus=corpus,
         keep_versions=keep_versions,
         base_code_dirs=None if compacting else idx["code_dirs"],
+    )
+
+
+def ann_serve_topk(
+    index: dict,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int | None = None,
+    exclude_self: bool = True,
+    qid_col: str = "qid",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Serve IVF-PQ top-k from a LOADED persisted index
+    (`load_ann_index` output) for an ARBITRARY query-vector frame —
+    the online half of the index lifecycle, where queries arrive from
+    a request stream instead of being members of the indexed corpus.
+
+    Same plan shape and same expressions as `ivfpq_topk`'s ADC stage
+    (routing distances rounded to 6 dp before ranking, ADC scores
+    rounded to 6 dp, ties break on candidate id), so for a query
+    vector that IS a corpus member the two paths return identical
+    rows — pinned in tests. Scoring is ADC-only: a pure PQ index
+    stores m-byte codes, not float vectors, so exact refine is
+    impossible at serve time by construction (FAISS needs
+    IndexRefineFlat — i.e. the originals — for the same reason);
+    callers wanting refine keep the corpus frame and use
+    `ivfpq_topk(refine=...)`. `exclude_self=False` keeps candidates
+    whose id equals the query id — external query ids share no
+    namespace with corpus ids, so dropping them would silently
+    discard true neighbors."""
+    encoded = index["encoded"]
+    books = index["codebooks"]
+    spark = encoded.sparkSession
+    if nprobe is None:
+        nprobe = int(index["nprobe"])
+    cents = spark.createDataFrame(
+        index["centroid_rows"], "cell int, centroid array<double>"
+    )
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(vec_col).alias("qe")
+    )
+    cdist = F.aggregate(
+        F.zip_with(
+            "qe",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe = (
+        q.join(F.broadcast(cents))
+        .select("qid", "cell", F.round(cdist, 6).alias("cd"))
+        .withColumn(
+            "cr",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("cd", "cell")
+            ),
+        )
+        .filter(F.col("cr") <= nprobe)
+        .select("qid", "cell")
+    )
+    luts = _query_frame_luts(queries, books, qid_col, vec_col).select(
+        "qid", "lut"
+    )
+    cand = probe.withColumnRenamed("cell", label_col).join(
+        encoded, label_col
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col("qid"))
+    scored = cand.join(F.broadcast(luts), "qid").select(
+        "qid",
+        F.col(id_col).alias("cid"),
+        F.round(pq_adc_expr(), 6).alias("approx_dist"),
+    )
+    w = Window.partitionBy("qid").orderBy("approx_dist", "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.col("approx_dist").alias("dist"), "rank")
     )

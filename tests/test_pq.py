@@ -560,3 +560,145 @@ def test_ann_index_append_assigns_cells_and_compacts(spark, emb, tmp_path):
         if d.startswith("v") and d[1:].isdigit()
     )
     assert vdirs == ["v4", "v5"]
+
+
+def test_ann_serve_topk_matches_ivfpq_for_corpus_queries(
+    spark, emb, tmp_path
+):
+    # the serving path (loaded index + arbitrary query frame) uses the
+    # same rounded routing/ADC expressions as ivfpq_topk, so for
+    # query vectors that ARE corpus members the two must return
+    # identical rows
+    from healthcare_research_data_pipeline_project_spark.operators.similarity import (
+        ann_serve_topk,
+        label_centroids,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    books = S.train_pq_codebooks(emb, m=16, ksub=32)
+    encoded = S.pq_encode(emb, books).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in label_centroids(emb).collect()
+    ]
+    idx_dir = str(tmp_path / "ann_index")
+    save_ann_index(idx_dir, books, encoded, cents, nprobe=2)
+    index = load_ann_index(spark, idx_dir)
+
+    qids = list(range(6))
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    served = {
+        (r["qid"], r["rank"]): (r["cid"], r["dist"])
+        for r in ann_serve_topk(index, queries, k=5).collect()
+    }
+    want = {
+        (r["qid"], r["rank"]): (r["cid"], r["dist"])
+        for r in S.ivfpq_topk(
+            emb, qids, k=5, nprobe=2, m=16, ksub=32,
+            codebooks=books, encoded=encoded,
+        ).collect()
+    }
+    assert served == want and served
+    # external ids share no namespace with corpus ids: with
+    # exclude_self=False a candidate whose id merely equals the query
+    # id stays in the result set (ADC self-distance is reconstruction
+    # error, not 0, so it need not rank first — but it must not be
+    # dropped; exclude_self=True must drop exactly it)
+    ext = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    with_self = {
+        r["cid"]
+        for r in ann_serve_topk(
+            index, ext, k=500, exclude_self=False
+        ).collect()
+    }
+    without = {
+        r["cid"]
+        for r in ann_serve_topk(index, ext, k=500).collect()
+    }
+    # identical probe set on both calls, so the results differ by AT
+    # MOST the id-colliding candidate (whether id 0 appears at all
+    # depends on whether its arbitrary label cell was routed)
+    assert without <= with_self
+    assert with_self - without <= {0}
+
+
+def test_ann_serve_stream_picks_up_index_appends(spark, emb, tmp_path):
+    # stream ≡ batch for the ANN server, and the per-batch manifest
+    # resolve: an append committed between micro-batches serves in
+    # the next batch without a restart
+    from healthcare_research_data_pipeline_project_spark.operators.similarity import (
+        ann_serve_topk,
+        append_to_ann_index,
+        label_centroids,
+        load_ann_index,
+        save_ann_index,
+    )
+    from healthcare_research_data_pipeline_project_spark.streaming.ann_serve import (
+        read_results,
+        run_ann_serve,
+    )
+
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    books = S.train_pq_codebooks(base, m=16, ksub=32)
+    enc = S.pq_encode(base, books).join(
+        base.select("vec_id", "label"), "vec_id"
+    )
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in label_centroids(base).collect()
+    ]
+    idx_dir = str(tmp_path / "ann_index")
+    save_ann_index(idx_dir, books, enc, cents, nprobe=2)
+
+    src = str(tmp_path / "queries")
+    res = str(tmp_path / "results")
+    ckp = str(tmp_path / "ckpt")
+    mkq = lambda ids: emb.filter(F.col("vec_id").isin(ids)).select(
+        (F.col("vec_id") + 1000).alias("qid"), "embedding"
+    )
+    q1, q2 = [1, 2, 3], [4, 6, 7]
+    mkq(q1).coalesce(1).write.parquet(src + "/d1")
+    run_ann_serve(spark, src + "/d*/*.parquet", idx_dir, res, ckp, k=3)
+    first = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in read_results(spark, res).collect()
+    }
+    want1 = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in ann_serve_topk(
+            load_ann_index(spark, idx_dir), mkq(q1), k=3,
+            exclude_self=False,
+        ).collect()
+    }
+    assert first == want1 and first
+
+    # append the held-out vectors, then serve a second drop: its
+    # results must come from the APPENDED index (one-shot equality
+    # against the newest committed version proves the pickup)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    append_to_ann_index(spark, idx_dir, delta)
+    mkq(q2).coalesce(1).write.parquet(src + "/d2")
+    run_ann_serve(spark, src + "/d*/*.parquet", idx_dir, res, ckp, k=3)
+    got = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in read_results(spark, res).collect()
+    }
+    want2 = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in ann_serve_topk(
+            load_ann_index(spark, idx_dir), mkq(q2), k=3,
+            exclude_self=False,
+        ).collect()
+    }
+    assert got == {**want1, **want2}
+    appended_served = {
+        cid for (_, _), cid in got.items()
+    } & {int(r["vec_id"]) for r in delta.select("vec_id").collect()}
+    assert appended_served  # at least one appended vector is a result
