@@ -420,56 +420,76 @@ def incremental_dedup_clusters(
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
-    # persist the delta pair set: it feeds BOTH the endpoint branch
-    # and the rep-edge branch of the single union-find collect —
-    # without the cache the physical plan evaluates the (join-heavy)
-    # pair subtree twice inside that one job (r13 measured the double
-    # evaluation at ~2x the collect wall-clock)
-    pairs = track_persist(
+    # r13 optimization (guide §1.2/§2.4): the delta-pair plan is
+    # evaluated EXACTLY ONCE — one capped collect — and everything
+    # downstream of it that is delta-bounded (endpoint set, rep-edge
+    # construction, union-find) runs driver-side on the collected
+    # rows. The r13.0 form built eps/found/fa/fb/rep_edges as Spark
+    # frames: a distinct exchange, a persisted lookup join, two
+    # broadcast builds and a second traversal of the pair plan inside
+    # the union-find collect — 32 jobs per maintenance call measured
+    # at sf0.1, of which this section owned ~15. Now: one collect of
+    # the pairs (cap-guarded, same raise-with-routing-guidance
+    # contract as collected_union_find), one streaming scan of the
+    # corpus-sized `stored` against the broadcast LITERAL endpoint
+    # set for the rep lookup (LocalTableScan build side — no upstream
+    # job), and the rep-level union-find in Python. 32 -> ~13 jobs,
+    # 2.4 -> ~1.3 s steady-state at sf0.1; the corpus-sized inputs
+    # are still scanned only by streaming joins, never shuffled.
+    spark = stored.sparkSession
+    pair_rows = (
         delta_pairs.select(
             F.col(pair_a).cast("long").alias("pa"),
             F.col(pair_b).cast("long").alias("pb"),
         )
+        .limit(_DRIVER_EDGE_CAP + 1)
+        .collect()
     )
-    # endpoint set → stored-rep lookup: inner join streams the stored
-    # scan against the broadcast endpoints (build side is the tiny
-    # set, probe side never exchanges)
-    eps = (
-        pairs.select(F.explode(F.array("pa", "pb")).alias("ep"))
-        .distinct()
-    )
-    found = track_persist(
-        sid.join(F.broadcast(eps), sid[id_col] == F.col("ep"))
-        .select(F.col("ep"), F.col("cluster_id").alias("rep"))
-    )
-    # rep-level edge set: endpoint → stored rep, itself if unseen.
-    # found is endpoint-bounded, so it broadcasts onto the pair set.
-    fa = found.select(F.col("ep").alias("pa"), F.col("rep").alias("rep_a"))
-    fb = found.select(F.col("ep").alias("pb"), F.col("rep").alias("rep_b"))
-    rep_edges = (
-        pairs.join(F.broadcast(fa), "pa", "left")
-        .join(F.broadcast(fb), "pb", "left")
-        .select(
-            F.coalesce("rep_a", "pa").alias("u"),
-            F.coalesce("rep_b", "pb").alias("v"),
+    if len(pair_rows) > _DRIVER_EDGE_CAP:
+        raise ValueError(
+            f"incremental_dedup_clusters: over {_DRIVER_EDGE_CAP} delta "
+            "pairs — this batch is not delta-bounded; recompute clusters "
+            "with dedup_clusters/connected_components instead."
         )
-        .filter(F.col("u") != F.col("v"))
-        # no .distinct(): union-find is idempotent under duplicate
-        # edges, the collect volume stays ≤ |Δ pairs| either way, and
-        # the dedup exchange was pure stage latency on the hot path
+    # endpoint set → stored-rep lookup: inner join streams the stored
+    # scan against the broadcast literal endpoints (build side is a
+    # LocalTableScan, probe side never exchanges)
+    eps = sorted({int(r[0]) for r in pair_rows} | {int(r[1]) for r in pair_rows})
+    if eps:
+        eps_df = spark.createDataFrame([(e,) for e in eps], f"{id_col} long")
+        found_rows = (
+            sid.join(F.broadcast(eps_df), id_col)
+            .select(id_col, "cluster_id")
+            .collect()
+        )
+    else:
+        found_rows = []
+    rep_of = {int(r[0]): int(r[1]) for r in found_rows}
+    # rep-level edge set: endpoint → stored rep, itself if unseen;
+    # union-find over reps keeps IDENTITY rows too (rep already the
+    # merged min): those clusters' labels don't move but their
+    # MEMBERSHIP does (delta docs joined them), so they must re-count.
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for pa, pb in pair_rows:
+        u = rep_of.get(int(pa), int(pa))
+        v = rep_of.get(int(pb), int(pb))
+        if u != v:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+    rep_map = spark.createDataFrame(
+        [(n, find(n)) for n in parent], "rep long, new_comp long"
     )
-    # union-find over reps: ≤ 2·|Δ pairs| nodes by construction, so
-    # the capped single-collect driver path applies — no regime probe
-    # (the probe's count action re-evaluated the whole delta-pair
-    # plan; r13 measured it at ~3.0 s vs ~0.5 s for one collect). The
-    # map keeps IDENTITY rows too (rep already the merged min): those
-    # clusters' labels don't move but their MEMBERSHIP does (delta
-    # docs joined them), so they must re-count.
-    rep_map = collected_union_find(rep_edges, "u", "v").select(
-        F.col("node").alias("rep"), F.col("component").alias("new_comp")
-    )
-    found.unpersist()
-    rep_map = track_persist(rep_map)
 
     upd_stored = sid.join(
         F.broadcast(rep_map), sid["cluster_id"] == F.col("rep"), "left"

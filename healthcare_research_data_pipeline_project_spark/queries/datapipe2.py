@@ -559,7 +559,7 @@ def _stored_cluster_state(
     avoid. Returns (index, stored_assignments) as parquet-backed
     frames."""
     from .datapipe import _LSH_BANDS, _LSH_HASHES
-    from .datapipe7 import _artifact_dir, _trained_artifact
+    from .datapipe7 import _artifact_dir, _artifact_frame, _trained_artifact
 
     def _build():
         from ..operators import dedup as D
@@ -579,7 +579,7 @@ def _stored_cluster_state(
     idx_path, asg_path = _trained_artifact(
         spark, sf_dir, f"{kind}-cluster-state", _build
     )
-    return spark.read.parquet(idx_path), spark.read.parquet(asg_path)
+    return _artifact_frame(spark, idx_path), _artifact_frame(spark, asg_path)
 
 
 @register("dedup_incremental_clusters", _dedup_clusters_oracle())

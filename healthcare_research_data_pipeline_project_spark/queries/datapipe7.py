@@ -91,6 +91,26 @@ def _trained_artifact(spark: SparkSession, sf_dir: str, kind: str, build):
     return _TRAINED[key]
 
 
+_ARTIFACT_FRAMES: dict[tuple[str, str], DataFrame] = {}
+
+
+def _artifact_frame(spark: SparkSession, path: str) -> DataFrame:
+    """`spark.read.parquet(path)` memoized per (application, path) —
+    for BUILD-ONCE serving artifacts only (`_trained_artifact` /
+    `_artifact_dir` outputs, immutable for the session once written).
+    Every fresh read plans a footer/schema job plus a file listing
+    per invocation (r13 measured 3-4 one-task jobs per maintenance
+    call from artifact re-reads alone); the memoized frame keeps the
+    resolved relation while every ACTION still scans the parquet
+    bytes from disk — plans are lazy, so this caches no results. Do
+    NOT route evolving artifact chains (e.g. the append-segment ANN
+    index) through this: their file listing must refresh per read."""
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _ARTIFACT_FRAMES:
+        _ARTIFACT_FRAMES[key] = spark.read.parquet(path)
+    return _ARTIFACT_FRAMES[key]
+
+
 _ARTIFACT_CLEANUPS: set[str] = set()
 
 
@@ -1094,7 +1114,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a production serving path (no audit) drops the exact column and
     # scans codes only — that path is `S.pq_topk`, tested in
     # tests/test_pq.py; the window-per-qid shape is the same there.
-    idx = spark.read.parquet(codes_path)  # (vec_id, code, embedding)
+    idx = _artifact_frame(spark, codes_path)  # (vec_id, code, embedding)
     qdf = S.pq_query_luts(t.embeddings, books, _SQ_QUERY_IDS)
     l2 = F.aggregate(
         F.zip_with(
@@ -1261,7 +1281,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-global, so the two routes genuinely share one index — the
     # FAISS deployment shape
     books, codes_path = _pq_index(spark, sf_dir, t)
-    idx = spark.read.parquet(codes_path)
+    idx = _artifact_frame(spark, codes_path)
     # the coarse quantizer's centroids are trained once per (session,
     # corpus) too (serve-don't-rebuild): ≤#cells rows collected at
     # build, re-materialized as a literal frame per invocation
@@ -2174,7 +2194,7 @@ def _canonical_reps(
     test can assert on the reps frame directly; the downstream
     pagerank's driver fast-path rebuilds the final frame, hiding this
     join from its plan)."""
-    non_keepers = spark.read.parquet(nk_path).withColumnRenamed(
+    non_keepers = _artifact_frame(spark, nk_path).withColumnRenamed(
         "node", "vec_id"
     )
     return embeddings.join(non_keepers, "vec_id", "left_anti")
