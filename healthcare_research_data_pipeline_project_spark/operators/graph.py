@@ -91,11 +91,13 @@ def collected_union_find(
     a SECOND evaluation of the edge plan — which dominates wall-clock
     when the edge set is tiny but its producing plan is not (measured
     on the r13 incremental-cluster path: the probe+collect pair cost
-    ~3.0 s against ~0.5 s for the single collect). Same raise-don't-
-    thrash cap semantics as the driver fast path: over `edge_cap`
-    edges this raises with routing guidance instead of OOMing the
-    driver — callers whose edge sets are NOT delta-bounded belong on
-    `connected_components`."""
+    ~3.0 s against ~0.5 s for the single collect). Over `edge_cap`
+    edges the collected rows are discarded and the call FALLS BACK to
+    `connected_components` (distributed label propagation) instead of
+    raising (r14, VERDICT r13 #9): an over-cap delta batch re-pays the
+    edge plan once but completes, rather than turning a routine large
+    batch into an exception. Callers whose edge sets are NEVER
+    delta-bounded should go straight to `connected_components`."""
     if edge_cap is None:
         edge_cap = _DRIVER_EDGE_CAP
     rows = (
@@ -106,11 +108,7 @@ def collected_union_find(
         .collect()
     )
     if len(rows) > edge_cap:
-        raise ValueError(
-            f"collected_union_find: over {edge_cap} edges — this edge "
-            "set is not delta-bounded; route it through "
-            "connected_components (distributed label propagation)."
-        )
+        return connected_components(edges, src, dst)
     return _driver_union_find(edges.sparkSession, rows)
 
 
@@ -374,6 +372,7 @@ def incremental_dedup_clusters(
     pair_a: str = "id_a",
     pair_b: str = "id_b",
     changed_only: bool = False,
+    edge_cap: int | None = None,  # default: _DRIVER_EDGE_CAP
 ) -> DataFrame:
     """Insert-only incremental maintenance of the `dedup_clusters`
     assignment table: merge a delta batch's candidate pairs into the
@@ -383,6 +382,11 @@ def incremental_dedup_clusters(
     `lsh_pairs_delta`) applied to the clustering step, which is what
     production dedup actually serves (VERDICT r12 #5).
 
+    NOT lazy: building the returned DataFrame executes one or two
+    Spark collect actions (the capped pair collect, and the stored-rep
+    lookup when pairs exist) — callers that only build/explain the
+    plan still pay them.
+
     Why the delta rule is exact: component labels are min-reachable
     ids, so every stored cluster is fully described by its
     representative (the min id — every member id ≥ it). New pairs can
@@ -390,15 +394,20 @@ def incremental_dedup_clusters(
     under inserts; deletes are refused by the same contract as the
     pair delta), and a merge of clusters is exactly a union-find over
     their representatives: map each delta-pair endpoint to its stored
-    rep (itself if unseen), union-find the rep-level edge set —
-    |edges| ≤ |Δ pairs|, so `connected_components` takes its exact
-    driver fast path — and the merged component's label min(member
-    ids) = min(member reps) falls out because reps ARE cluster
-    minima and new nodes are their own rep. Equality with the full
-    recompute is oracle-pinned by the `dedup_incremental_clusters`
-    corpus query (its DuckDB oracle is the full RECURSIVE-CTE
-    recompute over ALL pairs) and property-tested against
-    `dedup_clusters` on random splits.
+    rep (itself if unseen) and union-find the rep-level edge set —
+    |edges| ≤ |Δ pairs|, which for a delta-bounded batch fits the
+    single capped collect + in-function driver union-find below. The
+    merged component's label min(member ids) = min(member reps) falls
+    out because reps ARE cluster minima and new nodes are their own
+    rep. Batches over `edge_cap` pairs (default `_DRIVER_EDGE_CAP`,
+    ~200 MB collected) fall back to the DISTRIBUTED rep-level
+    components loop instead of raising (r14, VERDICT r13 #9): the
+    endpoint→rep mapping becomes two joins against the stored
+    assignments and `connected_components` produces the same rep_map.
+    Equality with the full recompute is oracle-pinned by the
+    `dedup_incremental_clusters` corpus query (its DuckDB oracle is
+    the full RECURSIVE-CTE recompute over ALL pairs) and
+    property-tested against `dedup_clusters` on random splits.
 
     Scale shape (stored is corpus-sized, Δ is batch-sized): the
     corpus-sized assignment table is NEVER shuffled — it is scanned
@@ -437,62 +446,95 @@ def incremental_dedup_clusters(
     # 2.4 -> ~1.3 s steady-state at sf0.1; the corpus-sized inputs
     # are still scanned only by streaming joins, never shuffled.
     spark = stored.sparkSession
+    if edge_cap is None:
+        edge_cap = _DRIVER_EDGE_CAP
     pair_rows = (
         delta_pairs.select(
             F.col(pair_a).cast("long").alias("pa"),
             F.col(pair_b).cast("long").alias("pb"),
         )
-        .limit(_DRIVER_EDGE_CAP + 1)
+        .limit(edge_cap + 1)
         .collect()
     )
-    if len(pair_rows) > _DRIVER_EDGE_CAP:
-        raise ValueError(
-            f"incremental_dedup_clusters: over {_DRIVER_EDGE_CAP} delta "
-            "pairs — this batch is not delta-bounded; recompute clusters "
-            "with dedup_clusters/connected_components instead."
+    if len(pair_rows) > edge_cap:
+        # distributed fallback (r14): the batch is not delta-bounded,
+        # so the endpoint→rep mapping and the rep-level components run
+        # as Spark jobs. Two left joins of the pair frame against the
+        # stored assignments map each endpoint to its rep (itself if
+        # unseen), and connected_components (which picks its own
+        # driver/distributed regime) yields the same rep_map the
+        # in-function union-find produces — including the identity
+        # rows for roots, which keep the touched-membership recount
+        # exact. rep_map is ≤ 2·|pairs| rows; the downstream joins
+        # drop the broadcast hint in this regime and let the planner
+        # choose.
+        pe = delta_pairs.select(
+            F.col(pair_a).cast("long").alias("pa"),
+            F.col(pair_b).cast("long").alias("pb"),
         )
-    # endpoint set → stored-rep lookup: inner join streams the stored
-    # scan against the broadcast literal endpoints (build side is a
-    # LocalTableScan, probe side never exchanges)
-    eps = sorted({int(r[0]) for r in pair_rows} | {int(r[1]) for r in pair_rows})
-    if eps:
-        eps_df = spark.createDataFrame([(e,) for e in eps], f"{id_col} long")
-        found_rows = (
-            sid.join(F.broadcast(eps_df), id_col)
-            .select(id_col, "cluster_id")
-            .collect()
+        look = sid.select(
+            F.col(id_col).alias("__ep"), F.col("cluster_id").alias("__rep")
         )
+        mapped = (
+            pe.join(look, pe["pa"] == F.col("__ep"), "left")
+            .select(F.coalesce("__rep", "pa").alias("ua"), "pb")
+            .join(look, F.col("pb") == F.col("__ep"), "left")
+            .select("ua", F.coalesce("__rep", "pb").alias("va"))
+        )
+        rep_map = connected_components(mapped, "ua", "va").select(
+            F.col("node").alias("rep"),
+            F.col("component").alias("new_comp"),
+        )
+        rep_map_b = rep_map
     else:
-        found_rows = []
-    rep_of = {int(r[0]): int(r[1]) for r in found_rows}
-    # rep-level edge set: endpoint → stored rep, itself if unseen;
-    # union-find over reps keeps IDENTITY rows too (rep already the
-    # merged min): those clusters' labels don't move but their
-    # MEMBERSHIP does (delta docs joined them), so they must re-count.
-    parent: dict[int, int] = {}
+        # endpoint set → stored-rep lookup: inner join streams the
+        # stored scan against the broadcast literal endpoints (build
+        # side is a LocalTableScan, probe side never exchanges)
+        eps = sorted(
+            {int(r[0]) for r in pair_rows} | {int(r[1]) for r in pair_rows}
+        )
+        if eps:
+            eps_df = spark.createDataFrame(
+                [(e,) for e in eps], f"{id_col} long"
+            )
+            found_rows = (
+                sid.join(F.broadcast(eps_df), id_col)
+                .select(id_col, "cluster_id")
+                .collect()
+            )
+        else:
+            found_rows = []
+        rep_of = {int(r[0]): int(r[1]) for r in found_rows}
+        # rep-level edge set: endpoint → stored rep, itself if unseen;
+        # union-find over reps keeps IDENTITY rows too (rep already the
+        # merged min): those clusters' labels don't move but their
+        # MEMBERSHIP does (delta docs joined them), so they must
+        # re-count.
+        parent: dict[int, int] = {}
 
-    def find(x: int) -> int:
-        root = x
-        while parent.setdefault(root, root) != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
+        def find(x: int) -> int:
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
 
-    for pa, pb in pair_rows:
-        u = rep_of.get(int(pa), int(pa))
-        v = rep_of.get(int(pb), int(pb))
-        if u != v:
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                lo, hi = (ru, rv) if ru < rv else (rv, ru)
-                parent[hi] = lo
-    rep_map = spark.createDataFrame(
-        [(n, find(n)) for n in parent], "rep long, new_comp long"
-    )
+        for pa, pb in pair_rows:
+            u = rep_of.get(int(pa), int(pa))
+            v = rep_of.get(int(pb), int(pb))
+            if u != v:
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+        rep_map = spark.createDataFrame(
+            [(n, find(n)) for n in parent], "rep long, new_comp long"
+        )
+        rep_map_b = F.broadcast(rep_map)
 
     upd_stored = sid.join(
-        F.broadcast(rep_map), sid["cluster_id"] == F.col("rep"), "left"
+        rep_map_b, sid["cluster_id"] == F.col("rep"), "left"
     ).select(
         id_col,
         F.coalesce("new_comp", "cluster_id").alias("cluster_id"),
@@ -501,7 +543,7 @@ def incremental_dedup_clusters(
     )
     upd_delta = (
         delta_docs.select(F.col(id_col).cast("long").alias(id_col))
-        .join(F.broadcast(rep_map), F.col(id_col) == F.col("rep"), "left")
+        .join(rep_map_b, F.col(id_col) == F.col("rep"), "left")
         .select(
             id_col,
             F.coalesce("new_comp", F.col(id_col)).alias("cluster_id"),

@@ -562,15 +562,21 @@ def _stored_cluster_state(
     from .datapipe7 import _artifact_dir, _artifact_frame, _trained_artifact
 
     def _build():
+        import hashlib
+
         from ..operators import dedup as D
         from ..operators.graph import dedup_clusters
 
-        idx_path = _artifact_dir(spark, f"{kind}_index")
+        # SF-tag the dirs (like _pq_index) so a session touching two
+        # corpora never mode("overwrite")s a directory whose memoized
+        # _artifact_frame listing is still being served (r13 crash).
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        idx_path = _artifact_dir(spark, f"{kind}_index_{tag}")
         D.lsh_banded_index(
             docs, "text", "doc_id", _LSH_HASHES, _LSH_BANDS
         ).write.mode("overwrite").parquet(idx_path)
         idx = spark.read.parquet(idx_path)
-        asg_path = _artifact_dir(spark, f"{kind}_clusters")
+        asg_path = _artifact_dir(spark, f"{kind}_clusters_{tag}")
         dedup_clusters(docs, _index_pairs(idx)).write.mode(
             "overwrite"
         ).parquet(asg_path)

@@ -104,8 +104,15 @@ def _artifact_frame(spark: SparkSession, path: str) -> DataFrame:
     resolved relation while every ACTION still scans the parquet
     bytes from disk — plans are lazy, so this caches no results. Do
     NOT route evolving artifact chains (e.g. the append-segment ANN
-    index) through this: their file listing must refresh per read."""
-    key = (spark.sparkContext.applicationId, path)
+    index) through this: their file listing must refresh per read.
+    Entries from earlier (stopped) SparkSessions are evicted on the
+    first call of a new application, so session-restarting processes
+    (test suites) don't accumulate dead frame handles (ADVICE r13)."""
+    app_id = spark.sparkContext.applicationId
+    stale = [k for k in _ARTIFACT_FRAMES if k[0] != app_id]
+    for k in stale:
+        del _ARTIFACT_FRAMES[k]
+    key = (app_id, path)
     if key not in _ARTIFACT_FRAMES:
         _ARTIFACT_FRAMES[key] = spark.read.parquet(path)
     return _ARTIFACT_FRAMES[key]

