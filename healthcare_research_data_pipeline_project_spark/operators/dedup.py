@@ -338,7 +338,13 @@ def shingle_jaccard_pairs(
         # explicitly bounded by df_max² by construction. The hot-list
         # sizes are logged opt-in (INFO) since that count is an extra
         # pass over the posting table.
-        posting = (
+        # the posting aggregation feeds BOTH the pair expansion (the
+        # <= df_max lists) and the hot-shingle size correction (the
+        # > df_max lists); without a materialization each branch
+        # re-runs the explode + collect_list shuffle from the cached
+        # shingle sets (r14, guide §2.4 — the capped bench row spent
+        # half its time building the index twice)
+        posting = track_persist(
             inv.groupBy(*block_cols, "sh")
             .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         )

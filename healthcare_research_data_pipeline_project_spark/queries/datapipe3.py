@@ -817,45 +817,83 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 restructure (guide §2.4): the r13 shape ran SIX independent
+    # single-row subqueries — lineitem scanned 3x (one anti-join per FK
+    # edge) and orders 2x. All three lineitem FK checks now ride ONE
+    # fact scan with three left joins against DISTINCT dim-key sets
+    # (a missed join ⇔ an anti-join survivor, and distinct build sides
+    # cannot multiply fact rows, so the conditional counts equal the
+    # anti-join counts exactly); orders' FK check and its PK-uniqueness
+    # check share one scan the same way. The planner keeps join
+    # strategy freedom (no broadcast hints — at warehouse scale the
+    # orders key set outgrows a broadcast and AQE picks SMJ, exactly
+    # as it did for the anti-joins). stack() replays the six audit
+    # rows in the original UNION ALL order from the one assembled row.
     t = load_tables(spark, sf_dir)
-
-    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str):
-        cnt = fact.join(
-            dim.select(F.col(pk).alias(fk)), fk, "left_anti"
-        ).agg(F.count(F.lit(1)).alias("violation_cnt"))
-        return cnt.select(
-            F.lit("fk").alias("check_type"),
-            F.lit(name).alias("constraint_name"),
-            F.col("violation_cnt").cast("long"),
+    li_cnts = (
+        t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(
+            t.orders.select(F.col("o_orderkey").alias("__ok")).distinct(),
+            F.col("l_orderkey") == F.col("__ok"),
+            "left",
         )
-
-    def dup_pk(tbl: DataFrame, pk: str, name: str):
-        return tbl.agg(
-            (F.count(F.lit(1)) - F.countDistinct(pk))
-            .cast("long")
-            .alias("violation_cnt")
-        ).select(
-            F.lit("pk").alias("check_type"),
-            F.lit(name).alias("constraint_name"),
-            "violation_cnt",
+        .join(
+            t.part.select(F.col("p_partkey").alias("__pk")).distinct(),
+            F.col("l_partkey") == F.col("__pk"),
+            "left",
         )
-
-    parts = [
-        orphans(t.lineitem, "l_orderkey", t.orders, "o_orderkey",
-                "lineitem.l_orderkey->orders"),
-        orphans(t.orders, "o_custkey", t.customer, "c_custkey",
-                "orders.o_custkey->customer"),
-        orphans(t.lineitem, "l_partkey", t.part, "p_partkey",
-                "lineitem.l_partkey->part"),
-        orphans(t.lineitem, "l_suppkey", t.supplier, "s_suppkey",
-                "lineitem.l_suppkey->supplier"),
-        dup_pk(t.orders, "o_orderkey", "orders.o_orderkey unique"),
-        dup_pk(t.customer, "c_custkey", "customer.c_custkey unique"),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .join(
+            t.supplier.select(F.col("s_suppkey").alias("__sk")).distinct(),
+            F.col("l_suppkey") == F.col("__sk"),
+            "left",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("__ok").isNull().cast("long")), F.lit(0)
+            ).alias("v_ord"),
+            F.coalesce(
+                F.sum(F.col("__pk").isNull().cast("long")), F.lit(0)
+            ).alias("v_part"),
+            F.coalesce(
+                F.sum(F.col("__sk").isNull().cast("long")), F.lit(0)
+            ).alias("v_supp"),
+        )
+    )
+    o_cnts = (
+        t.orders.select("o_custkey", "o_orderkey")
+        .join(
+            t.customer.select(F.col("c_custkey").alias("__ck")).distinct(),
+            F.col("o_custkey") == F.col("__ck"),
+            "left",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("__ck").isNull().cast("long")), F.lit(0)
+            ).alias("v_cust"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+                "v_opk"
+            ),
+        )
+    )
+    c_cnts = t.customer.agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("v_cpk")
+    )
+    return li_cnts.crossJoin(o_cnts).crossJoin(c_cnts).select(
+        F.expr(
+            "stack(6, "
+            "'fk', 'lineitem.l_orderkey->orders', v_ord, "
+            "'fk', 'orders.o_custkey->customer', v_cust, "
+            "'fk', 'lineitem.l_partkey->part', v_part, "
+            "'fk', 'lineitem.l_suppkey->supplier', v_supp, "
+            "'pk', 'orders.o_orderkey unique', v_opk, "
+            "'pk', 'customer.c_custkey unique', v_cpk) "
+            "AS (check_type, constraint_name, violation_cnt)"
+        )
+    ).select(
+        "check_type",
+        "constraint_name",
+        F.col("violation_cnt").cast("long").alias("violation_cnt"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import track_persist
 from ..functions.helpers import duck_round_div, round_div, sum_cents
 from ..functions.text import DUCK_TOKENS, duck_hash64, hash64_expr, tokens
 from ..operators.scale import prefix_sum
@@ -403,15 +404,38 @@ def _canonical_keep_oracle() -> str:
 @register("dedup_canonical_keep", _canonical_keep_oracle())
 def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
-    from ..operators.graph import dedup_clusters
+    from ..operators.graph import connected_components
     from .datapipe import _LSH_BANDS, _LSH_HASHES
 
     t = load_tables(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(
         t.documents, "text", "doc_id", num_hashes=_LSH_HASHES, bands=_LSH_BANDS
     )
-    cl = dedup_clusters(t.documents, pairs)
-    joined = cl.join(t.documents.select("doc_id", "source", "n_chars"), "doc_id")
+    # r14 (guide §2.4/§6): inline dedup_clusters' keeper rule onto ONE
+    # documents scan carrying (doc_id, source, n_chars). The r13 shape
+    # ran dedup_clusters (docs scanned for the label join) and then
+    # joined the result back against a SECOND full documents scan —
+    # which the planner satisfied by broadcasting the whole document
+    # table. cluster_size was computed and pruned; the keeper bit is
+    # doc_id == coalesce(component, doc_id), identical to
+    # dedup_clusters' is_keeper.
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    joined = (
+        t.documents.select("doc_id", "source", "n_chars")
+        .join(comp, "doc_id", "left")
+        .select(
+            "source",
+            "n_chars",
+            (
+                F.col("doc_id")
+                == F.coalesce("component", F.col("doc_id"))
+            )
+            .cast("int")
+            .alias("is_keeper"),
+        )
+    )
     keep = F.col("is_keeper") == 1
     return (
         joined.groupBy("source")
@@ -544,7 +568,13 @@ def ds_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigs"),
     )
     x = bg.select("doc_id", "source", F.explode("bigs").alias("bgr"))
-    bc = (
+    # bc (the tokenize → bigram explode → hash → per-(doc, bkt) count)
+    # is the expensive subtree and BOTH downstream consumers (bucket
+    # LMs and per-doc weights) branch from it; without an explicit
+    # materialization the r13 plan evaluated it THREE times (bs for
+    # lam, bs for tot, dw) — guide §2.4/§5. Persisted once, the heavy
+    # explode runs once and everything else reads the cache.
+    bc = track_persist(
         x.select(
             "doc_id",
             "source",
@@ -554,19 +584,37 @@ def ds_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     is_target = F.col("source").isin(*_DSIR_TARGET)
-    bs = bc.groupBy("bkt").agg(
-        F.sum(F.when(is_target, F.col("c")).otherwise(F.lit(0))).alias("tc"),
-        F.sum("c").alias("rc"),
+    # bucket stats are ≤ _DSIR_B rows BY CONSTRUCTION (the groupBy key
+    # is a mod-_DSIR_B hash), so the bounded collect + literal-frame
+    # assembly removes the tot cross-join (BroadcastNestedLoopJoin)
+    # and the second/third traversals of the bucket aggregation. The
+    # totals are exact integer sums (order-free); the lam expression
+    # itself stays the SAME Catalyst round/log chain over the literal
+    # rows, so the micro-nat values are bit-identical to the r13 plan.
+    bs_rows = (
+        bc.groupBy("bkt")
+        .agg(
+            F.sum(
+                F.when(is_target, F.col("c")).otherwise(F.lit(0))
+            ).alias("tc"),
+            F.sum("c").alias("rc"),
+        )
+        .collect()
     )
-    tot = bs.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
-    lam = bs.crossJoin(F.broadcast(tot)).select(
+    tt = sum(r["tc"] for r in bs_rows)
+    rt = sum(r["rc"] for r in bs_rows)
+    bs_local = spark.createDataFrame(
+        [(int(r["bkt"]), int(r["tc"]), int(r["rc"])) for r in bs_rows],
+        "bkt long, tc long, rc long",
+    )
+    lam = bs_local.select(
         "bkt",
         F.round(
             (
                 F.log((F.col("tc") + 1).cast("double"))
-                - F.log((F.col("tt") + _DSIR_B).cast("double"))
+                - F.log(F.lit(tt + _DSIR_B).cast("double"))
                 - F.log((F.col("rc") + 1).cast("double"))
-                + F.log((F.col("rt") + _DSIR_B).cast("double"))
+                + F.log(F.lit(rt + _DSIR_B).cast("double"))
             )
             * 1000000,
             0,

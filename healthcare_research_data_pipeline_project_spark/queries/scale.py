@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import track_persist
 from ..functions.helpers import DEC, duck_dec_avg, rnd, round_div
 from ..operators import scale as SC
 from ..tables import load_tables
@@ -155,10 +156,23 @@ def ds_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = SC.leakage_safe_split(t.documents, pairs)
     # audit from the DATA, not the construction: a cluster whose
-    # members landed in different splits would be a leak — count them
+    # members landed in different splits would be a leak — count them.
+    # r14 (guide §2.4/§5): BOTH audit outputs reduce to the one
+    # (split, cluster_id)-grained aggregate g — per-split doc_cnt is
+    # Σ member counts, cluster_cnt is g's row count per split (the
+    # key is unique per group), and a straddling cluster is one with
+    # >1 g-row (split is non-null, so distinct-count ≡ row count).
+    # The r13 plan evaluated the docs⋈components+split subtree TWICE
+    # (once per audit branch); g is persisted cluster-sized, so the
+    # heavy subtree now runs once.
+    g = track_persist(
+        s.groupBy("split", "cluster_id").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+    )
     straddle = (
-        s.groupBy("cluster_id")
-        .agg(F.countDistinct("split").alias("__ns"))
+        g.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("__ns"))
         .agg(
             F.coalesce(
                 F.sum((F.col("__ns") > 1).cast("long")), F.lit(0)
@@ -166,10 +180,10 @@ def ds_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        s.groupBy("split")
+        g.groupBy("split")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("doc_cnt"),
-            F.countDistinct("cluster_id").cast("long").alias("cluster_cnt"),
+            F.sum("__n").cast("long").alias("doc_cnt"),
+            F.count(F.lit(1)).cast("long").alias("cluster_cnt"),
         )
         .crossJoin(F.broadcast(straddle))
         .select("split", "doc_cnt", "cluster_cnt", "straddling_clusters")
