@@ -486,10 +486,13 @@ def incremental_dedup_clusters(
             F.col("component").alias("new_comp"),
         )
         rep_map_b = rep_map
+        sizes_b = None
     else:
         # endpoint set → stored-rep lookup: inner join streams the
         # stored scan against the broadcast literal endpoints (build
-        # side is a LocalTableScan, probe side never exchanges)
+        # side is a LocalTableScan, probe side never exchanges). The
+        # lookup also carries cluster_size so the changed-cluster
+        # sizes can be assembled driver-side below (r14).
         eps = sorted(
             {int(r[0]) for r in pair_rows} | {int(r[1]) for r in pair_rows}
         )
@@ -499,12 +502,13 @@ def incremental_dedup_clusters(
             )
             found_rows = (
                 sid.join(F.broadcast(eps_df), id_col)
-                .select(id_col, "cluster_id")
+                .select(id_col, "cluster_id", "cluster_size")
                 .collect()
             )
         else:
             found_rows = []
         rep_of = {int(r[0]): int(r[1]) for r in found_rows}
+        old_size = {int(r[1]): int(r[2]) for r in found_rows}
         # rep-level edge set: endpoint → stored rep, itself if unseen;
         # union-find over reps keeps IDENTITY rows too (rep already the
         # merged min): those clusters' labels don't move but their
@@ -529,9 +533,33 @@ def incremental_dedup_clusters(
                     lo, hi = (ru, rv) if ru < rv else (rv, ru)
                     parent[hi] = lo
         rep_map = spark.createDataFrame(
-            [(n, find(n)) for n in parent], "rep long, new_comp long"
+            [(n, find(n)) for n in list(parent)], "rep long, new_comp long"
         )
         rep_map_b = F.broadcast(rep_map)
+        # changed-cluster sizes, assembled driver-side (r14, guide
+        # §2.4): everything the distributed aggregation counted is
+        # already on the driver — a touched cluster's stored members
+        # all move together (old_size via the rep lookup above), and
+        # the delta members of a merged component are exactly its
+        # delta endpoints (non-endpoint delta docs stay singletons:
+        # their own id can never equal another doc's component label).
+        # This removes the union+groupBy sizes job, its persist, and
+        # two broadcast builds from every maintenance call; the
+        # literal sizes table is ≤ |parent| rows, delta-bounded.
+        stored_reps = set(rep_of.values())
+        new_sizes: dict[int, int] = {}
+        for r_cl in stored_reps:
+            lab = find(r_cl)
+            new_sizes[lab] = new_sizes.get(lab, 0) + old_size[r_cl]
+        for n in list(parent):
+            if n not in stored_reps:
+                lab = find(n)
+                new_sizes[lab] = new_sizes.get(lab, 0) + 1
+        sizes_b = F.broadcast(
+            spark.createDataFrame(
+                list(new_sizes.items()), "cluster_id long, new_size long"
+            )
+        )
 
     upd_stored = sid.join(
         rep_map_b, sid["cluster_id"] == F.col("rep"), "left"
@@ -549,19 +577,21 @@ def incremental_dedup_clusters(
             F.coalesce("new_comp", F.col(id_col)).alias("cluster_id"),
         )
     )
-    # changed-cluster sizes: touched stored members + all delta
-    # members, grouped by the NEW label — both inputs are
-    # delta-proportional (the filter precedes the exchange)
-    sizes = track_persist(
-        upd_stored.filter("touched")
-        .select("cluster_id")
-        .unionByName(upd_delta.select("cluster_id"))
-        .groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("new_size"))
-    )
-    out_stored = upd_stored.join(
-        F.broadcast(sizes), "cluster_id", "left"
-    ).select(
+    if sizes_b is None:
+        # distributed fallback: changed-cluster sizes as an
+        # aggregation over touched stored members + all delta members,
+        # grouped by the NEW label — both inputs delta-proportional
+        # (the filter precedes the exchange)
+        sizes_b = F.broadcast(
+            track_persist(
+                upd_stored.filter("touched")
+                .select("cluster_id")
+                .unionByName(upd_delta.select("cluster_id"))
+                .groupBy("cluster_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("new_size"))
+            )
+        )
+    out_stored = upd_stored.join(sizes_b, "cluster_id", "left").select(
         id_col,
         "cluster_id",
         F.coalesce("new_size", "cluster_size").alias("cluster_size"),
@@ -569,8 +599,14 @@ def incremental_dedup_clusters(
     )
     if changed_only:
         out_stored = out_stored.filter("touched")
-    out_delta = upd_delta.join(F.broadcast(sizes), "cluster_id", "left").select(
-        id_col, "cluster_id", F.col("new_size").alias("cluster_size")
+    out_delta = upd_delta.join(sizes_b, "cluster_id", "left").select(
+        id_col,
+        "cluster_id",
+        # driver-regime sizes only carry merged components; untouched
+        # delta singletons default to 1 (the fallback aggregation
+        # emits their (id, 1) row explicitly — coalesce is a no-op
+        # there)
+        F.coalesce("new_size", F.lit(1)).cast("long").alias("cluster_size"),
     )
     return (
         out_stored.drop("touched")

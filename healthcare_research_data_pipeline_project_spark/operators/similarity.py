@@ -1561,6 +1561,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: route each query to its `nprobe` nearest cell
     centroids, score exactly only within those cells.
@@ -1581,7 +1582,7 @@ def ivf_topk(
             id_col=id_col, vec_col=vec_col, label_col=label_col,
         )
     scored = _ivf_candidate_scores(
-        emb, query_ids, nprobe, id_col, vec_col, label_col
+        emb, query_ids, nprobe, id_col, vec_col, label_col, cents
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
     return (
@@ -1598,12 +1599,18 @@ def _ivf_candidate_scores(
     id_col: str,
     vec_col: str,
     label_col: str,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Shared IVF candidate scoring: route each query to its nprobe
     nearest cell centroids (tiny centroid table broadcast), score
     exact rounded cosine ONLY inside those cells via the cell
-    equi-join — the cross product never forms."""
-    cents = label_centroids(emb, label_col, vec_col)
+    equi-join — the cross product never forms. Pass `cents` (a
+    (cell, centroid) frame, e.g. a served trained-quantizer literal)
+    to skip re-deriving centroids from the corpus per call — the
+    serve-don't-rebuild lifecycle (r14); omitted, they are computed
+    in-line exactly as before."""
+    if cents is None:
+        cents = label_centroids(emb, label_col, vec_col)
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qe")
     )
@@ -1656,6 +1663,7 @@ def ivf_range_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-routed RADIUS search: all candidates with rounded cosine ≥
     `tau` inside the query's nprobe nearest cells — the scale path for
@@ -1679,7 +1687,7 @@ def ivf_range_search(
             id_col=id_col, vec_col=vec_col, label_col=label_col,
         )
     scored = _ivf_candidate_scores(
-        emb, query_ids, nprobe, id_col, vec_col, label_col
+        emb, query_ids, nprobe, id_col, vec_col, label_col, cents
     )
     return scored.filter(F.col("cos_sim") >= tau).orderBy("qid", "cid")
 

@@ -1040,6 +1040,16 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe7 import _ivf_centroids_frame
+
     t = load_tables(spark, sf_dir)
-    # nprobe larger than any cell count = probe-all
-    return S.ivf_topk(t.embeddings, _QUERY_IDS, k=_TOPK, nprobe=1_000_000)
+    # nprobe larger than any cell count = probe-all; centroids served
+    # from the per-(session, corpus) trained artifact (r14) instead of
+    # re-derived per invocation
+    return S.ivf_topk(
+        t.embeddings,
+        _QUERY_IDS,
+        k=_TOPK,
+        nprobe=1_000_000,
+        cents=_ivf_centroids_frame(spark, sf_dir, t),
+    )

@@ -458,10 +458,17 @@ def sim_ivf_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pytest-pinned by the radius-recall test at the auto-derived
     depth."""
     from ..operators.similarity import ivf_range_search
+    from .datapipe7 import _ivf_centroids_frame
 
     t = load_tables(spark, sf_dir)
+    # centroids served from the per-(session, corpus) trained artifact
+    # (r14) instead of re-derived per invocation
     return ivf_range_search(
-        t.embeddings, _RANGE_QUERY_IDS, _RANGE_TAU, nprobe=1_000_000
+        t.embeddings,
+        _RANGE_QUERY_IDS,
+        _RANGE_TAU,
+        nprobe=1_000_000,
+        cents=_ivf_centroids_frame(spark, sf_dir, t),
     )
 
 
@@ -529,18 +536,23 @@ def _routed_range_oracle() -> str:
 @register("sim_ivf_range_search_routed", _routed_range_oracle())
 def sim_ivf_range_search_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import auto_ivf_nprobe, ivf_range_search
-    from .datapipe7 import _trained_artifact
+    from .datapipe7 import _ivf_centroids_frame, _trained_artifact
 
     t = load_tables(spark, sf_dir)
     # depth derived once per (session, corpus) — serve-don't-rebuild,
     # the ivfpq lifecycle; at the oracle SF the derivation lands on
-    # _RANGE_ROUTED_NPROBE (frozen in the oracle SQL above)
+    # _RANGE_ROUTED_NPROBE (frozen in the oracle SQL above). Centroids
+    # served from the same trained artifact (r14).
     nprobe = _trained_artifact(
         spark, sf_dir, "ivf-range-nprobe",
         lambda: auto_ivf_nprobe(t.embeddings, metric="cos", tau=_RANGE_TAU),
     )
     return ivf_range_search(
-        t.embeddings, _RANGE_QUERY_IDS, _RANGE_TAU, nprobe=nprobe
+        t.embeddings,
+        _RANGE_QUERY_IDS,
+        _RANGE_TAU,
+        nprobe=nprobe,
+        cents=_ivf_centroids_frame(spark, sf_dir, t),
     )
 
 

@@ -572,12 +572,17 @@ def _stored_cluster_state(
         # _artifact_frame listing is still being served (r13 crash).
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
         idx_path = _artifact_dir(spark, f"{kind}_index_{tag}")
+        # rebalance both artifact writes (guide §6): the band index is
+        # map-only off the spread source scan and would otherwise land
+        # as one KB-sized file per scan task, charging every
+        # steady-state maintenance call a task per file; AQE sizes the
+        # file count by data volume instead.
         D.lsh_banded_index(
             docs, "text", "doc_id", _LSH_HASHES, _LSH_BANDS
-        ).write.mode("overwrite").parquet(idx_path)
+        ).hint("rebalance").write.mode("overwrite").parquet(idx_path)
         idx = spark.read.parquet(idx_path)
         asg_path = _artifact_dir(spark, f"{kind}_clusters_{tag}")
-        dedup_clusters(docs, _index_pairs(idx)).write.mode(
+        dedup_clusters(docs, _index_pairs(idx)).hint("rebalance").write.mode(
             "overwrite"
         ).parquet(asg_path)
         return idx_path, asg_path

@@ -1035,12 +1035,20 @@ def _pq_index(spark: SparkSession, sf_dir: str, t) -> tuple[list, str]:
         # flat vectors for the refine re-rank) AND the coarse-cell id
         # (the IVF posting-list key sim_ivfpq_topk restricts its scan
         # with) — one scan serves every query path
+        # rebalance before the write (guide §6): without it the file
+        # count inherits the SOURCE scan's partitioning (32 ~40 KB
+        # files at sf0.1) and every steady-state ANN query pays a
+        # 32-task stage per artifact scan; the AQE rebalance sizes
+        # files by data volume (advisoryPartitionSizeInBytes), so the
+        # artifact stays one file at test SFs and grows file count
+        # with the corpus.
         (
             S.pq_encode(t.embeddings, books)
             .join(
                 t.embeddings.select("vec_id", "embedding", "label"),
                 "vec_id",
             )
+            .hint("rebalance")
             .write.mode("overwrite")
             .parquet(path)
         )
@@ -1142,6 +1150,15 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             l2.alias("l2"),
         )
     )
+    # r14 fusion (guide §2.4): the r13 shape traversed the candidate
+    # expansion TWICE (the true-kth branch and the shortlist-re-rank
+    # branch) and re-attached them with a per-qid join. All three
+    # rankings share the qid partition key, so the shortlist re-rank
+    # rides the SAME exchange as the others via a subset-first window
+    # (shortlist rows order before non-shortlist rows, making their
+    # row_numbers exactly the subset ranking), and ONE aggregation per
+    # qid computes the returned-set stats AND the true k-th: one
+    # candidate traversal, one exchange, no join.
     base = cand.withColumn(
         "rn_a",
         F.row_number().over(
@@ -1153,36 +1170,40 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("qid").orderBy("l2", "cid")
         ),
     )
-    kth = base.filter(F.col("rn_e") == _SQ_TOPK).select(
-        "qid", F.col("l2").alias("kth_l2")
+    shortlisted = F.col("rn_a") <= 10 * _SQ_TOPK
+    base = base.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                (~shortlisted).cast("int"), F.round("l2", 6), "cid"
+            )
+        ),
     )
-    res = (
-        base.filter(F.col("rn_a") <= 10 * _SQ_TOPK)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(
-                    F.round("l2", 6), "cid"
-                )
-            ),
-        )
-        .filter(F.col("rank") <= _SQ_TOPK)
-        .select("qid", F.round("l2", 6).alias("dist"), "rank")
-    )
+    in_res = shortlisted & (F.col("rank") <= _SQ_TOPK)
+    dist = F.round("l2", 6)
     # audit summary: per query, the worst returned EXACT distance
     # (refine re-ranks with exact L2, so `dist` IS exact) vs the true
-    # k-th best from the full candidate ranking
-    got = res.groupBy("qid").agg(
-        F.count(F.lit(1)).cast("int").alias("n_returned"),
-        F.max("dist").alias("worst_returned_l2"),
-        (
-            (F.min("rank") == 1)
-            & (F.max("rank") == _SQ_TOPK)
-            & (F.countDistinct("rank") == _SQ_TOPK)
-        ).alias("ranks_wellformed"),
-    )
+    # k-th best from the full candidate ranking. qids lacking a k-th
+    # row (fewer than k candidates) are dropped exactly as the old
+    # inner join dropped them.
     return (
-        got.join(kth, "qid")
+        base.groupBy("qid")
+        .agg(
+            F.sum(in_res.cast("int")).cast("int").alias("n_returned"),
+            F.max(F.when(in_res, dist)).alias("worst_returned_l2"),
+            (
+                (F.min(F.when(in_res, F.col("rank"))) == 1)
+                & (F.max(F.when(in_res, F.col("rank"))) == _SQ_TOPK)
+                & (
+                    F.countDistinct(F.when(in_res, F.col("rank")))
+                    == _SQ_TOPK
+                )
+            ).alias("ranks_wellformed"),
+            F.min(
+                F.when(F.col("rn_e") == _SQ_TOPK, F.col("l2"))
+            ).alias("kth_l2"),
+        )
+        .filter(F.col("kth_l2").isNotNull())
         .select(
             "qid",
             "n_returned",
@@ -1277,10 +1298,31 @@ def _ivfpq_oracle() -> str:
     """
 
 
-@register("sim_ivfpq_topk", _ivfpq_oracle())
-def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_centroids_frame(spark: SparkSession, sf_dir: str, t) -> DataFrame:
+    """The coarse quantizer's centroids as a LITERAL frame, trained
+    once per (session, corpus) and re-materialized per invocation —
+    the serve-don't-rebuild lifecycle shared by every IVF query path
+    (sim_ivfpq_topk, sim_ivf_topk, sim_ivf_range_search[_routed]):
+    without it each invocation re-ran label_centroids' posexplode +
+    two aggregations over the corpus (r14, guide §2.4)."""
     from ..operators.similarity import label_centroids
 
+    cent_rows = _trained_artifact(
+        spark,
+        sf_dir,
+        "ivf-centroids",
+        lambda: [
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in label_centroids(t.embeddings).collect()
+        ],
+    )
+    return spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    )
+
+
+@register("sim_ivfpq_topk", _ivfpq_oracle())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # the SAME trained PQ index artifact as sim_pq_topk (codebooks +
     # encoded codes + flat vectors + cell ids, built once per
@@ -1292,18 +1334,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the coarse quantizer's centroids are trained once per (session,
     # corpus) too (serve-don't-rebuild): ≤#cells rows collected at
     # build, re-materialized as a literal frame per invocation
-    cent_rows = _trained_artifact(
-        spark,
-        sf_dir,
-        "ivf-centroids",
-        lambda: [
-            (int(r["cell"]), [float(x) for x in r["centroid"]])
-            for r in label_centroids(t.embeddings).collect()
-        ],
-    )
-    cents = spark.createDataFrame(
-        cent_rows, "cell int, centroid array<double>"
-    )
+    cents = _ivf_centroids_frame(spark, sf_dir, t)
     # routing depth: derived once per (session, corpus) — the same
     # serve-don't-rebuild lifecycle as the codebooks/centroids. At the
     # oracle SF the derivation lands on _IVFPQ_NPROBE (frozen above,
@@ -1366,6 +1397,15 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             l2_exact.alias("l2"),
         )
     )
+    # r14 fusion (guide §2.4): the r13 shape persisted the candidate
+    # expansion and ran census + returned-set as two aggregate
+    # consumers re-attached by a per-qid join. All rankings share the
+    # qid partition key, so the shortlist re-rank rides the SAME
+    # exchange via a subset-first window (shortlist rows order before
+    # non-shortlist rows, so their row_numbers ARE the subset ranking)
+    # and ONE aggregation per qid computes the probe census, the true
+    # in-probe k-th, and the returned-set stats: one candidate
+    # traversal, one exchange, no persist, no join.
     base = cand.withColumn(
         "rn_a",
         F.row_number().over(
@@ -1377,52 +1417,45 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "n_cand", F.count(F.lit(1)).over(Window.partitionBy("qid"))
     )
-    # base feeds two aggregate consumers (census + returned-set);
-    # persist the |Q|·candidates frame (3.2k rows at sf0.1) so the
-    # probe/ADC/refine expansion runs once, not per consumer
-    from ..caching import track_persist
-
-    base = track_persist(base)
-    # ONE full-census aggregate per qid (the probe set, the candidate
-    # count, the exact in-probe k-th) — the probe/census branches rode
-    # separate jobs before and doubled the wall
-    census = base.groupBy("qid").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_set("label")),
-                lambda c: c.cast("string"),
-            ),
-        ).alias("probed_cells"),
-        F.max("n_cand").alias("n_cand"),
-        F.min(
-            F.when(
-                F.col("rn_e") == F.least(F.lit(_SQ_TOPK), F.col("n_cand")),
-                F.col("l2"),
+    shortlisted = F.col("rn_a") <= 10 * _SQ_TOPK
+    base = base.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                (~shortlisted).cast("int"), F.round("l2", 6), "cid"
             )
-        ).alias("kth_l2"),
+        ),
     )
-    res = (
-        base.filter(F.col("rn_a") <= 10 * _SQ_TOPK)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.round("l2", 6), "cid")
-            ),
-        )
-        .filter(F.col("rank") <= _SQ_TOPK)
-        .select("qid", F.round("l2", 6).alias("dist"), "rank")
-    )
-    got = res.groupBy("qid").agg(
-        F.count(F.lit(1)).cast("int").alias("n_returned"),
-        F.max("dist").alias("worst_returned_l2"),
-        (
-            (F.min("rank") == 1)
-            & (F.countDistinct("rank") == F.count(F.lit(1)))
-        ).alias("ranks_wellformed"),
-    )
+    in_res = shortlisted & (F.col("rank") <= _SQ_TOPK)
+    dist = F.round("l2", 6)
     return (
-        got.join(census, "qid")
+        base.groupBy("qid")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_set("label")),
+                    lambda c: c.cast("string"),
+                ),
+            ).alias("probed_cells"),
+            F.max("n_cand").alias("n_cand"),
+            F.min(
+                F.when(
+                    F.col("rn_e")
+                    == F.least(F.lit(_SQ_TOPK), F.col("n_cand")),
+                    F.col("l2"),
+                )
+            ).alias("kth_l2"),
+            F.sum(in_res.cast("int")).cast("int").alias("n_returned"),
+            F.max(F.when(in_res, dist)).alias("worst_returned_l2"),
+            (
+                (F.min(F.when(in_res, F.col("rank"))) == 1)
+                & (
+                    F.countDistinct(F.when(in_res, F.col("rank")))
+                    == F.sum(in_res.cast("int"))
+                )
+            ).alias("ranks_wellformed"),
+        )
         .select(
             "qid",
             "probed_cells",
@@ -2240,12 +2273,15 @@ def g_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp = connected_components(cc_edges, "src", "dst")
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
         path = _artifact_dir(spark, f"canonical_nonkeepers_{tag}")
-        # parallel write — NOT coalesce(1): the non-keeper set is
-        # duplication-sized, and funneling it through one task caps
-        # write throughput at one core exactly when the set is large
+        # rebalanced write — NOT coalesce(1): the non-keeper set is
+        # duplication-sized; the AQE rebalance keeps the write parallel
+        # when the set is large while collapsing the tiny-SF case to
+        # one file instead of 32 KB-sized ones (each downstream scan
+        # paid a task per file — guide §6)
         (
             comp.filter(F.col("component") != F.col("node"))
             .select("node")
+            .hint("rebalance")
             .write.mode("overwrite")
             .parquet(path)
         )

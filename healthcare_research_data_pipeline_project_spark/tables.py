@@ -144,6 +144,19 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     return spark.read.parquet(cache)
 
 
+#: Resolved-relation memo: `spark.read.parquet` plans a footer/schema
+#: job plus a file listing PER CALL — two one-task jobs every query
+#: invocation pays for every table it touches (measured at the head of
+#: every job trace; ~180 queries × 2-3 bench passes × 2 jobs is pure
+#: scheduling overhead). The memoized DataFrame is a LAZY relation —
+#: every action still scans the parquet bytes — and the key carries the
+#: source file's (mtime, size), so regenerated testdata gets a fresh
+#: read/relayout and never serves a stale listing (the r13 crash class
+#: cannot arise: keys change with the bytes, and the split cache is
+#: content-keyed the same way).
+_TABLE_FRAMES: dict[tuple, DataFrame] = {}
+
+
 def table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = True
 ) -> DataFrame:
@@ -153,6 +166,27 @@ def table(
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    app_id = spark.sparkContext.applicationId
+    try:
+        st = os.stat(path)
+        key = (app_id, os.path.abspath(path), spread, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None:
+        stale = [k for k in _TABLE_FRAMES if k[0] != app_id]
+        for k in stale:
+            del _TABLE_FRAMES[k]
+        if key in _TABLE_FRAMES:
+            return _TABLE_FRAMES[key]
+    df = _load_table(spark, sf_dir, name, spread, path)
+    if key is not None:
+        _TABLE_FRAMES[key] = df
+    return df
+
+
+def _load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool, path: str
+) -> DataFrame:
     if name == "events":
         # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
         # Spark refuses by default — read nanos as long, truncate to µs
