@@ -237,15 +237,26 @@ def connected_components(
         # O(E·rounds)), so the cost crossover sits far above the
         # memory cap — the cap IS the threshold
         small_graph_threshold = _DRIVER_EDGE_CAP
-    # sym holds 2 rows per input edge, so compare against 2x threshold
-    if sym.count() <= 2 * small_graph_threshold:
+    # regime probe and edge fetch MERGED into one capped collect (r14,
+    # the r13 exact_percentiles probe doctrine): u <= v keeps one
+    # orientation per undirected pair AND any self-loop rows (which
+    # register their node in union-find); collecting at most cap+1 of
+    # them answers the regime question AND is the driver path's input.
+    # The r13 form ran count() then collect() — two jobs where one
+    # suffices, per call, for every CC consumer in the corpus.
+    probe_rows = (
+        sym.filter(F.col("u") <= F.col("v"))
+        .limit(small_graph_threshold + 1)
+        .collect()
+    )
+    if len(probe_rows) <= small_graph_threshold:
         try:
-            # u <= v keeps one orientation per undirected pair AND any
-            # self-loop rows (which register their node in union-find)
-            rows = sym.filter(F.col("u") <= F.col("v")).collect()
-            return _driver_union_find(spark, [(r[0], r[1]) for r in rows])
+            return _driver_union_find(
+                spark, [(r[0], r[1]) for r in probe_rows]
+            )
         finally:
             sym.unpersist()
+    del probe_rows
 
     own_dir = checkpoint_dir is None
     base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_cc_")
@@ -887,14 +898,15 @@ def pagerank(
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     ).persist()
-    if e.count() <= small_graph_threshold:
+    # regime probe and edge fetch merged into ONE capped Arrow fetch
+    # (r14): at most cap+1 rows land as two int64 columns (16 B/edge —
+    # the cap is a real memory bound), answering the regime question
+    # and feeding the vectorized iteration without a separate count()
+    # job. Over the cap the partial batch is dropped and the
+    # distributed loop runs from the persisted edge list.
+    tbl = e.limit(small_graph_threshold + 1).toArrow()
+    if tbl.num_rows <= small_graph_threshold:
         try:
-            # Arrow fetch, not collect(): the edge list lands as two
-            # int64 columns (16 B/edge — the cap is a real memory
-            # bound) instead of per-edge Row objects, and feeds the
-            # vectorized iteration without a Python materialization.
-            # Bounded by construction: e.count() <= the edge cap.
-            tbl = e.toArrow()
             return _driver_pagerank(
                 spark,
                 tbl.column("u").to_numpy(zero_copy_only=False),
@@ -905,6 +917,7 @@ def pagerank(
             )
         finally:
             e.unpersist()
+    del tbl
     base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_pr_")
     ping = [os.path.join(base, "ranks_a"), os.path.join(base, "ranks_b")]
 
@@ -1112,13 +1125,22 @@ def kcore(
         # crossover (rounds=max_iter, no batching) is already past the
         # memory cap — which therefore decides
         small_graph_threshold = derived_small_graph_threshold(max_iter)
-    # 2 rows per undirected edge -> compare against 2x threshold
-    if sym.count() <= 2 * small_graph_threshold:
+    # regime probe and edge fetch merged into one capped collect (r14;
+    # self-loops are filtered before the explode and the index is
+    # distinct, so u < v is exactly one row per undirected edge)
+    probe_rows = (
+        sym.filter(F.col("u") < F.col("v"))
+        .limit(small_graph_threshold + 1)
+        .collect()
+    )
+    if len(probe_rows) <= small_graph_threshold:
         try:
-            rows = sym.filter(F.col("u") < F.col("v")).collect()
-            return _driver_kcore(spark, [(r[0], r[1]) for r in rows], k)
+            return _driver_kcore(
+                spark, [(r[0], r[1]) for r in probe_rows], k
+            )
         finally:
             sym.unpersist()
+    del probe_rows
 
     base = checkpoint_dir or tempfile.mkdtemp(prefix="hrdp_kcore_")
     ping = [os.path.join(base, "alive_a"), os.path.join(base, "alive_b")]

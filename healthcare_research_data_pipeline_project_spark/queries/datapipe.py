@@ -520,26 +520,39 @@ def _sketch_audit_oracle() -> str:
 
 @register("dedup_sketch_audit", _sketch_audit_oracle())
 def dedup_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+
     t = load_tables(spark, sf_dir)
     docs = t.documents
     pairs = D.lsh_candidate_pairs(
         docs, "text", "doc_id", num_hashes=_LSH_HASHES, bands=_LSH_BANDS
     )
-    sig = D.minhash_signatures(docs, "text", "doc_id", _LSH_HASHES)
-    shd = D.with_shingles(docs, "text").select(
-        "doc_id", F.array_distinct("shingles").alias("shs")
+    # r14 (guide §2.4): ONE persisted per-doc frame carries BOTH the
+    # distinct shingle set and every minhash component. The r13 shape
+    # built signatures and shingle sets as separate frames and joined
+    # each twice (a/b sides), so the tokenize+shingle pipeline ran
+    # four more times beyond the banded index build; now it runs once
+    # into the cache and the audit is two candidate-bounded joins.
+    base = track_persist(
+        D.with_shingles(docs, "text")
+        .withColumn("hs", shingle_hashes("shingles"))
+        .select(
+            "doc_id",
+            F.array_distinct("shingles").alias("shs"),
+            *[minhash_col("hs", j) for j in range(_LSH_HASHES)],
+        )
     )
-    sa = sig.select(
+    sa = base.select(
         F.col("doc_id").alias("id_a"),
+        F.col("shs").alias("sh_a"),
         *[F.col(f"mh_{j}").alias(f"a_mh_{j}") for j in range(_LSH_HASHES)],
     )
-    sb = sig.select(
+    sb = base.select(
         F.col("doc_id").alias("id_b"),
+        F.col("shs").alias("sh_b"),
         *[F.col(f"mh_{j}").alias(f"b_mh_{j}") for j in range(_LSH_HASHES)],
     )
-    da = shd.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("sh_a"))
-    db = shd.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("sh_b"))
-    j = pairs.join(sa, "id_a").join(sb, "id_b").join(da, "id_a").join(db, "id_b")
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
     mtch = sum(
         (F.col(f"a_mh_{k}") == F.col(f"b_mh_{k}")).cast("int")
         for k in range(_LSH_HASHES)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import track_persist
 from ..functions.helpers import duck_round_div, round_div
 from ..functions.text import DUCK_TOKENS, duck_shingles, shingles, tokens
 from ..operators.scale import duck_hash_bucket, hash_bucket, prefix_sum
@@ -1306,6 +1307,10 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # the inverted index feeds BOTH the per-source sizes and the
+    # shingle baskets; persist it so the tokenize+shingle explode and
+    # its distinct exchange run once, not per consumer (r14, §2.4)
+    d = track_persist(d)
     per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     baskets = d.groupBy("sh").agg(
         F.sort_array(F.collect_set("source")).alias("ss")

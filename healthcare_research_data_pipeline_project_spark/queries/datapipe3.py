@@ -75,23 +75,40 @@ _SPAN_NUM, _SPAN_DEN = 3, 10  # keep when dup spans <= 30%
     """,
 )
 def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import track_persist
+
     t = load_tables(spark, sf_dir)
     ex = (
         t.documents.withColumn("toks", tokens(F.col("text")))
         .select("doc_id", F.explode(shingles("toks")).alias("s"))
     )
+    # r14 (guide §2.3/§2.4): aggregate the exploded spans ONCE to the
+    # (doc_id, shingle) grain — the r13 shape traversed the tokenize +
+    # shingle explode twice (the common-vocabulary aggregate and the
+    # per-doc rollup). From bc, COUNT(DISTINCT doc_id) per shingle is
+    # a plain row count (the grain key is unique), per-doc span_cnt is
+    # Σc, and dup_cnt is Σc over common shingles — same values, one
+    # explode pass, and the persisted frame is (doc, shingle)-grained,
+    # smaller than the raw span stream.
+    bc = track_persist(
+        ex.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
+    )
     common = (
-        ex.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("dc"))
+        bc.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("dc"))
         .filter(F.col("dc") >= _SPAN_T)
         .select("s", F.lit(1).alias("is_common"))
     )
     per = (
-        ex.join(common, "s", "left")
+        bc.join(common, "s", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("span_cnt"),
-            F.coalesce(F.sum("is_common"), F.lit(0)).alias("dup_cnt"),
+            F.sum("c").alias("span_cnt"),
+            F.sum(
+                F.when(F.col("is_common").isNotNull(), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup_cnt"),
         )
     )
     return per.select(

@@ -412,13 +412,29 @@ def t_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = t.orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         sum_cents("o_totalprice").alias("cents")
     )
-    # the tiny daily frame feeds THREE consumers (global stats, the
-    # dow profile, and the join-back): persist so the fact scan +
-    # daily aggregate run once
+    # the daily frame feeds THREE consumers (global stats, the dow
+    # profile, and the join-back) and is CALENDAR-BOUNDED — one row
+    # per distinct order date, ≤ a few thousand at ANY corpus size —
+    # so it is collected once and re-materialized as a literal frame:
+    # every downstream aggregate/join then plans over a
+    # LocalTableScan with no fact re-scan and no persisted blocks
+    # (r14, guide §2.4/§5; the r13 shape ran 22 jobs / ~1250 tasks,
+    # almost all on the ≤90-row frame). The collected values are the
+    # exact (date, long) rows the persisted frame held, and every
+    # downstream expression is unchanged Catalyst — bit-identical
+    # output. Over the cap (a corpus spanning >200k days — not a real
+    # calendar) the persisted distributed shape remains.
     marked = daily.select(
         "d", (F.weekday("d") + 1).alias("dow"), "cents"
     )
-    marked = track_persist(marked)
+    _DAY_CAP = 200_000
+    day_rows = marked.limit(_DAY_CAP + 1).collect()
+    if len(day_rows) <= _DAY_CAP:
+        marked = spark.createDataFrame(
+            day_rows, "d date, dow int, cents long"
+        )
+    else:  # pragma: no cover — >200k distinct days
+        marked = track_persist(marked)
     g = marked.agg(
         F.sum("cents").cast("long").alias("gc"),
         F.count(F.lit(1)).cast("long").alias("gn"),
