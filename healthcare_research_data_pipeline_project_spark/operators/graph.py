@@ -510,7 +510,7 @@ def incremental_dedup_clusters(
         if eps:
             eps_df = spark.createDataFrame(
                 [(e,) for e in eps], f"{id_col} long"
-            )
+            ).coalesce(1)
             found_rows = (
                 sid.join(F.broadcast(eps_df), id_col)
                 .select(id_col, "cluster_id", "cluster_size")
@@ -545,7 +545,7 @@ def incremental_dedup_clusters(
                     parent[hi] = lo
         rep_map = spark.createDataFrame(
             [(n, find(n)) for n in list(parent)], "rep long, new_comp long"
-        )
+        ).coalesce(1)  # delta-bounded literal: one build task
         rep_map_b = F.broadcast(rep_map)
         # changed-cluster sizes, assembled driver-side (r14, guide
         # §2.4): everything the distributed aggregation counted is
@@ -569,7 +569,7 @@ def incremental_dedup_clusters(
         sizes_b = F.broadcast(
             spark.createDataFrame(
                 list(new_sizes.items()), "cluster_id long, new_size long"
-            )
+            ).coalesce(1)
         )
 
     upd_stored = sid.join(

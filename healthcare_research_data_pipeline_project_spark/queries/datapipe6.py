@@ -606,7 +606,8 @@ def ds_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bs_local = spark.createDataFrame(
         [(int(r["bkt"]), int(r["tc"]), int(r["rc"])) for r in bs_rows],
         "bkt long, tc long, rc long",
-    )
+    ).coalesce(1)  # literal ≤1024 rows: don't fan the broadcast build
+    # out to defaultParallelism near-empty tasks
     lam = bs_local.select(
         "bkt",
         F.round(

@@ -1318,7 +1318,7 @@ def _ivf_centroids_frame(spark: SparkSession, sf_dir: str, t) -> DataFrame:
     )
     return spark.createDataFrame(
         cent_rows, "cell int, centroid array<double>"
-    )
+    ).coalesce(1)  # ≤#cells rows: one build task, not 32 near-empty
 
 
 @register("sim_ivfpq_topk", _ivfpq_oracle())
